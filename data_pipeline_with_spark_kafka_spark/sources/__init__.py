@@ -1,0 +1,7 @@
+from data_pipeline_with_spark_kafka_spark.sources.tables import (
+    TABLE_NAMES,
+    load_table,
+    load_tables,
+)
+
+__all__ = ["TABLE_NAMES", "load_table", "load_tables"]

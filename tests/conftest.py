@@ -1,0 +1,39 @@
+"""Shared fixtures: one SparkSession per test run, one DuckDB with fixture views."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_pipeline_with_spark_kafka_spark.session import get_spark
+from data_pipeline_with_spark_kafka_spark.sources.tables import TABLE_NAMES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark("tests")
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{SF_DIR_ORACLE}/{name}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR

@@ -1,0 +1,32 @@
+"""Oracle-differential tests: every registered query with an oracle is run
+through Spark AND DuckDB and compared order-insensitively — the local
+mirror of the driver's CORRECTNESS gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline_with_spark_kafka_spark.queries import all_queries
+from tests.oracle_compare import assert_matches_oracle
+
+QUERIES = all_queries()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_against_oracle(name, spark, duck, sf_dir):
+    q = QUERIES[name]
+    df = q.builder(spark, sf_dir)
+    if q.oracle is None:
+        # rows-only check (non-SQL-expressible operators)
+        assert df.count() >= 0
+        return
+    assert_matches_oracle(df, duck, q.oracle, name=name)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert len(df.columns) == 10
