@@ -1,0 +1,61 @@
+"""Benchmark harness: runs the named query corpus at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the `noop` sink (full computation,
+no driver-side collect — measures the plan, not toPandas serialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_pipeline_with_spark_kafka_spark.queries import all_queries
+from data_pipeline_with_spark_kafka_spark.session import get_spark
+
+# Headline queries reported individually; everything else still runs and
+# counts toward the total unless SPARK_GRAFT_BENCH_ALL=0.
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    # JVM/codegen warm-up on the flagship so the first timed query does not
+    # pay one-time session costs.
+    warm = queries["flagship_events_windowed_enrichment"].builder(spark, sf_dir)
+    warm.write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        df = queries[name].builder(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "query_corpus_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
