@@ -1,0 +1,228 @@
+"""TPC-H-adapted batch queries over the fixture star schema.
+
+These widen the aggregation/join surface beyond the reference pipeline
+(SURVEY.md §2.4/2.5 [EXT] rows): multi-way joins, selective filters ahead
+of shuffles, group-bys with many aggregates, deterministic top-k.
+
+Scale discipline (100 TB):
+- filters and narrow projections sit directly on the scans so Catalyst
+  pushes them into parquet (PushedFilters/ReadSchema);
+- small dims (region, nation, customer at dim-scale) are broadcast
+  explicitly -- fact tables never shuffle for those joins;
+- top-k uses sort+limit (Spark's TakeOrderedAndProject), not a global
+  sort materialization.
+
+Float determinism: every double aggregate that reaches the output is
+rounded to 4 decimals on BOTH sides; sums of int-like columns are cast to
+BIGINT in the oracle (DuckDB widens to HUGEINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_kafka_spark.queries.registry import register
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+
+Q1_ORACLE = """
+SELECT l_returnflag,
+       l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("tpch_q1_pricing_summary", oracle=Q1_ORACLE, tags=("tpch", "agg"))
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: scan-heavy multi-aggregate group-by (2 low-cardinality keys).
+
+    One shuffle (partial agg map-side first); filter pushed to parquet.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 4
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q3_ORACLE = """
+SELECT o.o_orderkey,
+       o.o_orderdate,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@register("tpch_q3_shipping_priority", oracle=Q3_ORACLE, tags=("tpch", "join", "topk"))
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: selective 3-way join + group-by + deterministic top-10.
+
+    customer is dim-sized -> broadcast; lineitem⋈orders shuffles on the
+    orderkey once. Top-k via orderBy+limit => TakeOrderedAndProject (no
+    global sort materialization). Revenue rounded before the sort so the
+    Spark and oracle top-10 cut identically (tiebreak o_orderkey).
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q5_ORACLE = """
+SELECT n.n_name AS nation_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
+@register("tpch_q5_local_supplier_volume", oracle=Q5_ORACLE, tags=("tpch", "join"))
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-way join (region/nation/supplier broadcast) + group-by."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp),
+            (supp["s_suppkey"] == li["l_suppkey"]) & (supp["s_nationkey"] == cust["c_nationkey"]),
+        )
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+Q6_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("tpch_q6_forecast_revenue", oracle=Q6_ORACLE, tags=("tpch", "filter", "agg"))
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter+global-aggregate; all predicates pushed to scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q10_ORACLE = """
+SELECT c.c_custkey,
+       c.c_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       ROUND(c.c_acctbal, 4) AS c_acctbal,
+       n.n_name AS nation_name
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("tpch_q10_returned_items", oracle=Q10_ORACLE, tags=("tpch", "join", "topk"))
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: returned-item revenue ranking, broadcast dims, top-20."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation_name"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 4).alias("c_acctbal"),
+            "nation_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
