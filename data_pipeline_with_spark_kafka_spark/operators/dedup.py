@@ -1,0 +1,255 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four tiers, all built from public DataFrame APIs:
+
+1. **Exact** — hash group-by on content (or md5 fingerprint), keep the
+   deterministic min-id representative. One shuffle on the content hash.
+2. **N-gram Jaccard (exact near-dup)** — inverted-index self-join on
+   distinct k-gram shingles -> per-pair intersection counts -> Jaccard
+   filter. SQL-expressible, so it doubles as the DuckDB-oracle ground
+   truth for the probabilistic tiers.
+3. **MinHash + LSH (scalable near-dup)** — per-doc minhash signature
+   (xxhash64 under NUM_HASHES seeds), banded into buckets; only docs
+   sharing a band bucket become candidate pairs, then candidates are
+   verified with exact Jaccard. At 100 TB the band join touches only
+   bucket collisions — never all pairs.
+4. **SimHash** — 64-bit sign-aggregated token-hash fingerprint; near-dups
+   are pairs within Hamming distance d, blocked on the top 16 bits.
+
+Design notes for 1000-executor scale:
+- every self-join is preceded by an explode on a key that distributes
+  (shingle / band bucket / simhash prefix) — no cartesian anywhere;
+- hub shingles (stopword-ish grams shared by thousands of docs) are the
+  skew risk in tier 2: the ``max_shingle_freq`` guard drops shingles more
+  frequent than the cap (standard df-cut), bounding bucket fan-out;
+- signatures are fixed-width arrays, never per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_kafka_spark.operators.text import shingles, tokens
+from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
+
+NUM_HASHES = 64
+BANDS = 16
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+
+def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Exact dedup: one row per distinct content, keeping the min id.
+
+    Returns (content-hash, keeper id, duplicate count).
+    """
+    return (
+        df.groupBy(F.md5(F.col(content_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) exploded distinct k-gram shingle relation + per-doc size."""
+    return (
+        df.select(F.col(id_col).alias("doc"), shingles(tokens(F.col(text_col)), k).alias("sh"))
+        .select("doc", F.explode("sh").alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via inverted-index self-join.
+
+    ``max_shingle_freq`` drops hub shingles (document-frequency cut) to
+    bound join fan-out at scale; None keeps exact semantics (used when an
+    oracle must match).
+    """
+    sh = shingle_sets(df, id_col, text_col, k)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    if max_shingle_freq is not None:
+        freq_ok = (
+            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
+            .filter(F.col("df_count") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(freq_ok, "shingle")
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            round_to(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *, k: int = 3) -> DataFrame:
+    """Per-doc minhash signature: NUM_HASHES seeded xxhash64 minima over the
+    shingle set. Pure expression tree — evaluated in codegen, no UDF."""
+    sh = shingles(tokens(F.col(text_col)), k)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, seed=seed: F.xxhash64(s, F.lit(seed))))
+            for seed in range(NUM_HASHES)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.col(text_col).alias("text"),
+        sh.alias("sh"),
+        sig.alias("sig"),
+    ).filter(F.size("sh") > 0)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification.
+
+    Banding: BANDS bands x ROWS_PER_BAND rows; two docs collide in a band
+    iff that slice of their signatures is identical -> candidate. With
+    64 hashes / 16 bands the S-curve puts ~50% recall at J~0.5 and ~100%
+    at J>=0.8 (our default threshold).
+    """
+    sigs = minhash_signatures(df, id_col, text_col, k=k)
+
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.element_at("sig", b * ROWS_PER_BAND + r + 1) for r in range(ROWS_PER_BAND)]
+            ).alias("bucket"),
+        )
+        for b in range(BANDS)
+    ]
+    banded = sigs.select("doc", "sh", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "doc", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        candidates.withColumn("jaccard", round_to(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash fingerprint per doc, fully in expression land:
+    bit_i = sign( sum_tokens (token_hash bit_i ? +1 : -1) ).
+
+    Written as a SQL lambda because the bit index is itself a lambda
+    variable (the Python ``shiftright`` API only takes a literal count).
+    """
+    fingerprint = F.expr(
+        f"""
+        aggregate(
+          transform(sequence(0, 63), i ->
+            CASE WHEN aggregate(split({text_col}, ' '), 0, (acc, t) ->
+                   acc + (CASE WHEN (shiftright(xxhash64(t), CAST(i AS INT)) & 1L) = 1L
+                          THEN 1 ELSE -1 END)) > 0
+                 THEN 1L ELSE 0L END),
+          0L, (acc, b) -> shiftleft(acc, 1) | b)
+        """
+    )
+    return df.select(F.col(id_col).alias("doc"), fingerprint.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 6
+) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius, blocked on the top
+    16 bits (docs differing there cannot be near at small radii ~always;
+    standard multi-probe tradeoff, recall tested against exact Jaccard)."""
+    sh = simhash(df, id_col, text_col).withColumn(
+        "block", F.shiftright("simhash", 48)
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc") < F.col("b.doc")))
+        .withColumn("hamming", F.bit_count(xor))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"), "hamming")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    *,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within blocks (coarse partition —
+    label, LSH bucket, or IVF cell). Cosine via zip_with/aggregate in
+    codegen; the block key keeps the self-join off the full cross product."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    e = df.select(
+        F.col(id_col).alias("vid"), F.col(block_col).alias("block"), v.alias("v"), norm.alias("nrm")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.vid") < F.col("b.vid")))
+        .withColumn("cosine", round_to(dot / (F.col("a.nrm") * F.col("b.nrm")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.col("a.block").alias("block"),
+            "cosine",
+        )
+    )

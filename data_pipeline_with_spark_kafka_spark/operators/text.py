@@ -1,0 +1,101 @@
+"""Text-analysis operators for LLM training-data pipelines: tokenization,
+shingling, quality scoring, language-ID heuristics, fingerprinting.
+
+All column logic is built-in ``pyspark.sql.functions`` (JVM codegen) —
+these run per-row with zero shuffles, so they scale linearly and stack
+onto any scan. No Python UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
+
+# Small closed-class marker lists over the fixture vocabulary, used by the
+# language-ID heuristic. Deterministic and mirrored 1:1 in the SQL oracle.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast"),
+    "de": ("row", "data"),
+    "es": ("query", "value"),
+    "fr": ("filter", "line"),
+    "zh": ("spark", "hash"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to")
+
+
+def tokens(text_col: str | Column) -> Column:
+    """Whitespace tokenization (the corpus is space-separated tokens)."""
+    return F.split(text_col, " ")
+
+
+def token_count(text_col: str | Column) -> Column:
+    return F.size(tokens(text_col))
+
+
+def shingles(tokens_col: Column, k: int = 3) -> Column:
+    """Distinct k-gram shingles over a token array.
+
+    Guarded for short docs: Spark's ``sequence(1, n)`` DESCENDS when n < 1,
+    so docs with fewer than k tokens explicitly yield an empty array.
+    """
+    n = F.size(tokens_col)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tokens_col, i + j) for j in range(k)]
+    )
+    return F.when(n >= k, F.array_distinct(F.transform(idx, gram))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def marker_score(tokens_col: Column, markers: tuple[str, ...]) -> Column:
+    """How many tokens fall in a closed marker list (counts duplicates)."""
+    lit_markers = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens_col, lambda t: F.array_position(lit_markers, t) > 0))
+
+
+def stopword_ratio(tokens_col: Column) -> Column:
+    return marker_score(tokens_col, STOPWORDS) / F.size(tokens_col)
+
+
+def avg_token_length(text_col: Column, tokens_col: Column) -> Column:
+    """Mean token length, derived without re-walking the string:
+    (chars - separators) / tokens."""
+    n = F.size(tokens_col)
+    return (F.length(text_col) - (n - F.lit(1))) / n
+
+
+def quality_score(text_col: Column, tokens_col: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length saturation + non-stopword
+    mass + token-shape. Mirrors the oracle SQL formula exactly."""
+    n = F.size(tokens_col)
+    length_part = F.least(n / F.lit(50.0), F.lit(1.0))
+    stop_part = F.lit(1.0) - stopword_ratio(tokens_col)
+    shape_part = F.least(avg_token_length(text_col, tokens_col) / F.lit(8.0), F.lit(1.0))
+    return round_to(0.4 * length_part + 0.3 * stop_part + 0.3 * shape_part, 4)
+
+
+def lang_id(tokens_col: Column) -> Column:
+    """Marker-list language ID: argmax of per-language marker counts with a
+    fixed priority order (en > de > es > fr > zh) on ties."""
+    scores = {lang: marker_score(tokens_col, m) for lang, m in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    expr = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            ge = scores[lang] >= scores[other]
+            cond = ge if cond is None else (cond & ge)
+        # First language (in priority order) that is >= all others wins.
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return expr.otherwise(langs[0])
+
+
+def content_fingerprint(text_col: str | Column) -> Column:
+    """Exact content fingerprint (md5 hex — stable across engines)."""
+    return F.md5(text_col)

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_with_spark_kafka_spark.queries.registry import register
 from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
 
 FLAGSHIP_ORACLE = """
 WITH parsed AS (
@@ -92,9 +93,9 @@ def flagship_events_windowed_enrichment(spark: SparkSession, sf_dir: str) -> Dat
             F.col("w.end").alias("window_end"),
             F.col("n_name").alias("nation_name"),
             F.col("n_regionkey").alias("region_key"),
-            F.round("total_value", 4).alias("total_value"),
-            F.round("avg_value", 4).alias("avg_value"),
-            F.round("max_value", 4).alias("max_value"),
+            round_to("total_value", 4).alias("total_value"),
+            round_to("avg_value", 4).alias("avg_value"),
+            round_to("max_value", 4).alias("max_value"),
             F.col("n_events"),
             F.col("sum_k"),
             (

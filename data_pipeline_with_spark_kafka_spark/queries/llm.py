@@ -1,0 +1,295 @@
+"""LLM-training-data-pipeline queries: dedup (exact / n-gram Jaccard /
+MinHash-LSH / SimHash / embedding-cosine), similarity search (brute-force
+and LSH ANN), text analysis, multimodal plumbing.
+
+SQL-expressible tiers carry a DuckDB oracle; the probabilistic tiers
+(xxhash64-based minhash/simhash, LSH ANN) are rows-only here and
+recall-tested against the exact tiers in tests/test_llm_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_kafka_spark.operators import dedup, multimodal, similarity
+from data_pipeline_with_spark_kafka_spark.operators.text import (
+    STOPWORDS,
+    avg_token_length,
+    content_fingerprint,
+    lang_id,
+    quality_score,
+    stopword_ratio,
+    tokens,
+)
+from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
+from data_pipeline_with_spark_kafka_spark.queries.registry import register
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# Dedup tiers
+# --------------------------------------------------------------------------
+
+@register(
+    "llm_dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keeper_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+    tags=("llm", "dedup"),
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 content group, deterministic min-id keeper."""
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+NGRAM_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id AS doc,
+           t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
+    FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+), sizes AS (
+    SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc
+), inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = inter.doc_a
+JOIN sizes sb ON sb.doc = inter.doc_b
+WHERE ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.8
+"""
+
+
+@register("llm_dedup_ngram_jaccard", oracle=NGRAM_ORACLE, tags=("llm", "dedup"))
+def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs (J >= 0.8) via
+    inverted-index self-join — the ground truth for the LSH tier."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+
+
+@register("llm_dedup_minhash_lsh", oracle=None, tags=("llm", "dedup", "approx"))
+def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) near-dup pairs, exact-Jaccard verified.
+    Same semantics as llm_dedup_ngram_jaccard but candidate generation is
+    O(bucket collisions), not O(shared-shingle pairs) — the 100 TB path.
+    Recall vs the exact tier is asserted in tests/test_llm_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+
+
+@register("llm_dedup_simhash", oracle=None, tags=("llm", "dedup", "approx"))
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (expression-only, no UDF)."""
+    return dedup.simhash(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+EMB_NEARDUP_ORACLE = """
+WITH e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS vec_a,
+       b.vec_id AS vec_b,
+       a.label AS block,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+FROM e a
+JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4
+"""
+
+
+@register("llm_dedup_embedding_cosine", oracle=EMB_NEARDUP_ORACLE, tags=("llm", "dedup"))
+def llm_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.4) blocked by label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(emb, "vec_id", "embedding", "label", threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+TEXT_STATS_ORACLE = f"""
+SELECT doc_id,
+       lang,
+       LENGTH(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       ROUND((LENGTH(text) - (len(string_split(text, ' ')) - 1) * 1.0)
+             / len(string_split(text, ' ')), 4) AS avg_token_len,
+       ROUND(len(list_filter(string_split(text, ' '),
+                             t -> list_contains({_STOP_SQL}, t))) * 1.0
+             / len(string_split(text, ' ')), 4) AS stop_ratio
+FROM documents
+"""
+
+
+@register("llm_text_stats", oracle=TEXT_STATS_ORACLE, tags=("llm", "text"))
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token/char/shape/stopword statistics (pure codegen)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        round_to(avg_token_length(F.col("text"), toks), 4).alias("avg_token_len"),
+        round_to(stopword_ratio(toks), 4).alias("stop_ratio"),
+    )
+
+
+QUALITY_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           string_split(text, ' ') AS toks
+    FROM documents
+)
+SELECT doc_id,
+       ROUND(0.4 * LEAST(len(toks) / 50.0, 1.0)
+           + 0.3 * (1.0 - len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) * 1.0 / len(toks))
+           + 0.3 * LEAST(((n_chars - (len(toks) - 1) * 1.0) / len(toks)) / 8.0, 1.0), 4)
+           AS quality
+FROM t
+"""
+
+
+@register("llm_text_quality", oracle=QUALITY_ORACLE, tags=("llm", "text"))
+def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic [0,1] quality score (length/stopword/shape mix)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select("doc_id", quality_score(F.col("text"), toks).alias("quality"))
+
+
+def _langid_oracle() -> str:
+    from data_pipeline_with_spark_kafka_spark.operators.text import LANG_MARKERS
+
+    score = {
+        lang: f"len(list_filter(toks, t -> list_contains([{', '.join(repr(m) for m in markers)}], t)))"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    cases = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"{score[lang]} >= {score[other]}" for other in langs if other != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{langs[0]}' END"
+    return f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, lang AS labeled_lang, {case_sql} AS pred_lang FROM t
+"""
+
+
+@register("llm_text_langid", oracle=_langid_oracle(), tags=("llm", "text"))
+def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic (argmax with fixed tie order)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), lang_id(toks).alias("pred_lang")
+    )
+
+
+@register(
+    "llm_text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS fingerprint,
+       SUBSTRING(md5(text), 1, 8) AS fp_prefix
+FROM documents
+""",
+    tags=("llm", "text"),
+)
+def llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc md5 content fingerprint (engine-portable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = content_fingerprint(F.col("text"))
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("fp_prefix")
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+SIM_TOPK_ORACLE = """
+WITH q AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT vec_id,
+       ROUND(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+FROM e, q
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+@register("llm_sim_topk_bruteforce", oracle=SIM_TOPK_ORACLE, tags=("llm", "similarity"))
+def llm_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 vs the vec_id=0 query embedding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(
+        emb, "vec_id", "embedding", emb.filter(F.col("vec_id") == 0), k=10
+    )
+
+
+@register("llm_sim_topk_lsh", oracle=None, tags=("llm", "similarity", "approx"))
+def llm_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 (recall tested vs brute force)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(
+        emb, "vec_id", "embedding", emb.filter(F.col("vec_id") == 0), k=10, n_planes=6
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       'mem://doc/' || CAST(doc_id AS VARCHAR) AS uri,
+       'text/plain' AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS content_sha256
+FROM documents
+"""
+
+
+@register("llm_multimodal_metadata", oracle=MULTIMODAL_ORACLE, tags=("llm", "multimodal"))
+def llm_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column + relational metadata extraction (no decode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.blob_metadata(
+        multimodal.attach_blob(docs, "doc_id", "text"), "doc_id"
+    )
+
+
+@register("llm_multimodal_decode_features", oracle=None, tags=("llm", "multimodal"))
+def llm_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched fake-decode feature extraction over mapInPandas (the
+    real codec is stubbed — see operators/multimodal.decode_media)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.fake_decode_features(
+        multimodal.attach_blob(docs, "doc_id", "text"), "doc_id"
+    )

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_with_spark_kafka_spark.queries.registry import register
 from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
 
 Q1_ORACLE = """
 SELECT l_returnflag,
@@ -53,15 +54,15 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
-            F.round(
+            round_to(F.sum("l_quantity"), 4).alias("sum_qty"),
+            round_to(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            round_to(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            round_to(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 4
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            round_to(F.avg("l_quantity"), 4).alias("avg_qty"),
+            round_to(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            round_to(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -103,7 +104,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .agg(round_to(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
@@ -147,7 +148,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
         .groupBy(F.col("n_name").alias("nation_name"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .agg(round_to(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
     )
 
 
@@ -175,7 +176,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+            round_to(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -215,12 +216,12 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation_name"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .agg(round_to(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
         .select(
             "c_custkey",
             "c_name",
             "revenue",
-            F.round("c_acctbal", 4).alias("c_acctbal"),
+            round_to("c_acctbal", 4).alias("c_acctbal"),
             "nation_name",
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))

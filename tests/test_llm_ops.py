@@ -1,0 +1,103 @@
+"""Property tests for the probabilistic / non-SQL-expressible LLM operators:
+the tiers the DuckDB oracle can't check (seed-dependent hashing, ANN) are
+tested against their exact counterparts and for deterministic invariants."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_pipeline_with_spark_kafka_spark.operators import dedup, multimodal, similarity
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    """LSH candidates are verified with exact Jaccard, so LSH pairs must be
+    a subset of the exact pairs; with 16 bands of 4 the S-curve at J>=0.8
+    gives ~99.98% recall — on fixed seeds the result is deterministic, and
+    on this corpus recall is total."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=3, threshold=0.8).collect()
+    }
+    assert lsh <= exact, f"LSH produced false positives: {lsh - exact}"
+    assert exact, "fixture should contain planted near-duplicates"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall too low: {recall} ({len(lsh)}/{len(exact)})"
+
+
+def test_simhash_identical_text_same_fingerprint(spark, docs):
+    """A duplicated corpus (ids offset) yields pairwise-identical simhashes."""
+    dup = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    both = docs.select("doc_id", "text").unionByName(dup)
+    fp = dedup.simhash(both, "doc_id", "text")
+    joined = (
+        fp.alias("a")
+        .join(fp.alias("b"), F.col("a.doc") + 1_000_000 == F.col("b.doc"))
+        .filter(F.col("a.simhash") != F.col("b.simhash"))
+    )
+    assert joined.count() == 0
+
+
+def test_simhash_pairs_find_planted_duplicates(spark, docs):
+    sample = docs.filter(F.col("doc_id") < 50).select("doc_id", "text")
+    dup = sample.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    both = sample.unionByName(dup)
+    pairs = dedup.simhash_pairs(both, "doc_id", "text", max_hamming=0)
+    found = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    expected = {(i, i + 1_000_000) for i in range(50)}
+    assert expected <= found
+
+
+def test_exact_dedup_counts_duplicates(docs):
+    dup = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    both = docs.select("doc_id", "text").unionByName(dup)
+    out = dedup.exact_dedup(both, "doc_id", "text")
+    rows = out.collect()
+    assert all(r.n_copies == 2 for r in rows)
+    assert all(r.keeper_id < 1_000_000 for r in rows)
+
+
+def test_lsh_topk_recall_vs_brute_force(emb):
+    query = emb.filter(F.col("vec_id") == 0)
+    brute = [r.vec_id for r in similarity.brute_force_topk(emb, "vec_id", "embedding", query, k=10).collect()]
+    approx = [r.vec_id for r in similarity.lsh_topk(emb, "vec_id", "embedding", query, k=10, n_planes=6).collect()]
+    # The query vector itself always lands in its own bucket.
+    assert 0 in approx
+    # Deterministic seeded planes -> stable recall; require a sane floor
+    # (random gaussian embeddings have no cluster structure, so multi-probe
+    # LSH recall is modest by construction — the oracle tier is brute force).
+    recall = len(set(brute) & set(approx)) / 10
+    assert recall >= 0.1, f"ANN recall collapsed: {recall} (brute={brute}, approx={approx})"
+
+
+def test_multimodal_decode_features_contract(docs):
+    with_media = multimodal.attach_blob(docs, "doc_id", "text")
+    feats = multimodal.fake_decode_features(with_media, "doc_id")
+    meta = multimodal.blob_metadata(with_media, "doc_id")
+    f_rows = {r.doc_id: r for r in feats.collect()}
+    m_rows = {r.doc_id: r for r in meta.collect()}
+    assert set(f_rows) == set(m_rows)
+    for doc_id, fr in f_rows.items():
+        assert len(fr.features) == 4
+        assert fr.n_bytes == m_rows[doc_id].n_bytes
+        assert fr.features[0] == float(fr.n_bytes)
+
+
+def test_decode_media_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media()
