@@ -6,6 +6,7 @@ from data_pipeline_with_spark_kafka_spark.queries import (  # noqa: F401
     llm,
     relational,
     tpch,
+    windows_time,
 )
 from data_pipeline_with_spark_kafka_spark.queries.registry import Query, all_queries, register
 

@@ -1,0 +1,212 @@
+"""Streaming-semantics golden tests (no streaming oracle exists in DuckDB —
+SURVEY.md §5): replay a fixed event log through the declarative pipeline
+with a file-stream source and pin down
+
+- stream == batch on the same input (exactness of the windowed plan),
+- watermark late-data drop across micro-batches,
+- sink idempotency under epoch replay (the reference's K-wart, fixed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_kafka_spark.plans.pipeline import Pipeline, SinkSpec
+from data_pipeline_with_spark_kafka_spark.streaming.covid_pipeline import (
+    build_stream_pipeline,
+    file_stream_source,
+    parse_events,
+    windowed_enrichment,
+)
+from data_pipeline_with_spark_kafka_spark.streaming.sinks import keyed_upsert_parquet
+
+DIM_ROWS = [
+    ("LOC_A", 1_000_000, "EU"),
+    ("LOC_B", 5_000_000, "AS"),
+    ("LOC_C", 250_000, "AF"),
+]
+
+
+def make_dim(spark):
+    return spark.createDataFrame(DIM_ROWS, "location string, population long, continent string")
+
+
+def event(minute: int, second: int, loc: str, new: int, total: int) -> str:
+    return json.dumps(
+        {
+            "value": json.dumps(
+                {
+                    "event_time": f"2024-06-01 10:{minute:02d}:{second:02d}",
+                    "location": loc,
+                    "new_cases": new,
+                    "total_cases": total,
+                }
+            )
+        }
+    )
+
+
+def write_file(path: str, lines: list[str]) -> None:
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def run_to_completion(query, timeout=120):
+    deadline = time.time() + timeout
+    while query.isActive and time.time() < deadline:
+        query.awaitTermination(2)
+    assert not query.isActive, "stream did not drain in time"
+
+
+def rows_set(df):
+    return {
+        (
+            r.window_start.isoformat(),
+            r.location,
+            r.total_new_cases_in_window,
+            str(r.avg_new_cases_per_entry),
+            r.max_new_cases_in_window,
+            r.n_entries,
+            str(r.new_cases_per_million_in_window),
+        )
+        for r in df.collect()
+    }
+
+
+def test_stream_equals_batch_golden(spark, tmp_path):
+    src = tmp_path / "events_in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    lines = [
+        event(0, 5, "LOC_A", 10, 100),
+        event(0, 40, "LOC_A", 20, 120),
+        event(0, 50, "LOC_B", 7, 70),
+        event(1, 10, "LOC_A", 1, 121),
+        event(2, 0, "LOC_C", 30, 30),
+        json.dumps({"value": "not json at all"}),  # malformed -> dropped
+        json.dumps({"value": json.dumps({"location": "LOC_A"})}),  # missing fields -> dropped
+    ]
+    write_file(str(src / "part-000.json"), lines)
+
+    dim = make_dim(spark)
+    pipeline = build_stream_pipeline(
+        file_stream_source(str(src)),
+        dim,
+        SinkSpec(
+            kind="foreach-batch",
+            foreach_batch=keyed_upsert_parquet(str(out), ["window_start", "location"]),
+            output_mode="update",
+            trigger={"availableNow": True},
+            checkpoint=str(ckpt),
+        ),
+    )
+    run_to_completion(pipeline.run(spark))
+
+    streamed = spark.read.parquet(str(out))
+
+    batch_raw = spark.read.schema("value string").json(str(src))
+    golden = windowed_enrichment(dim)(parse_events(batch_raw))
+
+    assert rows_set(streamed) == rows_set(golden)
+    # 3 windows for LOC_A(2), LOC_B(1), LOC_C(1) -> 4 keyed rows
+    assert streamed.count() == 4
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    src = tmp_path / "late_in"
+    out = tmp_path / "late_out"
+    ckpt = tmp_path / "late_ckpt"
+    src.mkdir()
+
+    # Spark applies the late-event filter with the watermark persisted at the
+    # PREVIOUS batch (one-batch lag), so the drop needs three micro-batches:
+    # batch 0 (10:30) advances the watermark to 10:20 at its commit; batch 1
+    # (10:31) still filters with the epoch watermark; batch 2's late 10:00
+    # event is dropped against 10:20.
+    write_file(str(src / "a-first.json"), [event(30, 0, "LOC_A", 5, 50)])
+    write_file(str(src / "b-second.json"), [event(31, 0, "LOC_B", 9, 90)])
+    write_file(str(src / "c-late.json"), [event(0, 0, "LOC_C", 99, 990)])
+    # File source orders by modification time; pin the intended order.
+    os.utime(str(src / "a-first.json"), (1, 1))
+    os.utime(str(src / "b-second.json"), (100, 100))
+
+    dim = make_dim(spark)
+    pipeline = build_stream_pipeline(
+        file_stream_source(str(src), max_files_per_trigger=1),
+        dim,
+        SinkSpec(
+            kind="foreach-batch",
+            foreach_batch=keyed_upsert_parquet(str(out), ["window_start", "location"]),
+            output_mode="update",
+            trigger={"availableNow": True},
+            checkpoint=str(ckpt),
+        ),
+    )
+    run_to_completion(pipeline.run(spark))
+
+    locations = {r.location for r in spark.read.parquet(str(out)).collect()}
+    assert locations == {"LOC_A", "LOC_B"}, f"late LOC_C row should be dropped, got {locations}"
+
+
+def test_keyed_upsert_idempotent_under_replay(spark, tmp_path):
+    out = tmp_path / "upsert_out"
+    dim = make_dim(spark)
+    raw = spark.createDataFrame([(line,) for line in [
+        json.loads(event(0, 5, "LOC_A", 10, 100))["value"],
+        json.loads(event(0, 30, "LOC_B", 3, 30))["value"],
+    ]], "value string")
+    batch = windowed_enrichment(dim)(parse_events(raw))
+
+    upsert = keyed_upsert_parquet(str(out), ["window_start", "location"])
+    upsert(batch, epoch_id=1)
+    first = sorted(rows_set(spark.read.parquet(str(out))))
+    upsert(batch, epoch_id=1)  # replayed epoch (at-least-once delivery)
+    second = sorted(rows_set(spark.read.parquet(str(out))))
+    assert first == second
+    assert spark.read.parquet(str(out)).count() == 2
+
+    # A revised emission for the same key replaces, not duplicates.
+    raw2 = spark.createDataFrame(
+        [(json.loads(event(0, 45, "LOC_A", 90, 900))["value"],)], "value string"
+    )
+    revised = windowed_enrichment(dim)(parse_events(raw2))
+    upsert(revised, epoch_id=2)
+    final = spark.read.parquet(str(out))
+    assert final.count() == 2
+    loc_a = final.filter(F.col("location") == "LOC_A").collect()[0]
+    assert loc_a.total_new_cases_in_window == 90
+
+
+@pytest.mark.parametrize("dedup_within", [True])
+def test_drop_duplicates_within_watermark(spark, tmp_path, dedup_within):
+    """dropDuplicatesWithinWatermark on a replayed stream: duplicate event
+    ids within the watermark horizon collapse to one."""
+    src = tmp_path / "dd_in"
+    ckpt = tmp_path / "dd_ckpt"
+    src.mkdir()
+    line = json.dumps({"value": json.dumps({"event_time": "2024-06-01 10:00:05",
+                                            "location": "LOC_A", "new_cases": 10,
+                                            "total_cases": 100})})
+    write_file(str(src / "dup.json"), [line, line, line])
+
+    source = file_stream_source(str(src))
+    parsed = Pipeline(source=source, transforms=[parse_events]).dataframe(spark)
+    deduped = parsed.withWatermark("event_time", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_time", "location"]
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dd_out")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    assert spark.sql("SELECT COUNT(*) AS n FROM dd_out").collect()[0].n == 1
