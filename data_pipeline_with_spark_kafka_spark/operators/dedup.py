@@ -53,10 +53,17 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """(id, shingle) exploded distinct k-gram shingle relation + per-doc size."""
+    """(doc, shingle_hash) exploded distinct k-gram shingle relation.
+
+    Shingles are xxhash64-hashed to longs immediately: the self-join then
+    shuffles/compares 8-byte keys instead of ~20-byte strings, and set
+    intersections run on long arrays. Exactness is preserved up to 64-bit
+    hash collisions (~1e-11 for this corpus — the oracle still matches).
+    """
     return (
         df.select(F.col(id_col).alias("doc"), shingles(tokens(F.col(text_col)), k).alias("sh"))
         .select("doc", F.explode("sh").alias("shingle"))
+        .select("doc", F.xxhash64("shingle").alias("shingle"))
     )
 
 
@@ -67,39 +74,63 @@ def ngram_jaccard_pairs(
     *,
     k: int = 3,
     threshold: float = 0.8,
-    max_shingle_freq: int | None = None,
 ) -> DataFrame:
-    """Exact Jaccard near-dup pairs via inverted-index self-join.
+    """EXACT Jaccard near-dup pairs via a prefix-filtered inverted-index
+    self-join (the PPJoin-family construction).
 
-    ``max_shingle_freq`` drops hub shingles (document-frequency cut) to
-    bound join fan-out at scale; None keeps exact semantics (used when an
-    oracle must match).
+    Naive inverted-index joins explode on hub shingles (cost ~ sum of
+    squared document frequencies). Prefix filtering keeps exactness while
+    skipping the hubs: for J(a,b) >= t it holds that
+    ``|a ∩ b| >= t * max(|a|, |b|)``, so two qualifying docs MUST share a
+    shingle among each doc's first ``|d| - ceil(t*|d|) + 1`` shingles in a
+    global canonical order. Ordering shingles rarest-first makes that
+    prefix the low-frequency tail — candidate generation then never joins
+    through the hottest keys. Candidates are verified with the full
+    (hashed) shingle arrays; results are identical to the naive join.
+
+    At 100 TB: the frequency table is a fixed-size broadcast dim, the
+    prefix index is ~(1-t) of the full index, and candidate fan-out is
+    bounded by rare-shingle frequencies — no skew-join mitigation needed.
     """
-    sh = shingle_sets(df, id_col, text_col, k)
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_sort(F.transform(shingles(tokens(F.col(text_col)), k), lambda s: F.xxhash64(s))).alias("sh"),
+    ).filter(F.size("sh") > 0).persist()
 
-    if max_shingle_freq is not None:
-        freq_ok = (
-            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
-            .filter(F.col("df_count") <= max_shingle_freq)
-            .select("shingle")
-        )
-        sh = sh.join(freq_ok, "shingle")
+    sh = base.select("doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
 
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    from pyspark.sql import Window
+
+    rarity = Window.partitionBy("doc").orderBy("df_count", "shingle")
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = (
+        sh.join(F.broadcast(freq), "shingle")
+        .withColumn("rn", F.row_number().over(rarity))
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc", "shingle")
     )
-    return (
-        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .withColumn(
-            "jaccard",
-            round_to(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4),
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    sets = base.select("doc", "sh")
+    pairs = (
+        candidates.join(
+            F.broadcast(sets.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a")), "doc_a"
         )
+        .join(
+            F.broadcast(sets.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b")), "doc_b"
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.withColumn("jaccard", round_to(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -107,20 +138,20 @@ def ngram_jaccard_pairs(
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *, k: int = 3) -> DataFrame:
     """Per-doc minhash signature: NUM_HASHES seeded xxhash64 minima over the
-    shingle set. Pure expression tree — evaluated in codegen, no UDF."""
-    sh = shingles(tokens(F.col(text_col)), k)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, seed=seed: F.xxhash64(s, F.lit(seed))))
-            for seed in range(NUM_HASHES)
-        ]
-    )
-    return df.select(
+    shingle set. Pure expression tree — evaluated in codegen, no UDF.
+
+    Shingle strings are hashed to longs ONCE; the 64 per-seed re-hashes then
+    operate on 8-byte values (64x cheaper than re-hashing strings)."""
+    sh_hashed = F.transform(shingles(tokens(F.col(text_col)), k), lambda s: F.xxhash64(s))
+    base = df.select(
         F.col(id_col).alias("doc"),
-        F.col(text_col).alias("text"),
-        sh.alias("sh"),
-        sig.alias("sig"),
+        sh_hashed.alias("sh"),
     ).filter(F.size("sh") > 0)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(NUM_HASHES - 1)),
+        lambda seed: F.array_min(F.transform(F.col("sh"), lambda h: F.xxhash64(h, seed))),
+    )
+    return base.select("doc", "sh", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -138,7 +169,9 @@ def minhash_lsh_pairs(
     64 hashes / 16 bands the S-curve puts ~50% recall at J~0.5 and ~100%
     at J>=0.8 (our default threshold).
     """
-    sigs = minhash_signatures(df, id_col, text_col, k=k)
+    # Persist: the signature relation feeds both sides of the band self-join
+    # and the verification lookups.
+    sigs = minhash_signatures(df, id_col, text_col, k=k).persist()
 
     band_cols = [
         F.struct(
@@ -149,8 +182,11 @@ def minhash_lsh_pairs(
         )
         for b in range(BANDS)
     ]
-    banded = sigs.select("doc", "sh", F.explode(F.array(*band_cols)).alias("bb")).select(
-        "doc", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    # Narrow relation for the self-join: (doc, band, bucket) only — shingle
+    # arrays are joined back AFTER pair-dedup so wide rows never shuffle
+    # through the candidate explosion.
+    banded = sigs.select("doc", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
     a = banded.alias("a")
@@ -162,19 +198,19 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
+    sets = sigs.select("doc", "sh")
+    pairs = (
+        candidates.join(sets.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sets.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        candidates.withColumn("jaccard", round_to(inter / union, 4))
+        pairs.withColumn("jaccard", round_to(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

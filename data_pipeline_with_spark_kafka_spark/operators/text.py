@@ -38,15 +38,21 @@ def token_count(text_col: str | Column) -> Column:
 def shingles(tokens_col: Column, k: int = 3) -> Column:
     """Distinct k-gram shingles over a token array.
 
-    Guarded for short docs: Spark's ``sequence(1, n)`` DESCENDS when n < 1,
-    so docs with fewer than k tokens explicitly yield an empty array.
+    Built as ``arrays_zip`` of k shifted slices + one ``transform`` — O(n)
+    per row. (The tempting ``transform(sequence(1, n-k+1), i ->
+    element_at(tokens, i+j)...)`` form is O(n^2): Catalyst inlines the
+    token-array expression into every element_at, recomputing it per
+    element — measured 5x slower on the fixture corpus.)
+
+    Guarded for short docs: fewer than k tokens yields an empty array
+    (CaseWhen evaluates lazily, so the negative-length slices in the other
+    branch are never touched).
     """
     n = F.size(tokens_col)
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(tokens_col, i + j) for j in range(k)]
-    )
-    return F.when(n >= k, F.array_distinct(F.transform(idx, gram))).otherwise(
+    m = n - (k - 1)
+    zipped = F.arrays_zip(*[F.slice(tokens_col, j + 1, m) for j in range(k)])
+    grams = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)]))
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
 
