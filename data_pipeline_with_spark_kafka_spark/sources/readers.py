@@ -1,0 +1,133 @@
+"""Source/sink builders beyond the parquet catalog (SURVEY.md §2.1-2.2).
+
+- CSV batch source with an explicit schema (ref S3/S4: the producer's
+  HTTP-fetched CSV, ``kafka_producer.py:21-34,61-67`` — engine-side the
+  fetch is an ingest concern; the parse is ``spark.read.csv``).
+- JDBC source/sink builders (ref S2/K2: the MySQL dim load and result
+  write, ``spark_consumer_kafka.py:28-35,138-146``). Config-only here (no
+  database in this environment); the partitioned-read options are the
+  100 TB-relevant part: a single-connection JDBC scan cannot feed a
+  cluster.
+- Kafka payload (de)serialization (ref K4: producer's JSON dict per row,
+  ``kafka_producer.py:41-52,79-88``): ``to_json(struct(*))`` produces the
+  wire bytes engine-side, vectorized — not a Python loop with a blocking
+  ack per message (the reference's ~100 msg/s ceiling).
+- Row validation (ref P7, ``kafka_producer.py:69-77``): essential-field
+  drop + numeric coercion with 0-default, as one declarative transform.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def csv_source(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    *,
+    header: bool = True,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """CSV scan with an explicit schema (no inference job — at 100 TB a
+    schema-inference pre-pass reads the data twice)."""
+    reader = spark.read.schema(schema).option("header", str(header).lower())
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def jdbc_source(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """JDBC scan. For anything bigger than a dim table, pass the
+    partition_column/bounds/num_partitions quartet so the scan parallelizes
+    across executors (the reference reads its 8-row dim on one connection,
+    which is fine — for a fact table it is not)."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    return reader.load()
+
+
+def jdbc_sink(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+    max_connections: int = 8,
+) -> None:
+    """JDBC write with bounded connection count: coalesce before the write
+    so a 1000-task stage does not open 1000 database connections."""
+    writer = (
+        df.coalesce(max_connections)
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .mode(mode)
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def to_kafka_payload(df: DataFrame, *, key_col: str | None = None) -> DataFrame:
+    """Serialize every row to a Kafka-ready (key, value) pair:
+    ``value = to_json(struct(*))``. Writing is then
+    ``payload.write.format("kafka")...`` (batch) or ``writeStream`` —
+    vectorized JVM-side serialization, no per-row Python."""
+    cols = [F.to_json(F.struct(*df.columns)).alias("value")]
+    if key_col is not None:
+        cols.insert(0, F.col(key_col).cast("string").alias("key"))
+    return df.select(*cols)
+
+
+def from_kafka_payload(raw: DataFrame, schema: T.StructType | str) -> DataFrame:
+    """Inverse of ``to_kafka_payload`` for the consumer side (ref
+    ``spark_consumer_kafka.py:65-66``): CAST(value AS STRING) -> from_json
+    -> flatten."""
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("data")
+    ).select("data.*")
+
+
+def validate_rows(
+    df: DataFrame,
+    *,
+    essential: list[str],
+    coerce_int_default_zero: list[str] = (),
+) -> DataFrame:
+    """The producer's row guard (``kafka_producer.py:69-77``) as one
+    transform: drop rows missing any essential field; coerce numeric
+    strings through double->int with a 0 default (``int(float(x))`` else 0)."""
+    out = df
+    for c in coerce_int_default_zero:
+        # try_cast (not cast): under ANSI mode a malformed numeric throws;
+        # the reference's semantics are "unparseable -> 0".
+        out = out.withColumn(
+            c, F.coalesce(F.col(c).try_cast("double").try_cast("int"), F.lit(0))
+        )
+    cond = None
+    for c in essential:
+        this = F.col(c).isNotNull()
+        cond = this if cond is None else (cond & this)
+    return out.filter(cond) if cond is not None else out

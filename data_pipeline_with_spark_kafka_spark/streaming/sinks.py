@@ -39,9 +39,13 @@ def keyed_upsert_parquet(target_dir: str, key_cols: list[str]):
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        # One action total (the write); dedup within the batch first so a
-        # single epoch emitting a key twice (update-mode re-emission inside
-        # one batch window) still lands one row.
+        # Empty-batch short-circuit (ref K3, spark_consumer_kafka.py:132-134)
+        # — availableNow runs routinely end with an empty commit batch.
+        if batch_df.isEmpty():
+            return
+        # One further action total (the write); dedup within the batch first
+        # so a single epoch emitting a key twice (update-mode re-emission
+        # inside one batch window) still lands one row.
         incoming = batch_df.dropDuplicates(key_cols)
         if os.path.isdir(target_dir):
             existing = spark.read.parquet(target_dir)

@@ -101,3 +101,16 @@ def test_multimodal_decode_features_contract(docs):
 def test_decode_media_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media()
+
+
+def test_winnowing_fingerprint_deterministic_and_content_sensitive(spark, sf_dir):
+    from data_pipeline_with_spark_kafka_spark.queries.text_extra import (
+        llm_fingerprint_winnowing,
+    )
+
+    a = {r.doc_id: r.winnow_fp for r in llm_fingerprint_winnowing(spark, sf_dir).collect()}
+    b = {r.doc_id: r.winnow_fp for r in llm_fingerprint_winnowing(spark, sf_dir).collect()}
+    assert a == b  # rerun-stable (Arrow batching must not affect values)
+    # identical texts -> identical fingerprints; the corpus' planted
+    # near-dups are NOT identical, so fingerprints should mostly differ
+    assert len(set(a.values())) > len(a) // 2

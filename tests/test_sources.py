@@ -1,0 +1,62 @@
+"""Source/sink builder tests: CSV round-trip with explicit schema, Kafka
+payload serialize/parse inverse property, producer-style row validation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_kafka_spark.sources.readers import (
+    csv_source,
+    from_kafka_payload,
+    to_kafka_payload,
+    validate_rows,
+)
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+
+
+def test_csv_round_trip(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_csv")
+    nation.write.option("header", True).mode("overwrite").csv(out)
+    back = csv_source(
+        spark, out, "n_nationkey int, n_name string, n_regionkey int"
+    )
+    assert sorted(back.collect()) == sorted(nation.collect())
+
+
+def test_kafka_payload_round_trip(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars").limit(50)
+    payload = to_kafka_payload(docs, key_col="doc_id")
+    assert payload.columns == ["key", "value"]
+    parsed = from_kafka_payload(payload, "doc_id long, lang string, n_chars long")
+    assert sorted(parsed.collect()) == sorted(docs.collect())
+
+
+def test_validate_rows_coercion_and_drop(spark):
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01", "US", "5.7", "10"),
+            ("2024-01-02", None, "3", "4"),      # missing essential -> drop
+            ("2024-01-03", "FR", "bogus", "2"),  # coerce failure -> 0
+            (None, "DE", "1", "1"),              # missing essential -> drop
+        ],
+        "date string, location string, new_cases string, total_cases string",
+    )
+    out = validate_rows(
+        df,
+        essential=["date", "location"],
+        coerce_int_default_zero=["new_cases", "total_cases"],
+    )
+    rows = {r.date: (r.location, r.new_cases, r.total_cases) for r in out.collect()}
+    assert set(rows) == {"2024-01-01", "2024-01-03"}
+    assert rows["2024-01-01"] == ("US", 5, 10)   # int(float("5.7")) == 5
+    assert rows["2024-01-03"] == ("FR", 0, 2)    # "bogus" -> 0
+
+
+def test_jdbc_builders_construct_plan_only():
+    # No database in this environment: the builders are config surface;
+    # constructing them must not require a live connection.
+    from data_pipeline_with_spark_kafka_spark.sources import readers
+
+    assert callable(readers.jdbc_source) and callable(readers.jdbc_sink)

@@ -1,0 +1,110 @@
+"""Tests for the custom stateful operator (applyInPandasWithState) and the
+watermarked stream-stream join."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_kafka_spark.streaming.covid_pipeline import parse_events
+from data_pipeline_with_spark_kafka_spark.streaming.stateful import (
+    running_totals,
+    stream_stream_join,
+)
+
+
+def drain(query, timeout=120):
+    deadline = time.time() + timeout
+    while query.isActive and time.time() < deadline:
+        query.awaitTermination(2)
+    assert not query.isActive
+
+
+def event_line(t, loc, n):
+    return json.dumps(
+        {"value": json.dumps({"event_time": t, "location": loc, "new_cases": n, "total_cases": n})}
+    )
+
+
+def test_apply_in_pandas_with_state_accumulates_across_batches(spark, tmp_path):
+    src = tmp_path / "st_in"
+    ckpt = tmp_path / "st_ck"
+    src.mkdir()
+    (src / "f1.json").write_text(
+        event_line("2024-06-01 10:00:00", "A", 5) + "\n" + event_line("2024-06-01 10:00:30", "B", 2) + "\n"
+    )
+    (src / "f2.json").write_text(event_line("2024-06-01 10:01:00", "A", 7) + "\n")
+    import os
+
+    os.utime(src / "f1.json", (1, 1))
+
+    emitted = []
+
+    def collect(df, epoch):
+        emitted.extend((epoch, r.location, r.n_events, r.total_new_cases) for r in df.collect())
+
+    raw = (
+        spark.readStream.schema("value string").option("maxFilesPerTrigger", "1").json(str(src))
+    )
+    q = (
+        running_totals(parse_events(raw))
+        .writeStream.outputMode("update")
+        .foreachBatch(collect)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain(q)
+
+    per_epoch = {(e, loc): (n, tot) for e, loc, n, tot in emitted}
+    assert per_epoch[(0, "A")] == (1, 5.0)
+    assert per_epoch[(0, "B")] == (1, 2.0)
+    # state carried across micro-batches: A accumulates 5 + 7
+    assert per_epoch[(1, "A")] == (2, 12.0)
+
+
+def test_stream_stream_join_within_time_bound(spark, tmp_path):
+    lsrc, rsrc, ckpt = tmp_path / "l", tmp_path / "r", tmp_path / "ck"
+    lsrc.mkdir()
+    rsrc.mkdir()
+
+    def impression(t, key):
+        return json.dumps({"ad": key, "imp_time": t})
+
+    def click(t, key):
+        return json.dumps({"ad": key, "click_time": t})
+
+    (lsrc / "l.json").write_text(
+        impression("2024-06-01 10:00:00", "ad1") + "\n" + impression("2024-06-01 10:00:00", "ad2") + "\n"
+    )
+    (rsrc / "r.json").write_text(
+        click("2024-06-01 10:02:00", "ad1")  # within 5 min -> joins
+        + "\n"
+        + click("2024-06-01 10:30:00", "ad2")  # beyond 5 min -> no join
+        + "\n"
+    )
+
+    left = (
+        spark.readStream.schema("ad string, imp_time string").json(str(lsrc))
+        .withColumn("imp_time", F.to_timestamp("imp_time"))
+    )
+    right = (
+        spark.readStream.schema("ad string, click_time string").json(str(rsrc))
+        .withColumn("click_time", F.to_timestamp("click_time"))
+    )
+    joined = stream_stream_join(
+        left, right, key="ad", left_time="imp_time", right_time="click_time", max_lag="5 minutes"
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain(q)
+    ads = sorted(r.ad for r in spark.sql("SELECT ad FROM ssj_out").collect())
+    assert ads == ["ad1"]
