@@ -1,0 +1,123 @@
+"""Distributed k-means over embedding columns + IVF similarity search.
+
+Pure DataFrame/built-in-function implementation (no MLlib dependency, no
+RDDs): Lloyd iterations are assign (crossJoin-broadcast centroids, argmin
+distance) -> recompute (groupBy cluster, element-wise mean via
+``posexplode`` + pivot-free re-aggregation). Deterministic seeding: initial
+centroids are the k rows with the smallest ``xxhash64(id, seed)`` — stable
+across runs and partitionings.
+
+IVF (inverted-file) search: assign every vector to its nearest centroid
+offline; a query probes only the ``n_probe`` nearest cells. Same
+probe/rerank plumbing as the LSH variant (operators/similarity.py) with a
+learned coarse quantizer instead of random hyperplanes.
+
+Scale: each Lloyd iteration is one broadcast (k x dim floats — tiny), one
+narrow map (distance argmin), and one shuffle keyed by cluster id (k keys
+-> use salting or a higher-k if k << cores). The fact table never
+self-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_kafka_spark.operators.similarity import as_double
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _assign(df: DataFrame, id_col: str, vec_col: str, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k centroids, argmin by
+    (distance, cid) — the cid tiebreak keeps assignment deterministic."""
+    with_c = df.crossJoin(F.broadcast(centroids))
+    dist = _sq_dist(as_double(F.col(vec_col)), F.col("centroid"))
+    w = F.struct(dist.alias("d"), F.col("cid").alias("cid"))
+    return (
+        with_c.groupBy(id_col)
+        .agg(F.min(w).alias("best"))
+        .select(id_col, F.col("best.cid").alias("cid"), F.col("best.d").alias("dist"))
+    )
+
+
+def _recompute(df: DataFrame, id_col: str, vec_col: str, assigned: DataFrame) -> DataFrame:
+    """New centroid = element-wise mean per cluster: posexplode the vectors
+    (dim rows per vector), average per (cid, pos), re-collect ordered."""
+    joined = df.join(assigned, id_col).select("cid", F.posexplode(as_double(F.col(vec_col))))
+    return (
+        joined.groupBy("cid", "pos")
+        .agg(F.avg("col").alias("m"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cid", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    )
+
+
+def kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 10,
+    iterations: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Lloyd's k-means; returns (cid, centroid array<double>)."""
+    init = (
+        df.withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("__h", id_col)
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy("__h", id_col)).alias("cid"),
+            as_double(F.col(vec_col)).alias("centroid"),
+        )
+    )
+    centroids = init
+    for _ in range(iterations):
+        assigned = _assign(df, id_col, vec_col, centroids)
+        centroids = _recompute(df, id_col, vec_col, assigned).persist()
+    return centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    centroids: DataFrame,
+    *,
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k cosine: probe the n_probe cells nearest to the
+    query, exact-rerank only their members."""
+    from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
+    from data_pipeline_with_spark_kafka_spark.operators.similarity import cosine
+
+    assigned = _assign(df, id_col, vec_col, centroids).select(id_col, "cid")
+    members = df.join(assigned, id_col)
+
+    qcells = (
+        query_df.crossJoin(F.broadcast(centroids))
+        .select(
+            _sq_dist(as_double(F.col(vec_col)), F.col("centroid")).alias("d"),
+            F.col("cid"),
+            as_double(F.col(vec_col)).alias("qvec"),
+        )
+        .orderBy("d", "cid")
+        .limit(n_probe)
+        .select("cid", "qvec")
+    )
+
+    v = as_double(F.col(vec_col))
+    return (
+        members.join(F.broadcast(qcells), "cid")
+        .select(F.col(id_col), round_to(cosine(v, F.col("qvec")), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -8,6 +8,7 @@ from data_pipeline_with_spark_kafka_spark.queries import (  # noqa: F401
     sql_surface,
     text_extra,
     tpch,
+    tpch_extra,
     windows_time,
 )
 from data_pipeline_with_spark_kafka_spark.queries.registry import Query, all_queries, register

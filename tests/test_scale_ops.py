@@ -1,0 +1,59 @@
+"""Tests for the scale-hardening operators: salted joins / two-stage aggs
+(result-identical to the plain plans) and k-means + IVF search
+(deterministic, sane recall vs brute force)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from data_pipeline_with_spark_kafka_spark.operators import clustering, similarity
+from data_pipeline_with_spark_kafka_spark.operators.skew import salted_join, two_stage_agg
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    fact = orders.select(F.col("o_custkey").alias("c_custkey"), "o_orderkey")
+
+    plain = fact.join(cust, "c_custkey").select("o_orderkey", "c_mktsegment")
+    salted = salted_join(fact, cust, "c_custkey", salt_buckets=8).select(
+        "o_orderkey", "c_mktsegment"
+    )
+    assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_two_stage_agg_equals_plain_sum(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        r.l_returnflag: round(r.s, 2)
+        for r in li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s")).collect()
+    }
+    staged = {
+        r.l_returnflag: round(r.sum_l_quantity, 2)
+        for r in two_stage_agg(li, "l_returnflag", "l_quantity").collect()
+    }
+    assert plain == staged
+
+
+def test_kmeans_deterministic_and_partitions_data(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    c1 = clustering.kmeans(emb, "vec_id", "embedding", k=8, iterations=3)
+    c2 = clustering.kmeans(emb, "vec_id", "embedding", k=8, iterations=3)
+    r1 = sorted((r.cid, tuple(round(x, 6) for x in r.centroid)) for r in c1.collect())
+    r2 = sorted((r.cid, tuple(round(x, 6) for x in r.centroid)) for r in c2.collect())
+    assert r1 == r2
+    assert 1 < len(r1) <= 8
+    dims = {len(c) for _, c in r1}
+    assert dims == {64}
+
+
+def test_ivf_topk_includes_query_and_overlaps_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    centroids = clustering.kmeans(emb, "vec_id", "embedding", k=8, iterations=3)
+    ivf = [r.vec_id for r in clustering.ivf_topk(emb, "vec_id", "embedding", query, centroids, k=10, n_probe=3).collect()]
+    brute = [r.vec_id for r in similarity.brute_force_topk(emb, "vec_id", "embedding", query, k=10).collect()]
+    assert 0 in ivf  # the query's own vector is always in its own cell
+    recall = len(set(ivf) & set(brute)) / 10
+    assert recall >= 0.1, f"IVF recall collapsed: {recall} (ivf={ivf}, brute={brute})"
