@@ -5,6 +5,7 @@ from data_pipeline_with_spark_kafka_spark.queries import (  # noqa: F401
     functions_corpus,
     llm,
     relational,
+    setops_extra,
     sql_surface,
     text_extra,
     tpch,

@@ -19,7 +19,12 @@ SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark("tests")
+    import tempfile
+
+    spark = get_spark(
+        "tests",
+        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-wh-")},
+    )
     yield spark
 
 

@@ -1,0 +1,61 @@
+"""Physical-layout tests: partition pruning and shuffle-free bucketed joins
+— plan-level evidence, not just results."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pyspark.sql.functions as F
+
+from data_pipeline_with_spark_kafka_spark.sources.layout import (
+    read_table,
+    write_bucketed,
+    write_partitioned,
+)
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+
+
+def fmt_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_part")
+    write_partitioned(orders, out, ["o_orderstatus"])
+
+    scan = spark.read.parquet(out).filter(F.col("o_orderstatus") == "O")
+    plan = fmt_plan(scan)
+    # Partition filter applied at the scan, not a post-filter.
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1].splitlines()[0]
+    expected = orders.filter(F.col("o_orderstatus") == "O").count()
+    assert scan.count() == expected
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    # warehouse dir is a static conf, set at session build in conftest
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "li_b", "l_orderkey", n_buckets=8)
+    write_bucketed(orders, "orders_b", "o_orderkey", n_buckets=8)
+
+    # hint("merge"): at fixture scale Spark would broadcast; at fact-fact
+    # scale it cannot — the merge hint makes the plan representative.
+    joined = read_table(spark, "li_b").hint("merge").join(
+        read_table(spark, "orders_b"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    plan = fmt_plan(joined)
+    tree = "\n".join(l for l in plan.splitlines() if "- " in l and "(" in l)
+    # Both sides bucketed on the join key -> SortMergeJoin with ZERO
+    # shuffle exchanges (the whole point of co-located layout).
+    assert "SortMergeJoin" in tree
+    assert "Exchange" not in tree, f"bucketed join still shuffles:\n{tree}"
+    assert joined.count() == li.count()  # every lineitem has an order
+
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS orders_b")

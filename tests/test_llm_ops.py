@@ -98,6 +98,19 @@ def test_multimodal_decode_features_contract(docs):
         assert fr.features[0] == float(fr.n_bytes)
 
 
+def test_multimodal_resize_and_frame_sample(docs):
+    with_media = multimodal.attach_blob(docs.limit(20), "doc_id", "text")
+    resized = multimodal.fake_resize(with_media, "doc_id", width=8, height=8).collect()
+    assert len(resized) == 20
+    assert all(len(r.pixels) == 64 and r.width == 8 and r.height == 8 for r in resized)
+
+    frames = multimodal.fake_frame_sample(with_media, "doc_id", frame_bytes=16, every_n=4)
+    rows = frames.collect()
+    assert len(rows) > 20  # one-to-many expansion
+    assert all(r.frame_idx % 4 == 0 for r in rows)
+    assert all(len(r.frame) <= 16 for r in rows)
+
+
 def test_decode_media_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media()
