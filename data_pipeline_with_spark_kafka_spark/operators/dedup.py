@@ -222,15 +222,23 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Written as a SQL lambda because the bit index is itself a lambda
     variable (the Python ``shiftright`` API only takes a literal count).
+    Single pass over the tokens: each token is hashed ONCE and unpacked
+    into a +-1 bit vector folded into a 64-wide count accumulator (the
+    naive per-bit formulation re-hashes every token 64 times).
     """
     fingerprint = F.expr(
         f"""
         aggregate(
-          transform(sequence(0, 63), i ->
-            CASE WHEN aggregate(split({text_col}, ' '), 0, (acc, t) ->
-                   acc + (CASE WHEN (shiftright(xxhash64(t), CAST(i AS INT)) & 1L) = 1L
-                          THEN 1 ELSE -1 END)) > 0
-                 THEN 1L ELSE 0L END),
+          transform(
+            aggregate(
+              transform(split({text_col}, ' '), t -> xxhash64(t)),
+              array_repeat(0, 64),
+              (acc, h) -> zip_with(
+                acc,
+                transform(sequence(0, 63), i ->
+                  CASE WHEN (shiftright(h, CAST(i AS INT)) & 1L) = 1L THEN 1 ELSE -1 END),
+                (a, b) -> a + b)),
+            c -> CASE WHEN c > 0 THEN 1L ELSE 0L END),
           0L, (acc, b) -> shiftleft(acc, 1) | b)
         """
     )

@@ -10,6 +10,7 @@ from data_pipeline_with_spark_kafka_spark.queries import (  # noqa: F401
     text_extra,
     tpch,
     tpch_extra,
+    tpch_subqueries,
     windows_time,
 )
 from data_pipeline_with_spark_kafka_spark.queries.registry import Query, all_queries, register
