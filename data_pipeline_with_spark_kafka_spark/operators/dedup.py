@@ -264,6 +264,52 @@ def simhash_pairs(
     )
 
 
+def embedding_near_dup_pairs_vectorized(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    *,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Numpy-BLAS variant of ``embedding_near_dup_pairs``: one matmul per
+    block via ``applyInPandas`` instead of per-pair expression evaluation.
+
+    This is the deliberate Pandas-UDF fast path (SURVEY.md §2.9 [EXT]) —
+    an O(n^2 d) all-pairs kernel is exactly where vectorized BLAS beats
+    codegen expression trees. Results equal the exact tier up to float
+    summation order (tested with tolerance); the expression tier stays the
+    bit-exact oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        ids = pdf[id_col].to_numpy()
+        block = pdf[block_col].iloc[0]
+        norms = np.linalg.norm(vecs, axis=1)
+        sims = (vecs @ vecs.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        # enforce id ordering within each pair regardless of row order
+        a, b = ids[iu], ids[ju]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        s = np.round(sims[iu, ju], 4)
+        keep = s >= threshold
+        return pd.DataFrame(
+            {"vec_a": lo[keep], "vec_b": hi[keep], "block": block, "cosine": s[keep]}
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(vec_col), F.col(block_col))
+        .groupBy(block_col)
+        .applyInPandas(
+            block_pairs,
+            schema=f"vec_a long, vec_b long, block int, cosine double",
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -4,6 +4,7 @@ from data_pipeline_with_spark_kafka_spark.queries import (  # noqa: F401
     flagship,
     functions_corpus,
     llm,
+    llm_fast_paths,
     relational,
     setops_extra,
     sql_surface,

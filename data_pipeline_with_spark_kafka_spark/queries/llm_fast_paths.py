@@ -1,0 +1,33 @@
+"""Vectorized fast-path variants of the LLM operators (rows-only: their
+exact expression-tier twins carry the DuckDB oracles; equivalence between
+tiers is pytest-asserted with float tolerance)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_kafka_spark.operators import clustering, dedup
+from data_pipeline_with_spark_kafka_spark.queries.registry import register
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+
+
+@register("llm_dedup_embedding_cosine_fast", oracle=None, tags=("llm", "dedup", "pandas-udf"))
+def llm_dedup_embedding_cosine_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numpy-matmul-per-block embedding near-dup (applyInPandas fast path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs_vectorized(
+        emb, "vec_id", "embedding", "label", threshold=0.4
+    )
+
+
+@register("llm_sim_topk_ivf", oracle=None, tags=("llm", "similarity", "approx"))
+def llm_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 (k-means coarse quantizer, 3 probes)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # 2 Lloyd iterations: the quantizer only needs rough cells for probing
+    # (each extra iteration is a full assign+recompute shuffle pair).
+    centroids = clustering.kmeans(emb, "vec_id", "embedding", k=8, iterations=2)
+    return clustering.ivf_topk(
+        emb, "vec_id", "embedding", emb.filter(F.col("vec_id") == 0), centroids, k=10, n_probe=3
+    )

@@ -98,6 +98,22 @@ def test_multimodal_decode_features_contract(docs):
         assert fr.features[0] == float(fr.n_bytes)
 
 
+def test_vectorized_embedding_pairs_equal_exact_tier(emb):
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup.embedding_near_dup_pairs(emb, "vec_id", "embedding", "label", threshold=0.4).collect()
+    }
+    fast = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup.embedding_near_dup_pairs_vectorized(
+            emb, "vec_id", "embedding", "label", threshold=0.4
+        ).collect()
+    }
+    assert set(exact) == set(fast)
+    for k in exact:
+        assert abs(exact[k] - fast[k]) <= 1e-4
+
+
 def test_multimodal_resize_and_frame_sample(docs):
     with_media = multimodal.attach_blob(docs.limit(20), "doc_id", "text")
     resized = multimodal.fake_resize(with_media, "doc_id", width=8, height=8).collect()
