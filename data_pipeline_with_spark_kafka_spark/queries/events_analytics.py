@@ -1,0 +1,112 @@
+"""Event-analytics corpus over the ``events`` stream table: funnels, daily
+actives, retention cohorts — the product-analytics queries a streaming ETL
+feeds (all batch-mode here with DuckDB oracles; the same expressions run on
+the streaming surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
+from data_pipeline_with_spark_kafka_spark.queries.registry import register
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+
+FUNNEL_ORACLE = """
+WITH firsts AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) AS first_signup,
+           MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
+    FROM events
+    GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signed_up,
+       CAST(SUM(CASE WHEN first_signup IS NOT NULL AND first_purchase > first_signup
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM firsts
+"""
+
+
+@register("events_funnel_conversion", oracle=FUNNEL_ORACLE, tags=("events", "analytics"))
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup -> purchase funnel: conditional MIN timestamps per user, then
+    ordered-step conversion counts (one shuffle on user_id)."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("first_signup").isNotNull(), 1).otherwise(0)).alias("n_signed_up"),
+        F.sum(
+            F.when(
+                F.col("first_signup").isNotNull()
+                & (F.col("first_purchase") > F.col("first_signup")),
+                1,
+            ).otherwise(0)
+        ).alias("n_converted"),
+    )
+
+
+DAU_ORACLE = """
+SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       COUNT(DISTINCT user_id) AS dau,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
+@register("events_daily_active_users", oracle=DAU_ORACLE, tags=("events", "analytics"))
+def events_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users + volume (count-distinct per calendar day)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("dau"),
+            F.count(F.lit(1)).alias("n_events"),
+            round_to(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+RETENTION_ORACLE = """
+WITH first_day AS (
+    SELECT user_id, MIN(date_trunc('day', CAST(ts AS TIMESTAMP))) AS cohort_day
+    FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS active_day
+    FROM events
+)
+SELECT f.cohort_day,
+       CAST(datediff('day', f.cohort_day, a.active_day) AS INTEGER) AS day_offset,
+       COUNT(*) AS n_active
+FROM activity a
+JOIN first_day f ON f.user_id = a.user_id
+GROUP BY 1, 2
+"""
+
+
+@register("events_retention_cohorts", oracle=RETENTION_ORACLE, tags=("events", "analytics"))
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: first-seen day x day-offset activity counts
+    (classic double aggregate + self-derived dim join)."""
+    events = load_table(spark, sf_dir, "events")
+    first_day = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("active_day")
+    ).distinct()
+    return (
+        activity.join(F.broadcast(first_day), "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("active_day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -65,6 +65,57 @@ def test_apply_in_pandas_with_state_accumulates_across_batches(spark, tmp_path):
     assert per_epoch[(1, "A")] == (2, 12.0)
 
 
+def test_apply_in_pandas_with_state_survives_restart(spark, tmp_path):
+    """State recovery: a second run against the same checkpoint continues
+    accumulating from the persisted per-key state."""
+    src = tmp_path / "rs_in"
+    ckpt = tmp_path / "rs_ck"
+    src.mkdir()
+    emitted = []
+
+    def collect(df, epoch):
+        emitted.extend((r.location, r.n_events, r.total_new_cases) for r in df.collect())
+
+    def run_once():
+        raw = spark.readStream.schema("value string").json(str(src))
+        q = (
+            running_totals(parse_events(raw))
+            .writeStream.outputMode("update")
+            .foreachBatch(collect)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain(q)
+
+    (src / "r1.json").write_text(event_line("2024-06-01 10:00:00", "A", 5) + "\n")
+    run_once()
+    assert ("A", 1, 5.0) in emitted
+
+    (src / "r2.json").write_text(event_line("2024-06-01 11:00:00", "A", 7) + "\n")
+    emitted.clear()
+    run_once()
+    # 5 (recovered from state store) + 7 (new) — not 7 alone.
+    assert ("A", 2, 12.0) in emitted
+
+
+def test_repartition_for_output(spark, sf_dir):
+    from data_pipeline_with_spark_kafka_spark.sources.layout import repartition_for_output
+
+    li = load_table_for(spark, sf_dir)
+    shrunk = repartition_for_output(li, target_partitions=2)
+    assert shrunk.rdd.getNumPartitions() == 2
+    grown = repartition_for_output(shrunk, target_partitions=8)
+    assert grown.rdd.getNumPartitions() == 8
+    assert grown.count() == li.count()
+
+
+def load_table_for(spark, sf_dir):
+    from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "lineitem")
+
+
 def test_stream_stream_join_within_time_bound(spark, tmp_path):
     lsrc, rsrc, ckpt = tmp_path / "l", tmp_path / "r", tmp_path / "ck"
     lsrc.mkdir()
