@@ -151,18 +151,20 @@ def fake_decode_features(df_with_media: DataFrame, id_col: str) -> DataFrame:
         F.col(id_col).alias("doc_id"), F.col("media.data").alias("data")
     )
 
+    import numpy as np
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             raw = pdf["data"]
-            feats = [
-                [
-                    float(len(b)),
-                    float(b[0]) if len(b) else 0.0,
-                    float(sum(b)) / len(b) if len(b) else 0.0,
-                    float(b[-1]) if len(b) else 0.0,
-                ]
-                for b in raw
-            ]
+            feats = []
+            for b in raw:
+                if not len(b):
+                    feats.append([0.0, 0.0, 0.0, 0.0])
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8)
+                # vectorized byte stats (a per-byte Python loop here costs
+                # ~2s at sf0.1; frombuffer+mean is ~free)
+                feats.append([float(arr.size), float(arr[0]), float(arr.mean()), float(arr[-1])])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

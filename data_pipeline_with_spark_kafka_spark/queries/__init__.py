@@ -12,6 +12,7 @@ from data_pipeline_with_spark_kafka_spark.queries import (  # noqa: F401
     text_extra,
     tpch,
     tpch_extra,
+    tpch_multijoin,
     tpch_subqueries,
     windows_time,
 )

@@ -1,0 +1,157 @@
+"""Fourth TPC-H wave: deep multi-way joins with derived dimensions —
+volume shipping between nation pairs (Q7), market-share composition (Q8),
+product profit by nation and year (Q9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
+from data_pipeline_with_spark_kafka_spark.queries.registry import register
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+
+Q7_ORACLE = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE sn.n_name <> cn.n_name
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
+@register("tpch_q7_volume_shipping", oracle=Q7_ORACLE, tags=("tpch", "join"))
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: 6-way join with the nation dim joined TWICE under different roles
+    (supplier vs customer nation) + cross-nation inequality filter."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(round_to(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+Q8_ORACLE = """
+WITH all_rev AS (
+    SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+           l.l_extendedprice * (1 - l.l_discount) AS volume,
+           sn.n_name AS supp_nation
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = cn.n_regionkey
+    WHERE r.r_name = 'ASIA'
+)
+SELECT o_year,
+       ROUND(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END)
+             / SUM(volume), 4) AS mkt_share
+FROM all_rev
+GROUP BY o_year
+"""
+
+
+@register("tpch_q8_market_share", oracle=Q8_ORACLE, tags=("tpch", "join", "agg"))
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: 7-way join + conditional-share aggregation per year."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == region["r_regionkey"])
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            round_to(
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", volume).otherwise(0.0))
+                / F.sum(volume),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q9_ORACLE = """
+SELECT n.n_name AS nation_name,
+       EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                 - p.p_retailprice * l.l_quantity * 0.6), 4) AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE CONTAINS(p.p_name, 'widget')
+GROUP BY 1, 2
+"""
+
+
+@register("tpch_q9_product_profit", oracle=Q9_ORACLE, tags=("tpch", "join", "agg"))
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9: profit decomposition across 5 joins with a cost model derived
+    from part retail price (the fixture lacks partsupp's supplycost)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.6
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.col("n_name").alias("nation_name"), F.year("o_orderdate").alias("o_year"))
+        .agg(round_to(F.sum(profit), 4).alias("sum_profit"))
+    )
+
+
+@register("agg_approx_percentile", oracle=None, tags=("agg", "approx"))
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based approximate percentiles (no oracle — sketch-specific;
+    the exact tier `agg_percentiles` carries the oracle). At 100 TB this is
+    THE percentile: one pass, fixed-size KLL/GK state, no sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_p50"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("approx_p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
