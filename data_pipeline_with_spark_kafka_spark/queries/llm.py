@@ -79,7 +79,7 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("llm_dedup_minhash_lsh", oracle=None, tags=("llm", "dedup", "approx"))
 def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64)+LSH(16 bands) near-dup pairs, exact-Jaccard verified.
+    """MinHash(32)+LSH(16 bands) near-dup pairs, exact-Jaccard verified.
     Same semantics as llm_dedup_ngram_jaccard but candidate generation is
     O(bucket collisions), not O(shared-shingle pairs) — the 100 TB path.
     Recall vs the exact tier is asserted in tests/test_llm_ops.py."""

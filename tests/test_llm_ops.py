@@ -23,8 +23,8 @@ def emb(spark, sf_dir):
 
 def test_minhash_lsh_recall_vs_exact(docs):
     """LSH candidates are verified with exact Jaccard, so LSH pairs must be
-    a subset of the exact pairs; with 16 bands of 4 the S-curve at J>=0.8
-    gives ~99.98% recall — on fixed seeds the result is deterministic, and
+    a subset of the exact pairs; with 16 bands of 2 the S-curve at J>=0.8
+    gives ~99.97% recall — on fixed seeds the result is deterministic, and
     on this corpus recall is total."""
     exact = {
         (r.doc_a, r.doc_b)

@@ -183,6 +183,79 @@ def test_keyed_upsert_idempotent_under_replay(spark, tmp_path):
     assert loc_a.total_new_cases_in_window == 90
 
 
+def test_append_mode_emits_only_finalized_windows(spark, tmp_path):
+    """Append mode + watermark: a window is emitted exactly once, and only
+    after the watermark passes its end. With the one-batch watermark lag,
+    the 10:00 window finalizes in batch 2 (watermark from batch 1's 10:30
+    max) while the 10:30/10:31 windows stay open at stream end."""
+    src = tmp_path / "ap_in"
+    ckpt = tmp_path / "ap_ck"
+    src.mkdir()
+    write_file(str(src / "a.json"), [event(0, 10, "LOC_A", 5, 50)])
+    write_file(str(src / "b.json"), [event(30, 0, "LOC_A", 7, 70)])
+    write_file(str(src / "c.json"), [event(31, 0, "LOC_B", 9, 90)])
+    os.utime(str(src / "a.json"), (1, 1))
+    os.utime(str(src / "b.json"), (100, 100))
+
+    emitted = []
+
+    def collect(df, epoch):
+        emitted.extend((epoch, str(r.window_start), r.location) for r in df.collect())
+
+    dim = make_dim(spark)
+    pipeline = build_stream_pipeline(
+        file_stream_source(str(src), max_files_per_trigger=1),
+        dim,
+        SinkSpec(
+            kind="foreach-batch",
+            foreach_batch=collect,
+            output_mode="append",
+            trigger={"availableNow": True},
+            checkpoint=str(ckpt),
+        ),
+    )
+    run_to_completion(pipeline.run(spark))
+
+    windows = [(w, loc) for _, w, loc in emitted]
+    # only the finalized 10:00 window came out; open windows are withheld
+    assert windows == [("2024-06-01 10:00:00", "LOC_A")], emitted
+
+
+def test_streaming_kafka_payload_sink(spark, tmp_path):
+    """Producer-side payload serialization on a STREAM: windowed results are
+    serialized to (key, value) wire format in foreachBatch — the engine-side
+    equivalent of the reference's per-row Python producer loop
+    (kafka_producer.py:79-88), minus the broker."""
+    import json as _json
+
+    from data_pipeline_with_spark_kafka_spark.sources.readers import to_kafka_payload
+
+    src = tmp_path / "kp_in"
+    ckpt = tmp_path / "kp_ck"
+    out = tmp_path / "kp_out"
+    src.mkdir()
+    write_file(str(src / "a.json"), [event(0, 10, "LOC_A", 5, 50), event(0, 20, "LOC_B", 3, 30)])
+
+    def publish(df, epoch):
+        to_kafka_payload(df.select("window_start", "location", "total_new_cases_in_window"),
+                         key_col="location").write.mode("append").parquet(str(out))
+
+    dim = make_dim(spark)
+    pipeline = build_stream_pipeline(
+        file_stream_source(str(src)),
+        dim,
+        SinkSpec(kind="foreach-batch", foreach_batch=publish, output_mode="update",
+                 trigger={"availableNow": True}, checkpoint=str(ckpt)),
+    )
+    run_to_completion(pipeline.run(spark))
+
+    payloads = spark.read.parquet(str(out)).collect()
+    assert {r.key for r in payloads} == {"LOC_A", "LOC_B"}
+    decoded = [_json.loads(r.value) for r in payloads]
+    assert {d["total_new_cases_in_window"] for d in decoded} == {5, 3}
+    assert all(set(d) == {"window_start", "location", "total_new_cases_in_window"} for d in decoded)
+
+
 @pytest.mark.parametrize("dedup_within", [True])
 def test_drop_duplicates_within_watermark(spark, tmp_path, dedup_within):
     """dropDuplicatesWithinWatermark on a replayed stream: duplicate event
