@@ -6,6 +6,7 @@ from data_pipeline_with_spark_kafka_spark.queries import (  # noqa: F401
     functions_corpus,
     llm,
     llm_fast_paths,
+    llm_sampling,
     nulls_semantics,
     relational,
     setops_extra,

@@ -1,0 +1,90 @@
+"""Dataset splitting / shuffling / sampling for training-data pipelines.
+
+The split and shuffle operators use content-hash bucketing (md5 — portable
+across engines, so fully DuckDB-oracle-able) rather than RNG state:
+hash-based splits are reproducible across runs, clusters, AND engines, and
+survive repartitioning — the property that matters when a 100 TB corpus is
+re-materialized and the val set must not leak into train. Seeded RNG
+sampling (Spark's sample/sampleBy) is engine-specific -> rows-only +
+pytest-property-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_kafka_spark.queries.registry import register
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+
+SPLIT_ORACLE = """
+WITH h AS (
+    SELECT doc_id, lang,
+           CAST(('0x' || SUBSTRING(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+    FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
+@register("llm_train_val_test_split", oracle=SPLIT_ORACLE, tags=("llm", "sampling"))
+def llm_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split by md5 bucket of the document id —
+    reproducible across engines and re-materializations (no RNG state)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("split42:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+SHUFFLE_ORACLE = """
+SELECT doc_id,
+       ROW_NUMBER() OVER (ORDER BY md5('shuffle7:' || CAST(doc_id AS VARCHAR)), doc_id) AS shuffle_rank
+FROM documents
+"""
+
+
+@register("llm_deterministic_shuffle", oracle=SHUFFLE_ORACLE, tags=("llm", "sampling"))
+def llm_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-random global ordering (training-epoch shuffle):
+    rank by md5 of a seeded key. Changing the seed string reshuffles; the
+    same seed always yields the same order, on any engine.
+
+    Scale note: a global row_number forces a single-partition sort of the
+    SORT KEYS; at 100 TB assign ranks per hash-range partition instead
+    (repartitionByRange(md5) + per-partition offsets). Verifiable total
+    order is what the oracle checks here.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("shuffle7:"), F.col("doc_id").cast("string")))
+    w = Window.orderBy(key, "doc_id")
+    return docs.select("doc_id", F.row_number().over(w).alias("shuffle_rank"))
+
+
+@register("llm_seeded_sample", oracle=None, tags=("llm", "sampling", "approx"))
+def llm_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (engine-specific RNG -> rows-only; the
+    determinism/fraction properties are pinned in tests/test_llm_ops.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.sample(fraction=0.2, seed=42).select("doc_id", "lang")
+
+
+@register("llm_stratified_sample", oracle=None, tags=("llm", "sampling", "approx"))
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sample (sampleBy): downsample dominant
+    languages, keep the rest — the standard corpus-rebalancing op."""
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 0.5, "fr": 1.0, "es": 1.0, "zh": 1.0}
+    return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")

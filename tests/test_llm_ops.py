@@ -127,6 +127,32 @@ def test_multimodal_resize_and_frame_sample(docs):
     assert all(len(r.frame) <= 16 for r in rows)
 
 
+def test_seeded_sampling_properties(spark, sf_dir):
+    from data_pipeline_with_spark_kafka_spark.queries.llm_sampling import (
+        llm_seeded_sample,
+        llm_stratified_sample,
+        llm_train_val_test_split,
+    )
+
+    total = 500
+    s1 = {r.doc_id for r in llm_seeded_sample(spark, sf_dir).collect()}
+    s2 = {r.doc_id for r in llm_seeded_sample(spark, sf_dir).collect()}
+    assert s1 == s2  # same seed -> same sample
+    assert 0.1 * total < len(s1) < 0.3 * total  # ~20% Bernoulli
+
+    strat = llm_stratified_sample(spark, sf_dir).groupBy("lang").count().collect()
+    by_lang = {r.lang: r["count"] for r in strat}
+    assert set(by_lang) <= {"en", "de", "fr", "es", "zh"}
+
+    # split partitions the corpus; ratios near 80/10/10
+    splits = llm_train_val_test_split(spark, sf_dir).groupBy("split").count().collect()
+    counts = {r.split: r["count"] for r in splits}
+    assert sum(counts.values()) == total
+    assert 0.7 < counts["train"] / total < 0.9
+    assert 0.04 < counts["val"] / total < 0.16
+    assert 0.04 < counts["test"] / total < 0.16
+
+
 def test_decode_media_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media()
