@@ -14,6 +14,7 @@ from data_pipeline_with_spark_kafka_spark.queries import (  # noqa: F401
     text_extra,
     tpch,
     tpch_extra,
+    tpch_final,
     tpch_multijoin,
     tpch_subqueries,
     windows_time,
