@@ -48,7 +48,19 @@ class SourceSpec:
             # environment the plan is constructed but only exercised via the
             # file-stream stand-in (same downstream pipeline).
             reader = spark.readStream if self.streaming else spark.read
-            return reader.format("kafka").options(**self.options).load()
+            try:
+                return reader.format("kafka").options(**self.options).load()
+            except Exception as exc:  # AnalysisException: DATA_SOURCE_NOT_FOUND
+                if "kafka" in str(exc).lower() or "DATA_SOURCE" in str(exc):
+                    scala = spark.sparkContext._jvm.scala.util.Properties.versionNumberString()
+                    scala_bin = ".".join(scala.split(".")[:2])
+                    raise RuntimeError(
+                        "Kafka connector not on the classpath. Launch with "
+                        f"--packages org.apache.spark:spark-sql-kafka-0-10_{scala_bin}:"
+                        f"{spark.version}, or use file_stream_source() as a "
+                        "test stand-in (same downstream pipeline)."
+                    ) from exc
+                raise
         if self.kind == "rate":
             return spark.readStream.format("rate").options(**self.options).load()
         if self.kind == "file-stream":

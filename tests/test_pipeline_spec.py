@@ -28,6 +28,13 @@ def test_unknown_sink_kind_raises(spark, sf_dir):
         p.run(spark)
 
 
+def test_kafka_source_missing_connector_gives_guidance(spark):
+    from data_pipeline_with_spark_kafka_spark.streaming.covid_pipeline import kafka_source
+
+    with pytest.raises(RuntimeError, match="--packages org.apache.spark:spark-sql-kafka"):
+        kafka_source("localhost:9092", "covid_data").load(spark)
+
+
 def test_rate_source_produces_rows(spark, tmp_path):
     src = SourceSpec(kind="rate", streaming=True, options={"rowsPerSecond": "50"})
     df = src.load(spark)
