@@ -41,6 +41,11 @@ def main() -> None:
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Operators that persist() reused intermediates (dedup shingle sets,
+        # minhash signatures) hand ownership of the cache to whoever
+        # materializes the plan — that's us; drop the blocks so 88 queries
+        # don't accumulate stale cache in one session.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

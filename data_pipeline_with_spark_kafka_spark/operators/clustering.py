@@ -78,10 +78,50 @@ def kmeans(
         )
     )
     centroids = init
+    prev = None
     for _ in range(iterations):
         assigned = _assign(df, id_col, vec_col, centroids)
         centroids = _recompute(df, id_col, vec_col, assigned).persist()
+        # Materialize eagerly: each generation's plan otherwise chains the
+        # full lineage of every previous iteration (and the stale persist
+        # handles pin executor memory for relations nothing will read again).
+        centroids.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = centroids
     return centroids
+
+
+def kmeans_centroids_cached(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    cache_key: str,
+    k: int = 10,
+    iterations: int = 5,
+    seed: int = 42,
+):
+    """Train-once centroid cache: at scale the coarse quantizer is trained
+    OFFLINE and handed to every IVF query; retraining inside each query
+    costs ``iterations`` assign+recompute shuffle pairs per run. The
+    centroid table is tiny (k x dim doubles) so it is collected once per
+    (cache_key, k, iterations, seed) and replayed as a local relation —
+    deterministic seeding makes this pure memoization, not state.
+
+    Returns ``(rows, schema)`` suitable for ``spark.createDataFrame``.
+    """
+    key = (cache_key, k, iterations, seed)
+    hit = _CENTROID_CACHE.get(key)
+    if hit is None:
+        trained = kmeans(df, id_col, vec_col, k=k, iterations=iterations, seed=seed)
+        hit = ([(r["cid"], list(r["centroid"])) for r in trained.collect()], "cid int, centroid array<double>")
+        trained.unpersist()
+        _CENTROID_CACHE[key] = hit
+    return hit
+
+
+_CENTROID_CACHE: dict = {}
 
 
 def ivf_topk(

@@ -23,6 +23,12 @@ Design notes for 1000-executor scale:
   skew risk in tier 2: the ``max_shingle_freq`` guard drops shingles more
   frequent than the cap (standard df-cut), bounding bucket fan-out;
 - signatures are fixed-width arrays, never per-row Python.
+
+Cache contract: tiers 2 and 3 ``persist()`` the relation that feeds both
+sides of their self-join (shingle sets / signatures). The returned plan is
+lazy, so the operator cannot unpersist for you — whoever materializes the
+result owns the blocks (``spark.catalog.clearCache()`` between queries, as
+bench.py does, or unpersist via the plan's cached ancestors).
 """
 
 from __future__ import annotations
@@ -93,9 +99,12 @@ def ngram_jaccard_pairs(
     through the hottest keys. Candidates are verified with the full
     (hashed) shingle arrays; results are identical to the naive join.
 
-    At 100 TB: the frequency table is a fixed-size broadcast dim, the
-    prefix index is ~(1-t) of the full index, and candidate fan-out is
-    bounded by rare-shingle frequencies — no skew-join mitigation needed.
+    At 100 TB: the frequency table (one row per distinct shingle) shuffles
+    on the same key the index already shuffles on, the prefix index is
+    ~(1-t) of the full index, and candidate fan-out is bounded by
+    rare-shingle frequencies — no skew-join mitigation needed. Nothing in
+    this operator is broadcast by hint; AQE may still elect broadcasts at
+    small scale.
     """
     base = df.select(
         F.col(id_col).alias("doc"),
@@ -109,8 +118,11 @@ def ngram_jaccard_pairs(
 
     rarity = Window.partitionBy("doc").orderBy("df_count", "shingle")
     prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    # No broadcast hint on freq: it has one row per DISTINCT shingle, which
+    # scales with the corpus (billions at 100 TB). AQE will still broadcast
+    # it at runtime when it is actually small.
     prefix = (
-        sh.join(F.broadcast(freq), "shingle")
+        sh.join(freq, "shingle")
         .withColumn("rn", F.row_number().over(rarity))
         .filter(F.col("rn") <= prefix_len)
         .select("doc", "shingle")
@@ -123,14 +135,15 @@ def ngram_jaccard_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
+    # Verification joins are plain shuffle joins on doc_a/doc_b (same shape
+    # as the minhash tier below): the (doc, shingle-array) relation is the
+    # FULL corpus and must never be broadcast — at 100 TB a broadcast here
+    # is an executor OOM by construction. AQE may still elect a broadcast
+    # at toy scale; that's its call, not a hint we bake in.
     sets = base.select("doc", "sh")
     pairs = (
-        candidates.join(
-            F.broadcast(sets.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a")), "doc_a"
-        )
-        .join(
-            F.broadcast(sets.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b")), "doc_b"
-        )
+        candidates.join(sets.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sets.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -145,8 +158,9 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *, k: int = 3)
     """Per-doc minhash signature: NUM_HASHES seeded xxhash64 minima over the
     shingle set. Pure expression tree — evaluated in codegen, no UDF.
 
-    Shingle strings are hashed to longs ONCE; the 64 per-seed re-hashes then
-    operate on 8-byte values (64x cheaper than re-hashing strings)."""
+    Shingle strings are hashed to longs ONCE; the NUM_HASHES per-seed
+    re-hashes then operate on 8-byte values (NUM_HASHES x cheaper than
+    re-hashing strings)."""
     sh_hashed = F.transform(shingles(tokens(F.col(text_col)), k), lambda s: F.xxhash64(s))
     base = df.select(
         F.col(id_col).alias("doc"),
@@ -171,8 +185,9 @@ def minhash_lsh_pairs(
 
     Banding: BANDS bands x ROWS_PER_BAND rows; two docs collide in a band
     iff that slice of their signatures is identical -> candidate. With
-    64 hashes / 16 bands the S-curve puts ~50% recall at J~0.5 and ~100%
-    at J>=0.8 (our default threshold).
+    NUM_HASHES=32 hashes / BANDS=16 bands (2 rows per band) the S-curve
+    puts P(candidate) = 1-(1-J^2)^16 — ~0.9997 at J>=0.8 (our default
+    threshold), ~50% at J~0.2.
     """
     # Persist: the signature relation feeds both sides of the band self-join
     # and the verification lookups.
@@ -269,6 +284,44 @@ def simhash_pairs(
     )
 
 
+def _sub_block_tasks(e: DataFrame, *, max_block: int) -> DataFrame:
+    """Split oversized blocks into bounded pair-comparison tasks.
+
+    A block of n vectors costs O(n^2) pairs; an unbounded block (one hot
+    label, one dense LSH bucket) concentrates that entire cost — and its
+    memory — in ONE task. The guard salts each block into
+    ``S = ceil(n / max_block)`` sub-blocks by id hash and decomposes the
+    all-pairs comparison into the S*(S+1)/2 *triangle tasks* (ti <= tj):
+    task (i, i) compares within sub-block i; task (i, j), i < j, compares
+    sub-block i against sub-block j. Every unordered pair lands in exactly
+    one task, and no task touches more than ``max_block^2`` pairs.
+
+    Input must have columns (vid, block, ...); output adds
+    ``_sub`` (this row's sub-block) and ``_ti``/``_tj`` (the task key; each
+    row is replicated into the S tasks it participates in). Blocks at or
+    under ``max_block`` get S=1 — a single (0, 0) task, zero replication.
+    """
+    counts = e.groupBy("block").agg(F.count(F.lit(1)).alias("_bn"))
+    salted = (
+        e.join(counts, "block")
+        .withColumn("_S", F.greatest(F.ceil(F.col("_bn") / F.lit(max_block)).cast("int"), F.lit(1)))
+        .withColumn("_sub", F.pmod(F.xxhash64(F.col("vid")), F.col("_S")).cast("int"))
+        .drop("_bn")
+    )
+    tasks = F.transform(
+        F.sequence(F.lit(0), F.col("_S") - 1),
+        lambda t: F.struct(
+            F.least(F.col("_sub"), t).alias("ti"), F.greatest(F.col("_sub"), t).alias("tj")
+        ),
+    )
+    return (
+        salted.withColumn("_task", F.explode(tasks))
+        .withColumn("_ti", F.col("_task.ti"))
+        .withColumn("_tj", F.col("_task.tj"))
+        .drop("_task", "_S")
+    )
+
+
 def embedding_near_dup_pairs_vectorized(
     df: DataFrame,
     id_col: str,
@@ -276,42 +329,72 @@ def embedding_near_dup_pairs_vectorized(
     block_col: str,
     *,
     threshold: float = 0.4,
+    max_block: int = 4096,
 ) -> DataFrame:
     """Numpy-BLAS variant of ``embedding_near_dup_pairs``: one matmul per
-    block via ``applyInPandas`` instead of per-pair expression evaluation.
+    pair-comparison task via ``applyInPandas`` instead of per-pair
+    expression evaluation.
 
     This is the deliberate Pandas-UDF fast path (SURVEY.md §2.9 [EXT]) —
     an O(n^2 d) all-pairs kernel is exactly where vectorized BLAS beats
     codegen expression trees. Results equal the exact tier up to float
     summation order (tested with tolerance); the expression tier stays the
     bit-exact oracle.
+
+    Blocks larger than ``max_block`` are decomposed into bounded triangle
+    tasks (see ``_sub_block_tasks``) so a single hot block can never hand
+    one Python worker an unbounded matmul.
     """
     import numpy as np
     import pandas as pd
 
-    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        ids = pdf[id_col].to_numpy()
-        block = pdf[block_col].iloc[0]
-        norms = np.linalg.norm(vecs, axis=1)
-        sims = (vecs @ vecs.T) / np.outer(norms, norms)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        # enforce id ordering within each pair regardless of row order
-        a, b = ids[iu], ids[ju]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        s = np.round(sims[iu, ju], 4)
-        keep = s >= threshold
-        return pd.DataFrame(
-            {"vec_a": lo[keep], "vec_b": hi[keep], "block": block, "cosine": s[keep]}
+    e = _sub_block_tasks(
+        df.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), F.col(block_col).alias("block")
+        ),
+        max_block=max_block,
+    )
+
+    def task_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64"),
+             "block": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")}
         )
+        block = pdf["block"].iloc[0]
+        ti, tj = pdf["_ti"].iloc[0], pdf["_tj"].iloc[0]
+        left = pdf[pdf["_sub"] == ti]
+        if ti == tj:
+            vecs = np.stack(left["v"].to_numpy()).astype(np.float64)
+            ids = left["vid"].to_numpy()
+            if len(ids) < 2:
+                return empty
+            norms = np.linalg.norm(vecs, axis=1)
+            sims = (vecs @ vecs.T) / np.outer(norms, norms)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            a, b = ids[iu], ids[ju]
+            s = sims[iu, ju]
+        else:
+            right = pdf[pdf["_sub"] == tj]
+            if left.empty or right.empty:
+                return empty
+            va = np.stack(left["v"].to_numpy()).astype(np.float64)
+            vb = np.stack(right["v"].to_numpy()).astype(np.float64)
+            sims = (va @ vb.T) / np.outer(
+                np.linalg.norm(va, axis=1), np.linalg.norm(vb, axis=1)
+            )
+            ia, jb = np.meshgrid(np.arange(len(left)), np.arange(len(right)), indexing="ij")
+            a = left["vid"].to_numpy()[ia.ravel()]
+            b = right["vid"].to_numpy()[jb.ravel()]
+            s = sims.ravel()
+        # enforce id ordering within each pair regardless of row order
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        s = np.round(s, 4)
+        keep = s >= threshold
+        return pd.DataFrame({"vec_a": lo[keep], "vec_b": hi[keep], "block": block, "cosine": s[keep]})
 
     return (
-        df.select(F.col(id_col), F.col(vec_col), F.col(block_col))
-        .groupBy(block_col)
-        .applyInPandas(
-            block_pairs,
-            schema=f"vec_a long, vec_b long, block int, cosine double",
-        )
+        e.groupBy("block", "_ti", "_tj")
+        .applyInPandas(task_pairs, schema="vec_a long, vec_b long, block int, cosine double")
     )
 
 
@@ -322,28 +405,54 @@ def embedding_near_dup_pairs(
     block_col: str,
     *,
     threshold: float = 0.4,
+    max_block: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within blocks (coarse partition —
     label, LSH bucket, or IVF cell). Cosine via zip_with/aggregate in
-    codegen; the block key keeps the self-join off the full cross product."""
+    codegen; the block key keeps the self-join off the full cross product.
+
+    Blocks larger than ``max_block`` are decomposed into bounded triangle
+    tasks (``_sub_block_tasks``): the self-join key becomes
+    (block, ti, tj) with the left side playing the ti role and the right
+    the tj role, so one pathological block (hot label / dense bucket) can
+    never produce a single O(n^2) join partition. Results are identical —
+    every unordered pair is generated exactly once.
+    """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
-    e = df.select(
-        F.col(id_col).alias("vid"), F.col(block_col).alias("block"), v.alias("v"), norm.alias("nrm")
+    e = _sub_block_tasks(
+        df.select(
+            F.col(id_col).alias("vid"), F.col(block_col).alias("block"), v.alias("v"), norm.alias("nrm")
+        ),
+        max_block=max_block,
     )
-    a, b = e.alias("a"), e.alias("b")
+    # Role filters: a row acts as the task's left (ti) side iff its own
+    # sub-block IS ti; symmetric for the right. Within-sub tasks (ti == tj)
+    # dedup by id order; cross-sub tasks are already unordered-unique by
+    # role, and id order there would drop pairs whose ids sort against the
+    # role assignment.
+    a = e.filter(F.col("_sub") == F.col("_ti")).alias("a")
+    b = e.filter(F.col("_sub") == F.col("_tj")).alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     return (
-        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.vid") < F.col("b.vid")))
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a._ti") == F.col("b._ti"))
+            & (F.col("a._tj") == F.col("b._tj"))
+            & (
+                (F.col("a._ti") < F.col("a._tj")) | (F.col("a.vid") < F.col("b.vid"))
+            ),
+        )
         .withColumn("cosine", round_to(dot / (F.col("a.nrm") * F.col("b.nrm")), 4))
         .filter(F.col("cosine") >= threshold)
         .select(
-            F.col("a.vid").alias("vec_a"),
-            F.col("b.vid").alias("vec_b"),
+            F.least(F.col("a.vid"), F.col("b.vid")).alias("vec_a"),
+            F.greatest(F.col("a.vid"), F.col("b.vid")).alias("vec_b"),
             F.col("a.block").alias("block"),
             "cosine",
         )

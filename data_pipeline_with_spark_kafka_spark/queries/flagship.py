@@ -10,7 +10,11 @@ over the ``events`` fixture:
 - multi-aggregate with aliases (sum/avg/max/count)        (<- ref :83-89),
 - window-bound extraction                                 (<- ref :90-99),
 - stream-static equi-join with a small broadcast dim      (<- ref :101-106),
-- derived scaled metric cast to DECIMAL(20,4)             (<- ref :109-126).
+- derived scaled per-million metric, rounded to 4 dp      (<- ref :109-126).
+  (Emitted as DOUBLE, not DECIMAL: Spark's decimal string form '0.0500'
+  differs from DuckDB/pandas '0.05' under the driver's hash canon even
+  though values are equal — see queries/functions_corpus.py cast family
+  for where decimal CAST semantics are still exercised.)
 
 Scale notes: the dim join is an explicit ``F.broadcast`` (no shuffle of the
 fact side); the window aggregation is a single hash aggregate keyed on
@@ -55,8 +59,8 @@ SELECT agg.window_start,
        ROUND(agg.max_value, 4) AS max_value,
        agg.n_events,
        agg.sum_k,
-       CAST(agg.total_value * 1000000.0 / (100000.0 * (n.n_regionkey + 1))
-            AS DECIMAL(20, 4)) AS value_per_million
+       ROUND(agg.total_value * 1000000.0 / (100000.0 * (n.n_regionkey + 1)),
+             4) AS value_per_million
 FROM agg
 JOIN nation n ON agg.nation_key = n.n_nationkey
 """
@@ -98,10 +102,9 @@ def flagship_events_windowed_enrichment(spark: SparkSession, sf_dir: str) -> Dat
             round_to("max_value", 4).alias("max_value"),
             F.col("n_events"),
             F.col("sum_k"),
-            (
-                F.col("total_value") * F.lit(1000000.0) / (F.lit(100000.0) * (F.col("n_regionkey") + 1))
-            )
-            .cast("decimal(20,4)")
-            .alias("value_per_million"),
+            round_to(
+                F.col("total_value") * F.lit(1000000.0) / (F.lit(100000.0) * (F.col("n_regionkey") + 1)),
+                4,
+            ).alias("value_per_million"),
         )
     )

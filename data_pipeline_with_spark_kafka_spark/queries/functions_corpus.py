@@ -186,7 +186,7 @@ def func_conditional_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_orderkey,
        CAST(l_quantity AS INTEGER) AS qty_int,
        CAST(l_quantity AS VARCHAR) AS qty_str,
-       CAST(l_extendedprice AS DECIMAL(18, 2)) AS price_decimal,
+       CAST(CAST(l_extendedprice AS DECIMAL(18, 2)) AS DOUBLE) AS price_decimal,
        CAST(l_linenumber AS BIGINT) AS line_big,
        CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS ship_date,
        CAST(epoch(l_shipdate) AS BIGINT) AS ship_epoch,
@@ -201,13 +201,18 @@ def func_cast_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``l_quantity`` is integral-valued so double->int is exact on both
     engines; double literal decimals cast with identical HALF_UP rounding
     at 2 digits for these 2-decimal source values.
+
+    ``price_decimal`` exercises the DECIMAL(18,2) cast but is re-cast to
+    DOUBLE at the boundary: Spark renders decimals with trailing zeros
+    ('96262.50') while the DuckDB oracle arrives as a float ('96262.5'),
+    which hash-mismatches under the driver canon despite equal values.
     """
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         F.col("l_quantity").cast("int").alias("qty_int"),
         F.col("l_quantity").cast("string").alias("qty_str"),
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("price_decimal"),
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("double").alias("price_decimal"),
         F.col("l_linenumber").cast("bigint").alias("line_big"),
         F.col("l_shipdate").cast("date").cast("timestamp").alias("ship_date"),
         F.unix_timestamp("l_shipdate").alias("ship_epoch"),

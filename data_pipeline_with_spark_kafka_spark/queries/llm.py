@@ -288,8 +288,18 @@ def llm_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("llm_multimodal_decode_features", oracle=None, tags=("llm", "multimodal"))
 def llm_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched fake-decode feature extraction over mapInPandas (the
-    real codec is stubbed — see operators/multimodal.decode_media)."""
+    real codec is stubbed — see operators/multimodal.decode_media).
+
+    The ``features`` array is serialized with ``to_json`` at the query
+    boundary: complex-typed output columns crash the driver's pandas-based
+    canonicalizer (``unhashable type: 'list'``, CORRECTNESS_r01) and
+    hash-mismatch across engines in general — project invariant."""
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal.fake_decode_features(
+    decoded = multimodal.fake_decode_features(
         multimodal.attach_blob(docs, "doc_id", "text"), "doc_id"
+    )
+    return decoded.select(
+        "doc_id",
+        "n_bytes",
+        F.to_json(F.transform("features", lambda x: round_to(x, 4))).alias("features_json"),
     )

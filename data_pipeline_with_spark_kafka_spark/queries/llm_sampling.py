@@ -56,21 +56,48 @@ FROM documents
 """
 
 
+SHUFFLE_RANGE_PARTITIONS = 32
+
+
 @register("llm_deterministic_shuffle", oracle=SHUFFLE_ORACLE, tags=("llm", "sampling"))
 def llm_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic pseudo-random global ordering (training-epoch shuffle):
     rank by md5 of a seeded key. Changing the seed string reshuffles; the
     same seed always yields the same order, on any engine.
 
-    Scale note: a global row_number forces a single-partition sort of the
-    SORT KEYS; at 100 TB assign ranks per hash-range partition instead
-    (repartitionByRange(md5) + per-partition offsets). Verifiable total
-    order is what the oracle checks here.
+    Scale shape (NOT a global ``Window.orderBy`` — that funnels every row
+    through one task): ``repartitionByRange`` on the shuffle key gives
+    order-preserving range partitions; ranks are assigned per partition
+    (``row_number`` over ``spark_partition_id``), then a tiny
+    (#partitions)-row cumulative-offset relation is broadcast back and
+    added. Total order is identical to the single-sort formulation — the
+    DuckDB oracle checks it bit-for-bit — but the heavy sort is P parallel
+    range sorts plus one broadcast join.
     """
     docs = load_table(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.lit("shuffle7:"), F.col("doc_id").cast("string")))
-    w = Window.orderBy(key, "doc_id")
-    return docs.select("doc_id", F.row_number().over(w).alias("shuffle_rank"))
+    ranged = (
+        docs.select("doc_id", key.alias("_k"))
+        .repartitionByRange(SHUFFLE_RANGE_PARTITIONS, F.col("_k"), F.col("doc_id"))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local = ranged.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy("_k", "doc_id"))
+    )
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .select("doc_id", (F.col("_off") + F.col("_rn")).alias("shuffle_rank"))
+    )
 
 
 @register("llm_seeded_sample", oracle=None, tags=("llm", "sampling", "approx"))

@@ -2,11 +2,24 @@
 DuckDB oracle query — a local stand-in for the driver's correctness gate
 (row count + column-name schema + value hash after sorting columns by name).
 
-Normalization: floats/decimals rounded to 6 decimal places and formatted,
-timestamps/dates to ISO strings, NULLs to a sentinel; rows sorted as string
-tuples. Queries themselves are responsible for rounding unstable float
-aggregates (partial-agg ordering) — this module's rounding only removes
-representation noise, not accumulation noise.
+STRICTNESS CONTRACT (round 2): this comparator must be at least as strict
+as the driver's canon. Round 1's version normalized Decimals and floats to
+``%.6f`` — which masked two real driver hash-fails (Spark DECIMAL(20,4)
+renders '0.0500', the DuckDB oracle float renders '0.05'; numerically
+equal, red under the driver). Therefore:
+
+- ``Decimal`` cells keep their exact string form (trailing zeros and all).
+  A query that emits DECIMAL on one engine and DOUBLE on the other WILL
+  mismatch here, as it does under the driver. Emit a canon-stable type
+  (rounded double, or identical decimal cast on both engines).
+- floats use ``repr`` (shortest round-trip) — no rounding. Queries are
+  responsible for rounding unstable float aggregates themselves
+  (functions/rounding.round_to); after correct rounding both engines
+  produce bit-identical doubles.
+- list / ndarray / dict / set cells raise: the driver's pandas-based
+  canonicalizer crashes on unhashable cells (CORRECTNESS_r01
+  ``llm_multimodal_decode_features`` err). Serialize complex output with
+  ``to_json`` at the query boundary.
 """
 
 from __future__ import annotations
@@ -16,34 +29,47 @@ import decimal
 import math
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 NULL = "\x00NULL"
 
 
+class ComplexCellError(TypeError):
+    """A result cell holds a container type that would crash the driver's
+    canonicalizer — serialize it (to_json) at the query boundary."""
+
+
 def _norm_cell(v: Any) -> str:
-    if v is None:
+    if v is None or v is pd.NaT:
         return NULL
+    if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+        raise ComplexCellError(
+            f"complex-typed cell {type(v).__name__} would crash the driver "
+            "canon (unhashable in pandas sort) — to_json it at the query boundary"
+        )
+    if isinstance(v, np.floating):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return NULL
         if math.isinf(v):
             return "inf" if v > 0 else "-inf"
-        return f"{round(v, 6):.6f}"
+        # -0.0 and 0.0 repr differently but compare equal in every engine
+        if v == 0.0:
+            v = 0.0
+        return repr(v)
     if isinstance(v, decimal.Decimal):
-        return f"{float(round(v, 6)):.6f}"
+        # exact string form, trailing zeros preserved — matches driver canon
+        return str(v)
     if isinstance(v, pd.Timestamp):
         if pd.isna(v):
             return NULL
         return v.isoformat()
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
-    if v is pd.NaT:
-        return NULL
     try:
         if pd.isna(v):  # covers np.nan in object columns, pd.NA
             return NULL
@@ -51,14 +77,8 @@ def _norm_cell(v: Any) -> str:
         pass
     if isinstance(v, bool):
         return "true" if v else "false"
-    import numpy as np
-
-    if isinstance(v, (np.floating,)):
-        return _norm_cell(float(v))
-    if isinstance(v, (np.integer,)):
+    if isinstance(v, np.integer):
         return str(int(v))
-    if isinstance(v, np.ndarray):
-        return "[" + ",".join(_norm_cell(x) for x in v.tolist()) + "]"
     return str(v)
 
 

@@ -1,0 +1,121 @@
+"""End-to-end CLI test: the ``e2e`` subcommand (produce -> consume on a
+file stream, no broker) must land exactly the rows the batch-golden
+pipeline computes from the same CSV — the runnable analog of the
+reference's producer + DAG-submitted consumer."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline_with_spark_kafka_spark.run import build_producer_frame, main
+from data_pipeline_with_spark_kafka_spark.sources.readers import csv_source
+from data_pipeline_with_spark_kafka_spark.streaming.covid_pipeline import (
+    DIM_SCHEMA,
+    parse_events,
+    windowed_enrichment,
+)
+
+CSV_HEADER = "event_time,location,new_cases,total_cases"
+CSV_ROWS = [
+    "2024-06-01 10:00:05,LOC_A,10,100",
+    "2024-06-01 10:00:40,LOC_A,20,120",
+    "2024-06-01 10:00:50,LOC_B,7,70",
+    "2024-06-01 10:01:10,LOC_A,1,121",
+    "2024-06-01 10:02:00,LOC_C,30,30",
+    "2024-06-01 10:02:30,LOC_A,,",  # empty numerics -> coerced to 0, kept
+    ",LOC_A,5,50",  # missing event_time -> dropped
+    "2024-06-01 10:03:00,,5,50",  # missing location -> dropped
+    "2024-06-01 10:03:30,LOC_B,junk,junk",  # malformed numerics -> 0, kept
+]
+DIM_ROWS = [
+    "location,population,continent",
+    "LOC_A,100000,Europe",
+    "LOC_B,200000,Asia",
+    "LOC_C,50000,Africa",
+]
+
+
+@pytest.fixture()
+def csv_inputs(tmp_path):
+    events_csv = tmp_path / "events.csv"
+    events_csv.write_text("\n".join([CSV_HEADER, *CSV_ROWS]) + "\n")
+    dim_csv = tmp_path / "dim.csv"
+    dim_csv.write_text("\n".join(DIM_ROWS) + "\n")
+    return str(events_csv), str(dim_csv)
+
+
+def _rows_set(df):
+    return {
+        (
+            r.window_start.isoformat(),
+            r.location,
+            r.total_new_cases_in_window,
+            str(r.avg_new_cases_per_entry),
+            r.max_new_cases_in_window,
+            r.n_entries,
+            str(r.new_cases_per_million_in_window),
+        )
+        for r in df.collect()
+    }
+
+
+def test_cli_e2e_matches_batch_golden(spark, tmp_path, csv_inputs):
+    events_csv, dim_csv = csv_inputs
+    stage = tmp_path / "stage"
+    target = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    main(
+        [
+            "e2e",
+            "--input", f"file://{events_csv}",
+            "--stage-dir", str(stage),
+            "--batches", "3",
+            "--dim", dim_csv,
+            "--target", str(target),
+            "--checkpoint", str(ckpt),
+            "--timeout", "120",
+        ],
+        spark=spark,
+    )
+
+    streamed = spark.read.parquet(str(target))
+
+    # golden: same validate+payload path, run as one batch
+    dim = csv_source(spark, dim_csv, DIM_SCHEMA)
+    payload = build_producer_frame(spark, events_csv)
+    golden = windowed_enrichment(dim)(parse_events(payload))
+
+    assert _rows_set(streamed) == _rows_set(golden)
+    # validation semantics: 2 rows dropped (missing essentials), the
+    # empty/malformed-numeric rows kept with 0s -> LOC_A has windows
+    # 10:00, 10:01, 10:02; LOC_B 10:00, 10:03; LOC_C 10:02
+    assert streamed.count() == 6
+    zeroed = [
+        r
+        for r in streamed.collect()
+        if r.location == "LOC_B" and r.window_start.minute == 3
+    ]
+    assert len(zeroed) == 1 and zeroed[0].total_new_cases_in_window == 0
+
+
+def test_produce_writes_microbatch_files(spark, tmp_path, csv_inputs):
+    events_csv, _ = csv_inputs
+    out = tmp_path / "batches"
+    main(
+        ["produce", "--input", events_csv, "--output-dir", str(out), "--batches", "3"],
+        spark=spark,
+    )
+    import json as _json
+    import pathlib
+
+    files = sorted(pathlib.Path(out).glob("part-*.json"))
+    assert len(files) == 3
+    payloads = []
+    for f in files:
+        for line in f.read_text().splitlines():
+            payloads.append(_json.loads(_json.loads(line)["value"]))
+    # 7 valid rows (9 - 2 missing-essential drops), ints coerced
+    assert len(payloads) == 7
+    assert all(isinstance(p["new_cases"], int) for p in payloads)
+    assert {p["location"] for p in payloads} == {"LOC_A", "LOC_B", "LOC_C"}

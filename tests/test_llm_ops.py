@@ -114,6 +114,63 @@ def test_vectorized_embedding_pairs_equal_exact_tier(emb):
         assert abs(exact[k] - fast[k]) <= 1e-4
 
 
+def test_block_guard_pathological_block_same_pairs(emb):
+    """One giant block (every vector shares it) — the worst case the
+    max_block guard exists for. The sub-block triangle decomposition must
+    return EXACTLY the pairs of the unguarded all-pairs comparison, and
+    no task may see more than max_block rows per side."""
+    from pyspark.sql import functions as F
+
+    one_block = emb.withColumn("blk", F.lit(1))
+    unguarded = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup.embedding_near_dup_pairs(
+            one_block, "vec_id", "embedding", "blk", threshold=0.2, max_block=1_000_000
+        ).collect()
+    }
+    guarded = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup.embedding_near_dup_pairs(
+            one_block, "vec_id", "embedding", "blk", threshold=0.2, max_block=16
+        ).collect()
+    }
+    assert unguarded and guarded == unguarded
+
+    fast_guarded = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup.embedding_near_dup_pairs_vectorized(
+            one_block, "vec_id", "embedding", "blk", threshold=0.2, max_block=16
+        ).collect()
+    }
+    assert set(fast_guarded) == set(unguarded)
+    for k in unguarded:
+        assert abs(fast_guarded[k] - unguarded[k]) <= 1e-4
+
+    # the task relation itself: no (block, ti, tj) task holds more rows
+    # than two sub-blocks' worth
+    n = one_block.count()
+    tasks = dedup._sub_block_tasks(
+        one_block.select(
+            F.col("vec_id").alias("vid"), F.col("blk").alias("block")
+        ),
+        max_block=16,
+    )
+    per_task = {(r["_ti"], r["_tj"]): r["count"] for r in tasks.groupBy("block", "_ti", "_tj").count().collect()}
+    sub_sizes = {
+        r["_sub"]: r["count"]
+        for r in tasks.select("vid", "_sub").distinct().groupBy("_sub").count().collect()
+    }
+    import math
+
+    s = math.ceil(n / 16)
+    assert len(per_task) == s * (s + 1) // 2
+    # exact replication contract: task (i,j) holds precisely sub-block i
+    # plus sub-block j (i==j: just sub-block i) — nothing more
+    for (ti, tj), cnt in per_task.items():
+        expected = sub_sizes.get(ti, 0) if ti == tj else sub_sizes.get(ti, 0) + sub_sizes.get(tj, 0)
+        assert cnt == expected, (ti, tj, cnt, expected)
+
+
 def test_multimodal_resize_and_frame_sample(docs):
     with_media = multimodal.attach_blob(docs.limit(20), "doc_id", "text")
     resized = multimodal.fake_resize(with_media, "doc_id", width=8, height=8).collect()

@@ -90,3 +90,26 @@ def test_q1_single_shuffle(spark, sf_dir):
 def test_no_accidental_cartesian_anywhere(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     assert "CartesianProduct" not in plan, f"{name} degenerated into a cartesian product"
+
+
+def test_ngram_jaccard_has_no_broadcast_hints(spark, sf_dir):
+    """The Jaccard tier must not HINT any broadcast: the shingle-set and
+    frequency relations scale with the corpus (round-1 verdict: the hinted
+    verify-join broadcast was an OOM-by-construction at 100 TB). AQE may
+    still elect broadcasts at toy scale — we assert on the analyzed logical
+    plan, where hints are still visible, not the physical one."""
+    df = QUERIES["llm_dedup_ngram_jaccard"].builder(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    assert "UnresolvedHint" not in analyzed
+
+
+def test_deterministic_shuffle_is_range_partitioned(spark, sf_dir):
+    """The epoch-shuffle rank must come from order-preserving range
+    partitions, not one global single-partition sort of the corpus."""
+    plan = plan_of(spark, sf_dir, "llm_deterministic_shuffle")
+    assert "rangepartitioning" in plan
+    # the docs-side window runs per range partition (hash on _pid), so the
+    # only SinglePartition exchange allowed is the tiny offsets relation
+    single = plan.count("Exchange SinglePartition")
+    assert single <= 1

@@ -17,8 +17,14 @@ def test_query_against_oracle(name, spark, duck, sf_dir):
     q = QUERIES[name]
     df = q.builder(spark, sf_dir)
     if q.oracle is None:
-        # rows-only check (non-SQL-expressible operators)
-        assert df.count() >= 0
+        # rows-only check (non-SQL-expressible operators) — but still push
+        # the result through the strict canon: the driver hashes rows-only
+        # output too, and complex-typed cells crash its canonicalizer
+        # (CORRECTNESS_r01 llm_multimodal_decode_features err).
+        from tests.oracle_compare import normalize
+
+        rows = normalize(df.toPandas())
+        assert len(rows) >= 0
         return
     assert_matches_oracle(df, duck, q.oracle, name=name)
 
