@@ -236,6 +236,63 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    ids: DataFrame,
+    id_col: str,
+    *,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph — the step that turns
+    PAIRS into DEDUP DECISIONS. Near-duplication is not transitive (A~B and
+    B~C does not imply A~C) but a training corpus still needs one keeper per
+    duplicate GROUP, so the standard pipeline clusters the pair graph and
+    keeps the minimum id of each component.
+
+    Iterative min-label propagation, pure DataFrame ops: every doc starts
+    labeled with its own id; each round every doc takes the min of its own
+    label and its neighbors' labels; converged when the global label sum
+    stops falling (labels only ever decrease, so the sum is a convergence
+    metric that costs one aggregate — no change-detection join). Rounds
+    needed = graph diameter, which for dedup graphs is small (duplicate
+    groups are near-cliques). Each round is one shuffle join + one
+    aggregate; generations are persisted eagerly and the previous one
+    unpersisted (same discipline as kmeans).
+
+    ``edges``: (doc_a, doc_b) pairs. ``ids``: one row per doc (singletons
+    come out as their own component). Returns (doc, cluster_id).
+    """
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    labels = ids.select(F.col(id_col).alias("doc"), F.col(id_col).alias("label")).persist()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iterations):
+        msgs = (
+            sym.join(labels, sym["src"] == labels["doc"])
+            .groupBy(F.col("dst").alias("doc2"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(msgs, labels["doc"] == msgs["doc2"], "left")
+            .select(
+                "doc",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    sym.unpersist()
+    return labels.select("doc", F.col("label").alias("cluster_id"))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash fingerprint per doc, fully in expression land:
     bit_i = sign( sum_tokens (token_hash bit_i ? +1 : -1) ).

@@ -35,8 +35,10 @@ def token_count(text_col: str | Column) -> Column:
     return F.size(tokens(text_col))
 
 
-def shingles(tokens_col: Column, k: int = 3) -> Column:
-    """Distinct k-gram shingles over a token array.
+def shingles(tokens_col: Column, k: int = 3, *, distinct: bool = True) -> Column:
+    """k-gram shingles over a token array (distinct by default — set
+    ``distinct=False`` for frequency counting, where every occurrence
+    matters).
 
     Built as ``arrays_zip`` of k shifted slices + one ``transform`` — O(n)
     per row. (The tempting ``transform(sequence(1, n-k+1), i ->
@@ -52,9 +54,9 @@ def shingles(tokens_col: Column, k: int = 3) -> Column:
     m = n - (k - 1)
     zipped = F.arrays_zip(*[F.slice(tokens_col, j + 1, m) for j in range(k)])
     grams = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)]))
-    return F.when(n >= k, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
 
 
 def marker_score(tokens_col: Column, markers: tuple[str, ...]) -> Column:

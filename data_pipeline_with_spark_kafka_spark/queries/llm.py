@@ -77,6 +77,61 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
 
 
+CLUSTERS_ORACLE = """
+WITH RECURSIVE toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id AS doc,
+           t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
+    FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+), sizes AS (
+    SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc
+), inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON sa.doc = inter.doc_a
+    JOIN sizes sb ON sb.doc = inter.doc_b
+    WHERE ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.8
+), edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+), reach(doc, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc
+)
+SELECT doc AS doc_id,
+       MIN(label) AS cluster_id,
+       CAST(doc = MIN(label) AS BOOLEAN) AS is_keeper
+FROM reach
+GROUP BY doc
+"""
+
+
+@register("llm_dedup_clusters", oracle=CLUSTERS_ORACLE, tags=("llm", "dedup"))
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> dedup DECISIONS: connected components over the exact
+    near-dup pair graph (min-label propagation), one keeper per duplicate
+    group (the component's min doc_id), singletons their own keeper.
+
+    The DuckDB oracle walks the same graph with a recursive CTE — an
+    independent algorithm (BFS label closure vs iterative propagation)
+    agreeing on every component."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    comps = dedup.connected_components(pairs, docs, "doc_id")
+    return comps.select(
+        F.col("doc").alias("doc_id"),
+        "cluster_id",
+        (F.col("doc") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
 @register("llm_dedup_minhash_lsh", oracle=None, tags=("llm", "dedup", "approx"))
 def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(16 bands) near-dup pairs, exact-Jaccard verified.

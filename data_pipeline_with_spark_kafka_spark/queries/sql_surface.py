@@ -7,6 +7,7 @@ right join).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from data_pipeline_with_spark_kafka_spark.queries.registry import register
 from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
@@ -52,3 +53,30 @@ def sql_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
     return spark.sql(RIGHT_JOIN_SQL.format(orders="orders_v", customer="customer_v"))
+
+
+UNPIVOT_ORACLE = """
+SELECT c_custkey, metric, CAST(value AS DOUBLE) AS value
+FROM (
+    SELECT c_custkey,
+           CAST(c_acctbal AS DOUBLE) AS acctbal,
+           CAST(c_nationkey AS DOUBLE) AS nationkey
+    FROM customer
+)
+UNPIVOT (value FOR metric IN (acctbal, nationkey))
+"""
+
+
+@register("sql_unpivot_metrics", oracle=UNPIVOT_ORACLE, tags=("reshape", "sql-surface"))
+def sql_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long reshape (``DataFrame.unpivot`` / SQL UNPIVOT, the
+    inverse of pivot): per-customer metric columns melted into
+    (metric, value) rows. Narrow per-row op — no shuffle; output is
+    2x rows, half the columns."""
+    customer = load_table(spark, sf_dir, "customer")
+    wide = customer.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return wide.unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")

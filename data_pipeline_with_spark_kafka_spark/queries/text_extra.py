@@ -77,3 +77,126 @@ def llm_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     winnow_fingerprint = pandas_udf(_winnow_series, "long")
     return docs.select("doc_id", winnow_fingerprint("text").alias("winnow_fp"))
+
+
+# --------------------------------------------------------------------------
+# Gopher-style quality heuristics + corpus n-gram stats
+# --------------------------------------------------------------------------
+
+GOPHER_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+), base AS (
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           ROUND((length(text) - (len(t) - 1)) * 1.0 / len(t), 4) AS mean_word_len
+    FROM toks
+), bi AS (
+    SELECT doc_id,
+           COUNT(*) AS total_bi,
+           COUNT(DISTINCT bg) AS distinct_bi
+    FROM (
+        SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS bg
+        FROM toks, UNNEST(range(1, len(t))) AS r(i)
+    )
+    GROUP BY doc_id
+), tf AS (
+    SELECT doc_id, MAX(cnt) AS top_cnt
+    FROM (
+        SELECT doc_id, w, COUNT(*) AS cnt
+        FROM (SELECT doc_id, UNNEST(t) AS w FROM toks)
+        GROUP BY doc_id, w
+    )
+    GROUP BY doc_id
+)
+SELECT base.doc_id,
+       base.n_tokens,
+       base.mean_word_len,
+       CASE WHEN COALESCE(bi.total_bi, 0) = 0 THEN 0.0
+            ELSE ROUND(1.0 - bi.distinct_bi * 1.0 / bi.total_bi, 4) END AS dup_bigram_ratio,
+       ROUND(tf.top_cnt * 1.0 / base.n_tokens, 4) AS top_token_ratio,
+       (base.n_tokens BETWEEN 10 AND 1000
+        AND base.mean_word_len BETWEEN 3 AND 10
+        AND CASE WHEN COALESCE(bi.total_bi, 0) = 0 THEN 0.0
+                 ELSE ROUND(1.0 - bi.distinct_bi * 1.0 / bi.total_bi, 4) END <= 0.6
+        AND ROUND(tf.top_cnt * 1.0 / base.n_tokens, 4) <= 0.25) AS passes
+FROM base
+LEFT JOIN bi ON bi.doc_id = base.doc_id
+JOIN tf ON tf.doc_id = base.doc_id
+"""
+
+
+@register("llm_quality_gopher", oracle=GOPHER_ORACLE, tags=("llm", "text"))
+def llm_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/shape quality rules, all in codegen (zero
+    UDFs, zero shuffles — per-row expressions only):
+
+    - token-count and mean-word-length bounds,
+    - duplicate-bigram ratio (repetition filter),
+    - top-token frequency ratio (degenerate-doc filter),
+    - conjunctive pass flag.
+
+    The per-row top-token count is an O(distinct * n) expression pair —
+    bounded by doc length, no explode/groupBy shuffle."""
+    from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
+    from data_pipeline_with_spark_kafka_spark.operators.text import shingles, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    mean_word_len = round_to((F.length("text") - (n - F.lit(1))) / n, 4)
+    all_bi = shingles(t, 2, distinct=False)
+    total_bi = F.size(all_bi)
+    distinct_bi = F.size(F.array_distinct(all_bi))
+    dup_ratio = F.when(total_bi <= 0, F.lit(0.0)).otherwise(
+        round_to(F.lit(1.0) - distinct_bi / total_bi, 4)
+    )
+    top_cnt = F.array_max(
+        F.transform(F.array_distinct(t), lambda w: F.size(F.filter(t, lambda y: y == w)))
+    )
+    top_ratio = round_to(top_cnt / n, 4)
+    passes = (
+        n.between(10, 1000)
+        & mean_word_len.between(3, 10)
+        & (dup_ratio <= 0.6)
+        & (top_ratio <= 0.25)
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        dup_ratio.alias("dup_bigram_ratio"),
+        top_ratio.alias("top_token_ratio"),
+        passes.alias("passes"),
+    )
+
+
+TOP_BIGRAMS_ORACLE = """
+SELECT bg AS bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (
+    SELECT t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS bg
+    FROM (SELECT string_split(text, ' ') AS t FROM documents),
+         UNNEST(range(1, len(t))) AS r(i)
+)
+GROUP BY bg
+ORDER BY cnt DESC, bigram
+LIMIT 50
+"""
+
+
+@register("llm_top_bigrams", oracle=TOP_BIGRAMS_ORACLE, tags=("llm", "text"))
+def llm_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 bigram frequencies (vocabulary/contamination
+    analysis): explode non-distinct bigrams, one partial-aggregated count
+    shuffle, TakeOrderedAndProject top-k (no global sort). Ties broken on
+    the bigram string so the LIMIT is deterministic on both engines."""
+    from data_pipeline_with_spark_kafka_spark.operators.text import shingles, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(shingles(tokens(F.col("text")), 2, distinct=False)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(50)
+    )

@@ -1,0 +1,60 @@
+"""JDBC source/sink round-trip against embedded Derby.
+
+Spark bundles Apache Derby (an embeddable JDBC database) in its own jars,
+so the JDBC read/write path — previously config-only because no external
+database exists in this environment — is testable for real: write with
+``jdbc_sink`` (bounded connection count), read back with ``jdbc_source``,
+including the partitioned-scan quartet that makes a JDBC read
+cluster-parallel (the 100 TB-relevant part).
+
+Reference parity: the MySQL dim load (``spark_consumer_kafka.py:28-35``)
+and aggregate write (``:138-146``) — same API surface, embedded engine.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline_with_spark_kafka_spark.sources.readers import jdbc_sink, jdbc_source
+
+DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+@pytest.fixture()
+def derby_url(tmp_path):
+    return f"jdbc:derby:{tmp_path}/jdbc_rt;create=true"
+
+
+def test_jdbc_roundtrip(spark, derby_url):
+    df = spark.range(0, 100).selectExpr(
+        "id", "CAST(id % 7 AS INT) AS grp", "CAST(id AS DOUBLE) * 1.5 AS val"
+    )
+    jdbc_sink(df, derby_url, "t_roundtrip", mode="append", properties=DERBY_PROPS, max_connections=2)
+
+    back = jdbc_source(spark, derby_url, "t_roundtrip", properties=DERBY_PROPS)
+    rows = {(r.id, r.grp, r.val) for r in back.collect()}  # Spark quotes identifiers, case survives
+    assert rows == {(i, i % 7, i * 1.5) for i in range(100)}
+
+    # append mode appends (and created the table on first write)
+    jdbc_sink(df, derby_url, "t_roundtrip", mode="append", properties=DERBY_PROPS, max_connections=2)
+    assert jdbc_source(spark, derby_url, "t_roundtrip", properties=DERBY_PROPS).count() == 200
+
+
+def test_jdbc_partitioned_read(spark, derby_url):
+    df = spark.range(0, 1000).selectExpr("id", "id * 2 AS doubled")
+    jdbc_sink(df, derby_url, "t_part", mode="overwrite", properties=DERBY_PROPS)
+
+    part = jdbc_source(
+        spark,
+        derby_url,
+        "t_part",
+        properties=DERBY_PROPS,
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=1000,
+        num_partitions=4,
+    )
+    # the scan itself is split into 4 stride queries — cluster-parallel
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == 1000
+    assert part.agg({"doubled": "sum"}).collect()[0][0] == sum(2 * i for i in range(1000))

@@ -171,6 +171,20 @@ def test_block_guard_pathological_block_same_pairs(emb):
         assert cnt == expected, (ti, tj, cnt, expected)
 
 
+def test_connected_components_chain_and_singletons(spark):
+    """A 4-node chain (1-2, 2-3, 3-4: near-dup is NOT transitive but the
+    group still clusters), a 2-clique, and singletons."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20]], "doc_id long")
+    comps = {
+        r.doc: r.cluster_id
+        for r in dedup.connected_components(edges, ids, "doc_id").collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
 def test_multimodal_resize_and_frame_sample(docs):
     with_media = multimodal.attach_blob(docs.limit(20), "doc_id", "text")
     resized = multimodal.fake_resize(with_media, "doc_id", width=8, height=8).collect()

@@ -1,0 +1,46 @@
+"""Bench regression guard: run bench.py and fail if the corpus total at
+sf0.1 exceeds 2x the recorded BASELINE.md total (42.8 s, round 1) — the
+driver contract's "BENCH within 2x of BASELINE at the same scale factor".
+
+Usage: python tools/bench_check.py  (exit 1 on regression)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+BASELINE_TOTAL_SEC = 42.8  # BASELINE.md, round-1 corpus at sf0.1 on local[32]
+THRESHOLD = 2.0
+
+
+def main() -> int:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        capture_output=True, text=True, cwd=repo,
+    )
+    line = next(
+        (l for l in reversed(out.stdout.splitlines()) if l.startswith("{")), None
+    )
+    if out.returncode != 0 or line is None:
+        print("bench.py failed:\n" + out.stdout[-2000:] + out.stderr[-2000:])
+        return 1
+    result = json.loads(line)
+    total, sf = result["value"], result["sf"]
+    limit = BASELINE_TOTAL_SEC * THRESHOLD
+    slowest = sorted(result["queries"].items(), key=lambda kv: -kv[1])[:10]
+    print(f"total={total}s sf={sf} limit={limit}s ({len(result['queries'])} queries)")
+    for name, sec in slowest:
+        print(f"  {sec:6.2f}s  {name}")
+    if sf == 0.1 and total > limit:
+        print(f"REGRESSION: {total}s > {limit}s (2x baseline {BASELINE_TOTAL_SEC}s)")
+        return 1
+    print("OK")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
