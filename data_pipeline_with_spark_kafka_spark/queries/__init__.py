@@ -5,6 +5,7 @@ from data_pipeline_with_spark_kafka_spark.queries import (  # noqa: F401
     flagship,
     functions_corpus,
     llm,
+    llm_curation,
     llm_fast_paths,
     llm_sampling,
     nulls_semantics,

@@ -39,6 +39,46 @@ def csv_source(
     return reader.csv(path)
 
 
+def json_source(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    *,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """JSON-lines scan with an explicit schema. Same rule as CSV: never
+    infer on a big corpus (inference is a full extra pass), and an explicit
+    schema turns missing keys into typed NULLs instead of schema drift
+    between input files."""
+    reader = spark.read.schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def orc_source(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — columnar like parquet: column pruning and predicate
+    pushdown reach the stripe/row-group level for free."""
+    return spark.read.orc(path)
+
+
+def write_batch(
+    df: DataFrame,
+    path: str,
+    *,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Batch file sink (parquet/orc/json/csv). ``partition_by`` produces
+    hive-style directories so downstream filters on those columns prune
+    whole directories before any file is opened."""
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
 def jdbc_source(
     spark: SparkSession,
     url: str,
