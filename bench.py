@@ -5,6 +5,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced end-to-end with the `noop` sink (full computation,
 no driver-side collect — measures the plan, not toPandas serialization).
+
+Each query is executed twice and the MIN is recorded: this host is
+co-tenant (observed 2x run-to-run swings on identical code — e.g. the
+same query at 0.9s and 14s in back-to-back corpus runs), and min-of-2
+reports the engine's steady-state cost rather than scheduler noise.
 """
 
 from __future__ import annotations
@@ -37,15 +42,20 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in sorted(queries):
-        df = queries[name].builder(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # Operators that persist() reused intermediates (dedup shingle sets,
-        # minhash signatures) hand ownership of the cache to whoever
-        # materializes the plan — that's us; drop the blocks so 88 queries
-        # don't accumulate stale cache in one session.
-        spark.catalog.clearCache()
+        best = None
+        for _ in range(2):
+            df = queries[name].builder(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+            # Operators that persist() reused intermediates (dedup shingle
+            # sets, minhash signatures) hand ownership of the cache to
+            # whoever materializes the plan — that's us; drop the blocks so
+            # the corpus doesn't accumulate stale cache in one session (and
+            # so the second run re-computes instead of reading cache).
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -159,6 +159,58 @@ def shared_span_fraction(
     )
 
 
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_quality: float = 0.5,
+    split_seed: str = "split42",
+) -> DataFrame:
+    """The composed training-data curation pipeline, one declarative plan:
+
+    1. exact dedup (keep the min-id doc per content hash — one shuffle),
+    2. quality floor (codegen expression filter, no shuffle),
+    3. PII redaction (codegen regex, no shuffle),
+    4. deterministic 80/10/10 train/val/test split (md5 bucket, no RNG).
+
+    Returns (id, lang, split, quality, text) with ``text`` redacted —
+    ready to write partitioned by (lang, split) so a trainer reading one
+    split/language prunes everything else at the directory level. Two
+    shuffles total at any scale: the dedup group-by and the write's own
+    partitioning; every per-row step rides the same scan.
+    """
+    from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
+    from data_pipeline_with_spark_kafka_spark.operators.text import quality_score, tokens
+
+    keepers = (
+        docs.groupBy(F.md5(F.col(text_col)).alias("_h"))
+        .agg(F.min(id_col).alias(id_col))
+        .drop("_h")
+    )
+    deduped = docs.join(keepers, id_col, "left_semi")
+    quality = quality_score(F.col(text_col), tokens(F.col(text_col)))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{split_seed}:"), F.col(id_col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return (
+        deduped.withColumn("quality", round_to(quality, 4))
+        .filter(F.col("quality") >= min_quality)
+        .select(
+            id_col,
+            "lang",
+            F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+            "quality",
+            redact_pii(F.col(text_col)).alias(text_col),
+        )
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     id_col: str,

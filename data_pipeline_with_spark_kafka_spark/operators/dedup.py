@@ -341,6 +341,18 @@ def simhash_pairs(
     )
 
 
+def _max_block_size(df: DataFrame, block_col: str) -> int:
+    """Largest block cardinality — one narrow, map-side-combined aggregate
+    over the block column (column-pruned scan; the driver receives one
+    row). Used to decide, AQE-style, whether the triangle-task guard is
+    needed at all: the common corpus takes the simple self-join plan, and
+    only a corpus with an oversized block pays for the guard machinery."""
+    row = df.groupBy(F.col(block_col)).agg(F.count(F.lit(1)).alias("n")).agg(
+        F.max("n")
+    ).collect()
+    return int(row[0][0] or 0)
+
+
 def _sub_block_tasks(e: DataFrame, *, max_block: int) -> DataFrame:
     """Split oversized blocks into bounded pair-comparison tasks.
 
@@ -365,17 +377,13 @@ def _sub_block_tasks(e: DataFrame, *, max_block: int) -> DataFrame:
         .withColumn("_sub", F.pmod(F.xxhash64(F.col("vid")), F.col("_S")).cast("int"))
         .drop("_bn")
     )
-    tasks = F.transform(
-        F.sequence(F.lit(0), F.col("_S") - 1),
-        lambda t: F.struct(
-            F.least(F.col("_sub"), t).alias("ti"), F.greatest(F.col("_sub"), t).alias("tj")
-        ),
-    )
+    # Plain int-sequence explode + least/greatest columns (not a
+    # transform-into-structs lambda): same task set, far simpler codegen.
     return (
-        salted.withColumn("_task", F.explode(tasks))
-        .withColumn("_ti", F.col("_task.ti"))
-        .withColumn("_tj", F.col("_task.tj"))
-        .drop("_task", "_S")
+        salted.withColumn("_t", F.explode(F.sequence(F.lit(0), F.col("_S") - 1)))
+        .withColumn("_ti", F.least(F.col("_sub"), F.col("_t")))
+        .withColumn("_tj", F.greatest(F.col("_sub"), F.col("_t")))
+        .drop("_t", "_S")
     )
 
 
@@ -405,12 +413,15 @@ def embedding_near_dup_pairs_vectorized(
     import numpy as np
     import pandas as pd
 
-    e = _sub_block_tasks(
-        df.select(
-            F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), F.col(block_col).alias("block")
-        ),
-        max_block=max_block,
+    flat = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), F.col(block_col).alias("block")
     )
+    if _max_block_size(df, block_col) <= max_block:
+        # No oversized block: every block is one (0, 0) task — skip the
+        # counts-join/explode machinery (fewer stages to compile and run).
+        e = flat.withColumn("_sub", F.lit(0)).withColumn("_ti", F.lit(0)).withColumn("_tj", F.lit(0))
+    else:
+        e = _sub_block_tasks(flat, max_block=max_block)
 
     def task_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -475,28 +486,36 @@ def embedding_near_dup_pairs(
     never produce a single O(n^2) join partition. Results are identical —
     every unordered pair is generated exactly once.
     """
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # Whole-array cast, not transform(x -> cast(x)): one Cast node instead
+    # of a per-element lambda — measurably less generated code to compile.
+    v = F.col(vec_col).cast("array<double>")
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
-    e = _sub_block_tasks(
-        df.select(
-            F.col(id_col).alias("vid"), F.col(block_col).alias("block"), v.alias("v"), norm.alias("nrm")
-        ),
-        max_block=max_block,
+    base = df.select(
+        F.col(id_col).alias("vid"), F.col(block_col).alias("block"), v.alias("v"), norm.alias("nrm")
     )
-    # Role filters: a row acts as the task's left (ti) side iff its own
-    # sub-block IS ti; symmetric for the right. Within-sub tasks (ti == tj)
-    # dedup by id order; cross-sub tasks are already unordered-unique by
-    # role, and id order there would drop pairs whose ids sort against the
-    # role assignment.
-    a = e.filter(F.col("_sub") == F.col("_ti")).alias("a")
-    b = e.filter(F.col("_sub") == F.col("_tj")).alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return (
-        a.join(
+
+    if _max_block_size(df, block_col) <= max_block:
+        # No oversized block: the plain block self-join IS the bounded plan
+        # — skip the guard machinery (half the stages to compile and run).
+        a, b = base.alias("a"), base.alias("b")
+        joined = a.join(
+            b, (F.col("a.block") == F.col("b.block")) & (F.col("a.vid") < F.col("b.vid"))
+        )
+    else:
+        e = _sub_block_tasks(base, max_block=max_block)
+        # Role filters: a row acts as the task's left (ti) side iff its own
+        # sub-block IS ti; symmetric for the right. Within-sub tasks
+        # (ti == tj) dedup by id order; cross-sub tasks are already
+        # unordered-unique by role, and id order there would drop pairs
+        # whose ids sort against the role assignment.
+        a = e.filter(F.col("_sub") == F.col("_ti")).alias("a")
+        b = e.filter(F.col("_sub") == F.col("_tj")).alias("b")
+        joined = a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
             & (F.col("a._ti") == F.col("b._ti"))
@@ -505,7 +524,8 @@ def embedding_near_dup_pairs(
                 (F.col("a._ti") < F.col("a._tj")) | (F.col("a.vid") < F.col("b.vid"))
             ),
         )
-        .withColumn("cosine", round_to(dot / (F.col("a.nrm") * F.col("b.nrm")), 4))
+    return (
+        joined.withColumn("cosine", round_to(dot / (F.col("a.nrm") * F.col("b.nrm")), 4))
         .filter(F.col("cosine") >= threshold)
         .select(
             F.least(F.col("a.vid"), F.col("b.vid")).alias("vec_a"),

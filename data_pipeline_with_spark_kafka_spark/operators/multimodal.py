@@ -8,11 +8,13 @@ metadata struct —
 
 Metadata-only operations (routing, size stats, hashing, filtering) stay
 fully relational (codegen). Decode/feature-extraction crosses into Python
-via ``mapInPandas`` (Arrow-batched — never row-at-a-time py4j), with the
-actual codec calls stubbed: image/audio libraries are not in this
-environment, so ``decode_media`` raises NotImplementedError while
-``fake_decode_features`` provides a deterministic stand-in that keeps the
-schema, batching, and partitioning contracts real and testable.
+via ``mapInPandas`` (Arrow-batched — never row-at-a-time py4j).
+``decode_media`` REALLY decodes the uncompressed formats (24-bit BMP,
+mono PCM-16 WAV — pure numpy/struct codecs, no media libraries needed);
+compressed codecs (jpeg/mp3/h264) require external libraries that are not
+baked into this environment and raise NotImplementedError at the dispatch.
+``fake_decode_features`` remains as the format-agnostic stand-in for
+blobs of arbitrary type.
 
 At 100 TB: blobs dominate row size — repartition by target partition size
 BEFORE any wide op so a single task's Arrow batches stay in memory;
@@ -62,13 +64,102 @@ def blob_metadata(df_with_media: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def decode_media(*_args, **_kwargs):
-    """Real media decode (PIL / torchaudio / pyav). Not available in this
-    environment — the Spark-side plumbing is exercised through
-    ``fake_decode_features`` instead."""
+# --------------------------------------------------------------------------
+# Real codecs for uncompressed formats (pure numpy/struct — no media libs).
+# Compressed codecs (jpeg/mp3/h264) genuinely need external libraries and
+# stay NotImplemented; the dispatch keeps that boundary honest.
+# --------------------------------------------------------------------------
+
+
+def encode_bmp(arr) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit uncompressed BMP
+    (BITMAPINFOHEADER, bottom-up rows, BGR order, rows padded to 4 bytes)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    row_size = (w * 3 + 3) & ~3
+    image_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + image_size, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, image_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(data: bytes):
+    """Decode a 24-bit uncompressed BMP into an (h, w, 3) uint8 RGB array."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp, compression = struct.unpack_from("<HI", data, 28)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit uncompressed BMP is supported")
+    row_size = (w * 3 + 3) & ~3
+    rows = np.frombuffer(data, dtype=np.uint8, count=row_size * h, offset=offset)
+    rows = rows.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    return rows[::-1, :, ::-1]  # back to top-down RGB
+
+
+def encode_wav_pcm16(samples, sample_rate: int = 16000) -> bytes:
+    """Encode an int16 sample array as a mono PCM-16 WAV (RIFF) stream."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + fmt + struct.pack("<4sI", b"data", len(data)) + data
+    return struct.pack("<4sI", b"RIFF", 4 + len(body) - 4 + 4) + body
+
+
+def decode_wav_pcm16(data: bytes):
+    """Decode a mono PCM-16 WAV stream -> (int16 sample array, sample_rate).
+    Walks RIFF chunks, so extra chunks (LIST/fact) are tolerated."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV stream")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", data, pos + 8)
+            bits = struct.unpack_from("<H", data, pos + 22)[0]
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError("only mono PCM-16 WAV is supported")
+        elif cid == b"data":
+            samples = np.frombuffer(data, dtype="<i2", count=size // 2, offset=pos + 8)
+        pos += 8 + size + (size & 1)
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return samples, rate
+
+
+def decode_media(media_type: str, data: bytes):
+    """Decode a media blob by MIME type.
+
+    Real decoders for the uncompressed formats this engine ships
+    (image/bmp, audio/wav); compressed codecs require external libraries
+    that are not baked in and raise NotImplementedError — plug a real
+    jpeg/mp4 decoder into this dispatch when deploying with media libs."""
+    if media_type == "image/bmp":
+        return decode_bmp(data)
+    if media_type in ("audio/wav", "audio/x-wav"):
+        return decode_wav_pcm16(data)
     raise NotImplementedError(
-        "media codecs are not installed; use fake_decode_features for the "
-        "pipeline plumbing, or plug a real decoder into extract_features()"
+        f"no built-in codec for {media_type!r}; install a media library and "
+        "extend decode_media()"
     )
 
 
@@ -174,3 +265,148 @@ def fake_decode_features(df_with_media: DataFrame, id_col: str) -> DataFrame:
             )
 
     return flat.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Real decode pipeline over the built-in codecs
+# --------------------------------------------------------------------------
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("thumb", T.BinaryType()),
+    ]
+)
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def attach_image_blob(df: DataFrame, id_col: str, *, width: int = 16, height: int = 16) -> DataFrame:
+    """Deterministic BMP fixture: each doc gets a real, decodable 24-bit
+    BMP whose pixels are a doc_id-seeded gradient. mapInPandas because the
+    encoder is bytes-producing Python — fixture generation, not the hot
+    path (real corpora arrive with blobs already in the table)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        y, x, c = np.meshgrid(
+            np.arange(height), np.arange(width), np.arange(3), indexing="ij"
+        )
+        for pdf in it:
+            blobs = [
+                encode_bmp((int(doc_id) * 7 + y * 16 + x * 4 + c * 5) % 256)
+                for doc_id in pdf[id_col]
+            ]
+            yield pd.DataFrame({"doc_id": pdf[id_col], "data": blobs})
+
+    made = df.select(F.col(id_col)).mapInPandas(
+        batches, T.StructType([T.StructField("doc_id", T.LongType()), T.StructField("data", T.BinaryType())])
+    )
+    return made.select(
+        "doc_id",
+        F.struct(
+            F.concat(F.lit("mem://img/"), F.col("doc_id").cast("string")).alias("uri"),
+            F.lit("image/bmp").alias("media_type"),
+            F.col("data").alias("data"),
+            F.create_map(F.lit("origin"), F.lit("fixture")).alias("meta"),
+        ).alias("media"),
+    )
+
+
+def image_features(
+    df_with_media: DataFrame, id_col: str, *, thumb_w: int = 4, thumb_h: int = 4
+) -> DataFrame:
+    """REAL image decode + feature extraction + nearest-neighbor thumbnail
+    over ``mapInPandas``: BMP bytes -> (h, w, 3) array -> per-channel means
+    and a thumb_w x thumb_h RGB thumbnail (strided index resize). This is
+    the actual decode path — only the codec set is small (BMP); swapping in
+    a jpeg decoder changes one dispatch line, not the Spark plumbing."""
+    flat = df_with_media.select(F.col(id_col).alias("doc_id"), F.col("media.media_type").alias("mt"), F.col("media.data").alias("data"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "width", "height", "mean_r", "mean_g", "mean_b", "thumb")}
+            for doc_id, mt, b in zip(pdf["doc_id"], pdf["mt"], pdf["data"]):
+                img = decode_media(mt, bytes(b))
+                h, w, _ = img.shape
+                yi = (np.arange(thumb_h) * h) // thumb_h
+                xi = (np.arange(thumb_w) * w) // thumb_w
+                thumb = img[np.ix_(yi, xi)]
+                means = img.reshape(-1, 3).mean(axis=0)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(float(means[0]))
+                out["mean_g"].append(float(means[1]))
+                out["mean_b"].append(float(means[2]))
+                out["thumb"].append(thumb.tobytes())
+            yield pd.DataFrame(out)
+
+    return flat.mapInPandas(batches, IMAGE_FEATURE_SCHEMA)
+
+
+def attach_audio_blob(df: DataFrame, id_col: str, *, n_samples: int = 256, sample_rate: int = 8000) -> DataFrame:
+    """Deterministic WAV fixture: doc_id-seeded int16 sine-ish ramp."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        t = np.arange(n_samples)
+        for pdf in it:
+            blobs = [
+                encode_wav_pcm16(((int(doc_id) * 31 + t * 17) % 2048 - 1024).astype("<i2"), sample_rate)
+                for doc_id in pdf[id_col]
+            ]
+            yield pd.DataFrame({"doc_id": pdf[id_col], "data": blobs})
+
+    made = df.select(F.col(id_col)).mapInPandas(
+        batches, T.StructType([T.StructField("doc_id", T.LongType()), T.StructField("data", T.BinaryType())])
+    )
+    return made.select(
+        "doc_id",
+        F.struct(
+            F.concat(F.lit("mem://wav/"), F.col("doc_id").cast("string")).alias("uri"),
+            F.lit("audio/wav").alias("media_type"),
+            F.col("data").alias("data"),
+            F.create_map(F.lit("origin"), F.lit("fixture")).alias("meta"),
+        ).alias("media"),
+    )
+
+
+def audio_features(df_with_media: DataFrame, id_col: str) -> DataFrame:
+    """REAL audio decode + features: WAV bytes -> int16 samples -> RMS and
+    peak amplitude. Arrow-batched; numpy per blob, no per-sample Python."""
+    flat = df_with_media.select(F.col(id_col).alias("doc_id"), F.col("media.media_type").alias("mt"), F.col("media.data").alias("data"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "n_samples", "sample_rate", "rms", "peak")}
+            for doc_id, mt, b in zip(pdf["doc_id"], pdf["mt"], pdf["data"]):
+                samples, rate = decode_media(mt, bytes(b))
+                x = samples.astype(np.float64)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(samples))
+                out["sample_rate"].append(rate)
+                out["rms"].append(float(np.sqrt((x * x).mean())) if len(x) else 0.0)
+                out["peak"].append(int(np.abs(samples).max()) if len(samples) else 0)
+            yield pd.DataFrame(out)
+
+    return flat.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)

@@ -358,3 +358,42 @@ def llm_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFram
         "n_bytes",
         F.to_json(F.transform("features", lambda x: round_to(x, 4))).alias("features_json"),
     )
+
+
+@register("llm_multimodal_image_features", oracle=None, tags=("llm", "multimodal"))
+def llm_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode pipeline: deterministic 16x16 BMP per doc ->
+    pure-numpy 24-bit BMP decode -> per-channel means + 4x4 nearest-neighbor
+    thumbnail, all Arrow-batched through mapInPandas. Rows-only (the BMP
+    byte layout is not SQL-expressible); decode/resize/feature math is
+    pinned exactly against direct numpy in tests/test_llm_ops.py. The thumb
+    is base64-serialized at the boundary (binary columns are complex-typed
+    for the driver canon — same invariant as struct/array outputs)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(200)
+    with_img = multimodal.attach_image_blob(docs, "doc_id", width=16, height=16)
+    feats = multimodal.image_features(with_img, "doc_id", thumb_w=4, thumb_h=4)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        round_to(F.col("mean_r"), 4).alias("mean_r"),
+        round_to(F.col("mean_g"), 4).alias("mean_g"),
+        round_to(F.col("mean_b"), 4).alias("mean_b"),
+        F.base64("thumb").alias("thumb_b64"),
+    )
+
+
+@register("llm_multimodal_audio_features", oracle=None, tags=("llm", "multimodal"))
+def llm_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode pipeline: deterministic mono PCM-16 WAV per doc ->
+    RIFF-chunk walk + int16 decode -> RMS/peak features. Rows-only;
+    decode math pinned against direct numpy in tests/test_llm_ops.py."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(200)
+    with_wav = multimodal.attach_audio_blob(docs, "doc_id", n_samples=256, sample_rate=8000)
+    return multimodal.audio_features(with_wav, "doc_id").select(
+        "doc_id",
+        "n_samples",
+        "sample_rate",
+        round_to(F.col("rms"), 4).alias("rms"),
+        "peak",
+    )

@@ -255,6 +255,96 @@ def llm_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Domain-mixture rebalancing
+# --------------------------------------------------------------------------
+
+MIXTURE_ORACLE = """
+WITH cnt AS (
+    SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+), frac AS (
+    SELECT lang, (SELECT MIN(n) FROM cnt) * 1.0 / n AS keep_frac FROM cnt
+)
+SELECT d.doc_id, d.lang, ROUND(f.keep_frac, 4) AS keep_frac
+FROM documents d
+JOIN frac f ON f.lang = d.lang
+WHERE CAST(('0x' || SUBSTRING(md5('mix9:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      / 4294967296.0 < f.keep_frac
+"""
+
+
+@register("llm_domain_mixture", oracle=MIXTURE_ORACLE, tags=("llm", "curation", "sampling"))
+def llm_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus to a uniform language mixture: every language
+    is hash-downsampled to the smallest language's size in expectation
+    (keep_frac = min_count / count). The per-language fraction relation is
+    #langs rows — broadcast by AQE; the keep decision is an md5 draw, so
+    the same doc survives (or not) on every engine and every re-run. The
+    filter compares the UNROUNDED fraction: an IEEE double quotient of two
+    exact integer counts is correctly rounded, hence engine-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    min_n = cnt.agg(F.min("n").alias("min_n"))
+    frac = cnt.crossJoin(F.broadcast(min_n)).select(
+        "lang", (F.col("min_n") / F.col("n")).alias("keep_frac")
+    )
+    draw = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("mix9:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.join(frac, "lang")
+        .filter(draw < F.col("keep_frac"))
+        .select("doc_id", "lang", round_to(F.col("keep_frac"), 4).alias("keep_frac"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-language quality-percentile filter
+# --------------------------------------------------------------------------
+
+QUALITY_MEDIAN_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, lang, LENGTH(text) AS n_chars, string_split(text, ' ') AS toks FROM documents
+), q AS (
+    SELECT doc_id, lang,
+           ROUND(0.4 * LEAST(len(toks) / 50.0, 1.0)
+               + 0.3 * (1.0 - len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) * 1.0 / len(toks))
+               + 0.3 * LEAST(((n_chars - (len(toks) - 1) * 1.0) / len(toks)) / 8.0, 1.0), 4)
+               AS quality
+    FROM t
+), med AS (
+    SELECT lang,
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY quality), 4) AS median_quality
+    FROM q GROUP BY lang
+)
+SELECT q.doc_id, q.lang, q.quality, med.median_quality
+FROM q JOIN med ON med.lang = q.lang
+WHERE q.quality > med.median_quality
+"""
+
+
+@register("llm_quality_percentile_filter", oracle=QUALITY_MEDIAN_ORACLE, tags=("llm", "curation"))
+def llm_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep documents above their language's median quality — per-group
+    percentile thresholding (the relative-quality cut used when absolute
+    score scales differ by language). One per-lang exact percentile
+    aggregate (5 rows — AQE broadcasts it back), one filter; Spark's
+    ``percentile`` is percentile_cont (linear interpolation), matching
+    DuckDB. Both sides compare the ROUNDED median so the cut is stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", "lang", quality_score(F.col("text"), tokens(F.col("text"))).alias("quality")
+    )
+    med = q.groupBy("lang").agg(
+        round_to(F.expr("percentile(quality, 0.5)"), 4).alias("median_quality")
+    )
+    return q.join(med, "lang").filter(F.col("quality") > F.col("median_quality")).select(
+        "doc_id", "lang", "quality", "median_quality"
+    )
+
+
+# --------------------------------------------------------------------------
 # Vocabulary statistics
 # --------------------------------------------------------------------------
 

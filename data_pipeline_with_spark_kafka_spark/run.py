@@ -141,6 +141,21 @@ def cmd_consume(spark: SparkSession, args: argparse.Namespace) -> None:
     print(f"consumed -> {args.target}")
 
 
+def cmd_curate(spark: SparkSession, args: argparse.Namespace) -> None:
+    """Batch training-data curation: documents parquet in, curated corpus
+    out, hive-partitioned by (lang, split) so downstream training readers
+    prune at the directory level. The whole pipeline (dedup -> quality
+    floor -> PII redaction -> deterministic split) is ONE lazy plan and
+    one write action."""
+    from data_pipeline_with_spark_kafka_spark.operators.curation import curate_corpus
+    from data_pipeline_with_spark_kafka_spark.sources.readers import write_batch
+
+    docs = spark.read.parquet(args.input)
+    curated = curate_corpus(docs, min_quality=args.min_quality)
+    write_batch(curated, args.target, fmt="parquet", partition_by=["lang", "split"])
+    print(f"curated -> {args.target} (partitioned by lang/split)")
+
+
 def cmd_e2e(spark: SparkSession, args: argparse.Namespace) -> None:
     args.kafka_servers = None  # e2e is the broker-less path by definition
     args.output_dir = args.stage_dir
@@ -170,6 +185,11 @@ def make_parser() -> argparse.ArgumentParser:
     cons.add_argument("--trigger", help="processingTime trigger for kafka mode")
     cons.add_argument("--timeout", type=int, default=0, help="seconds; 0 = forever (kafka) / drain (files)")
 
+    cur = sub.add_parser("curate", help="documents parquet -> dedup/quality/PII/split -> partitioned parquet")
+    cur.add_argument("--input", required=True, help="documents parquet path/dir")
+    cur.add_argument("--target", required=True, help="curated output dir")
+    cur.add_argument("--min-quality", type=float, default=0.5)
+
     e2e = sub.add_parser("e2e", help="produce -> consume, file-based, no broker")
     e2e.add_argument("--input", required=True)
     e2e.add_argument("--stage-dir", required=True, help="dir for the produced micro-batch files")
@@ -188,7 +208,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> No
     if args.cmd == "consume" and not (args.input_dir or args.kafka_servers):
         make_parser().error("consume needs --input-dir or --kafka-servers")
     spark = spark or get_spark("pipeline-cli")
-    {"produce": cmd_produce, "consume": cmd_consume, "e2e": cmd_e2e}[args.cmd](spark, args)
+    {"produce": cmd_produce, "consume": cmd_consume, "curate": cmd_curate, "e2e": cmd_e2e}[
+        args.cmd
+    ](spark, args)
 
 
 if __name__ == "__main__":

@@ -119,3 +119,40 @@ def test_produce_writes_microbatch_files(spark, tmp_path, csv_inputs):
     assert len(payloads) == 7
     assert all(isinstance(p["new_cases"], int) for p in payloads)
     assert {p["location"] for p in payloads} == {"LOC_A", "LOC_B", "LOC_C"}
+
+
+def test_curate_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """`curate` lands a deduped, quality-floored, PII-redacted, split
+    corpus partitioned by (lang, split) — and is deterministic."""
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    target = tmp_path / "curated"
+    main(
+        [
+            "curate",
+            "--input", f"{sf_dir}/documents.parquet",
+            "--target", str(target),
+            "--min-quality", "0.5",
+        ],
+        spark=spark,
+    )
+    out = spark.read.parquet(str(target))
+    rows = out.count()
+    assert rows > 0
+    # Partition layout: lang=*/split=* directories exist (pruning surface).
+    langs = {p.name for p in pathlib.Path(target).glob("lang=*")}
+    assert langs and all(l.startswith("lang=") for l in langs)
+    # Quality floor holds; no duplicate texts survive; splits all present.
+    assert out.filter(F.col("quality") < 0.5).count() == 0
+    assert out.select("text").distinct().count() == rows
+    assert {r.split for r in out.select("split").distinct().collect()} <= {"train", "val", "test"}
+    # Deterministic: a second run lands the identical corpus.
+    target2 = tmp_path / "curated2"
+    main(
+        ["curate", "--input", f"{sf_dir}/documents.parquet", "--target", str(target2)],
+        spark=spark,
+    )
+    again = spark.read.parquet(str(target2))
+    assert sorted(out.collect()) == sorted(again.collect())
