@@ -375,3 +375,47 @@ def llm_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("w").alias("distinct_tokens"),
         round_to(F.countDistinct("w") / F.count(F.lit(1)), 4).alias("type_token_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# The composed curation pipeline as one oracled query
+# --------------------------------------------------------------------------
+
+CURATED_CORPUS_ORACLE = f"""
+WITH keep AS (
+    SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), d AS (
+    SELECT doc_id, lang, text, LENGTH(text) AS n_chars, string_split(text, ' ') AS toks
+    FROM documents WHERE doc_id IN (SELECT doc_id FROM keep)
+), q AS (
+    SELECT doc_id, lang, text,
+           ROUND(0.4 * LEAST(len(toks) / 50.0, 1.0)
+               + 0.3 * (1.0 - len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) * 1.0 / len(toks))
+               + 0.3 * LEAST(((n_chars - (len(toks) - 1) * 1.0) / len(toks)) / 8.0, 1.0), 4)
+               AS quality
+    FROM d
+)
+SELECT doc_id, lang,
+       CASE WHEN CAST(('0x' || SUBSTRING(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+            WHEN CAST(('0x' || SUBSTRING(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       quality,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(text, '{curation.EMAIL_RE}', '<EMAIL>', 'g'),
+               '{curation.PHONE_RE}', '<PHONE>', 'g'),
+           '{curation.IP_RE}', '<IP>', 'g') AS text
+FROM q
+WHERE quality >= 0.5
+"""
+
+
+@register("llm_curated_corpus", oracle=CURATED_CORPUS_ORACLE, tags=("llm", "curation"))
+def llm_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation pipeline (what the `curate` CLI ships) as one
+    oracled query: exact dedup (min-id keeper per content hash) -> quality
+    floor -> PII redaction -> deterministic 80/10/10 split. Two shuffles
+    end-to-end (the dedup group-by + its semi-join); every other step is a
+    per-row expression riding the same scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.curate_corpus(docs, min_quality=0.5)

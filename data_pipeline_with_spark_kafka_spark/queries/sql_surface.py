@@ -80,3 +80,91 @@ def sql_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").cast("double").alias("nationkey"),
     )
     return wide.unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")
+
+
+POSEXPLODE_ORACLE = """
+SELECT doc_id,
+       CAST(r.i - 1 AS INT) AS pos,
+       t[CAST(r.i AS INT)] AS token
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+     UNNEST(range(1, len(t) + 1)) AS r(i)
+"""
+
+
+@register("sql_lateral_posexplode", oracle=POSEXPLODE_ORACLE, tags=("sql-surface", "explode"))
+def sql_lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal explode (LATERAL VIEW posexplode / UNNEST WITH ORDINALITY):
+    token position survives the flatten — the shape every sequence-labeling
+    or n-gram-position pipeline needs. Pure per-row generator, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+
+
+RANGE_FRAME_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       ROUND(SUM(o_totalprice) OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+           RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 4) AS sum_30d
+FROM orders
+"""
+
+
+@register("window_range_frame_30d", oracle=RANGE_FRAME_ORACLE, tags=("window", "sql-surface"))
+def window_range_frame_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: per customer, the rolling 30-day order
+    total (peers at the same timestamp aggregate together — RANGE, not
+    ROWS, semantics). Ordered by epoch seconds so both engines run the
+    identical numeric frame; one hash shuffle on the partition key."""
+    from pyspark.sql import Window
+
+    from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        # o_orderdate arrives as TIMESTAMP_NTZ (no direct long cast);
+        # through TIMESTAMP first — session TZ is pinned UTC, so this is
+        # the same epoch DuckDB's epoch() computes on the naive value.
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        round_to(F.sum("o_totalprice").over(w), 4).alias("sum_30d"),
+    )
+
+
+QUALIFY_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate
+FROM (
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders
+)
+WHERE rn = 1
+"""
+
+
+@register("window_qualify_latest_order", oracle=QUALIFY_ORACLE, tags=("window", "sql-surface"))
+def window_qualify_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-key (the QUALIFY ROW_NUMBER() = 1 idiom — CDC
+    snapshot compaction, 'current state' extraction). Catalyst rewrites
+    the rank+filter into WindowGroupLimit, so each partition keeps one row
+    during the sort instead of ranking everything."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )

@@ -42,6 +42,74 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def zorder_key(cols: list, *, bits: int = 16):
+    """Z-order (Morton) interleave of N numeric columns into one sortable
+    long — pure codegen expressions, no UDF.
+
+    Each column is first normalized to a ``bits``-wide integer rank by the
+    caller (see ``write_zordered``, which uses ``ntile``); this function
+    interleaves their bits: key = x0_b0 y0_b0 x0_b1 y0_b1 ... Sorting by
+    the interleaved key places rows close in EVERY dimension into the same
+    files, so parquet min/max stats prune multi-dimension range predicates
+    — the effect Delta/Iceberg OPTIMIZE ZORDER achieves, built from
+    ``shiftleft``/``shiftright``/``bitwise OR`` on a plain parquet layout.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    *,
+    bits: int = 10,
+    target_partitions: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered on a Z-order curve over ``zorder_cols``.
+
+    Ranks each column into 2^bits quantile buckets (``ntile`` windows —
+    rank-based, so skewed value distributions still spread evenly over the
+    curve), interleaves the rank bits into a Morton key, range-partitions
+    on the key, and sorts within partitions. Files then hold
+    hyper-rectangles of the value space: a scan filtering on ANY of the
+    z-ordered columns skips most files on parquet min/max stats alone —
+    single-column sort achieves this for only its leading column.
+
+    One shuffle (the range partition); the ntile windows are global sorts
+    of (column) pairs — at 100 TB swap ntile for approx-quantile bucket
+    boundaries (one pass, no sort) computed once and joined in; the curve
+    and write path stay identical.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ranked = df
+    rank_cols = []
+    for c in zorder_cols:
+        rc = f"_zr_{c}"
+        ranked = ranked.withColumn(
+            rc, (F.ntile(1 << bits).over(Window.orderBy(F.col(c))) - 1).cast("long")
+        )
+        rank_cols.append(rc)
+    keyed = ranked.withColumn("_zkey", zorder_key([F.col(rc) for rc in rank_cols], bits=bits))
+    (
+        keyed.repartitionByRange(target_partitions, F.col("_zkey"))
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey", *rank_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def repartition_for_output(df: DataFrame, *, target_partitions: int) -> DataFrame:
     """Explicit output-width control before a write (coalesce when shrinking
     — no shuffle; repartition when growing)."""

@@ -59,3 +59,49 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
 
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS orders_b")
+
+
+def test_zorder_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordered files must be tight in BOTH dimensions simultaneously —
+    the property single-column sorting cannot give. Checked on parquet
+    footer min/max (what real scans prune with)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_pipeline_with_spark_kafka_spark.sources.layout import write_zordered
+    from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    out = str(tmp_path / "orders_zo")
+    write_zordered(orders, out, ["o_custkey", "o_totalprice"], bits=8, target_partitions=8)
+
+    back = spark.read.parquet(out)
+    assert sorted(r.o_orderkey for r in back.collect()) == sorted(
+        r.o_orderkey for r in orders.collect()
+    )
+
+    spans = {"o_custkey": [], "o_totalprice": []}
+    lo = {"o_custkey": None, "o_totalprice": None}
+    hi = {"o_custkey": None, "o_totalprice": None}
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) >= 4
+    for f in files:
+        md = pq.read_metadata(f)
+        names = md.schema.names
+        for col in spans:
+            idx = names.index(col)
+            fmin = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            fmax = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            spans[col].append(fmax - fmin)
+            lo[col] = fmin if lo[col] is None else min(lo[col], fmin)
+            hi[col] = fmax if hi[col] is None else max(hi[col], fmax)
+    for col in spans:
+        global_span = hi[col] - lo[col]
+        mean_frac = sum(spans[col]) / len(spans[col]) / global_span
+        # A file covers a hyper-rectangle of the curve, not a full-range
+        # stripe: with 8 range partitions over a 2-D Morton key each file
+        # should span well under the whole domain in BOTH columns.
+        assert mean_frac < 0.7, (col, mean_frac)
