@@ -80,35 +80,35 @@ def contamination_overlap(
     from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
     from data_pipeline_with_spark_kafka_spark.operators.text import shingles, tokens
 
+    # Per-doc shingle COUNT is a pure expression (size of the distinct
+    # shingle array) — no explode, no shuffle. Only the overlap needs the
+    # exploded relation, and that joins LEFT-SEMI against the deduplicated
+    # benchmark vocabulary: rows that miss are dropped at the join instead
+    # of being carried to the aggregate as nulls.
     doc_sh = corpus.select(
         F.col(id_col), F.explode(shingles(tokens(F.col(text_col)), k)).alias("shingle")
     )
-    bench_sh = (
-        benchmark.select(F.explode(shingles(tokens(F.col(text_col)), k)).alias("shingle"))
-        .distinct()
-        .withColumn("_hit", F.lit(1))
-    )
-    per_doc = (
-        doc_sh.join(bench_sh, "shingle", "left")
+    bench_sh = benchmark.select(
+        F.explode(shingles(tokens(F.col(text_col)), k)).alias("shingle")
+    ).distinct()
+    overlap = (
+        doc_sh.join(bench_sh, "shingle", "left_semi")
         .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.count("_hit").alias("n_overlap"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    counted = corpus.select(
+        F.col(id_col),
+        F.size(shingles(tokens(F.col(text_col)), k)).cast("bigint").alias("n_shingles"),
     )
     frac = F.coalesce(
         round_to(F.col("n_overlap") / F.col("n_shingles"), 4), F.lit(0.0)
     )
-    return (
-        corpus.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
-            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-            frac.alias("overlap_frac"),
-            (frac >= threshold).alias("contaminated"),
-        )
+    return counted.join(overlap, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        F.coalesce("n_overlap", F.lit(0).cast("bigint")).alias("n_overlap"),
+        frac.alias("overlap_frac"),
+        (frac >= threshold).alias("contaminated"),
     )
 
 
@@ -133,29 +133,36 @@ def shared_span_fraction(
     from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
     from data_pipeline_with_spark_kafka_spark.operators.text import shingles, tokens
 
+    # n_spans per doc is a pure expression (no shuffle); the exploded
+    # relation only feeds (a) the per-span doc count and (b) a LEFT-SEMI
+    # join against the SHARED spans — a relation that boilerplate makes
+    # small relative to the full span set, so the join-back touches the
+    # shared tail, not the whole corpus explosion.
     sh = docs.select(
         F.col(id_col), F.explode(shingles(tokens(F.col(text_col)), k)).alias("shingle")
     )
-    span_docs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_n_docs"))
-    per_doc = (
-        sh.join(span_docs, "shingle")
+    shared = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_n_docs"))
+        .filter(F.col("_n_docs") > 1)
+        .select("shingle")
+    )
+    n_shared = (
+        sh.join(shared, "shingle", "left_semi")
         .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.when(F.col("_n_docs") > 1, 1).otherwise(0)).alias("n_shared"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    counted = docs.select(
+        F.col(id_col),
+        F.size(shingles(tokens(F.col(text_col)), k)).cast("bigint").alias("n_spans"),
     )
     frac = F.coalesce(round_to(F.col("n_shared") / F.col("n_spans"), 4), F.lit(0.0))
-    return (
-        docs.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
-            F.coalesce("n_shared", F.lit(0).cast("bigint")).alias("n_shared"),
-            frac.alias("shared_frac"),
-            (frac >= threshold).alias("templated"),
-        )
+    return counted.join(n_shared, id_col, "left").select(
+        id_col,
+        "n_spans",
+        F.coalesce("n_shared", F.lit(0).cast("bigint")).alias("n_shared"),
+        frac.alias("shared_frac"),
+        (frac >= threshold).alias("templated"),
     )
 
 

@@ -8,6 +8,7 @@ from data_pipeline_with_spark_kafka_spark.queries import (  # noqa: F401
     llm_curation,
     llm_fast_paths,
     llm_sampling,
+    llm_scoring,
     nulls_semantics,
     relational,
     setops_extra,

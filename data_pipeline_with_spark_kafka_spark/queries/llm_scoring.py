@@ -1,0 +1,154 @@
+"""Statistical corpus scoring: bigram-LM perplexity (the CCNet-style
+quality signal — score each document under a language model trained on
+the corpus itself) and TF-IDF keyword extraction.
+
+Both are pure DataFrame aggregation/join pipelines over exploded token
+relations — the LM "training" is one aggregation pass, "inference" is a
+join, there is no modeling library and no UDF. Cross-engine float notes:
+log2/ln may differ in the last ulp between JVM and libm, so every emitted
+score is rounded via ``round_to`` and ranking happens on the ROUNDED
+score with a token tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
+from data_pipeline_with_spark_kafka_spark.operators.text import shingles, tokens
+from data_pipeline_with_spark_kafka_spark.queries.registry import register
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+
+# Add-k smoothing constant for the bigram model.
+_K = 0.5
+
+PERPLEXITY_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), uni AS (
+    SELECT w, COUNT(*) AS c1 FROM (SELECT UNNEST(t) AS w FROM toks) GROUP BY w
+), vocab AS (
+    SELECT COUNT(*) AS v FROM uni
+), bi AS (
+    SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+    FROM toks, UNNEST(range(1, len(t))) AS r(i)
+), bic AS (
+    SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2
+), scored AS (
+    SELECT bi.doc_id,
+           log2((bic.c12 + {_K}) / (uni.c1 + {_K} * vocab.v)) AS lp
+    FROM bi
+    JOIN bic ON bic.w1 = bi.w1 AND bic.w2 = bi.w2
+    JOIN uni ON uni.w = bi.w1
+    CROSS JOIN vocab
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(POW(2.0, -AVG(lp)), 4) AS perplexity
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@register("llm_perplexity_bigram", oracle=PERPLEXITY_ORACLE, tags=("llm", "scoring"))
+def llm_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity per document, model trained on the corpus
+    itself (the self-perplexity quality signal: templated/degenerate docs
+    score LOW, out-of-distribution noise scores HIGH — both tails get
+    filtered in real pipelines).
+
+    Train = one bigram-count aggregate + one unigram-count aggregate
+    (map-side combined). Score = join each doc's bigram stream against the
+    count relations. At 100 TB both count relations are vocabulary-sized
+    (not corpus-sized) and the joins shuffle on the token key — the same
+    bounded shape as the dedup tiers. Docs with < 2 tokens have no bigrams
+    and drop out (mirrored by the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+
+    uni = (
+        docs.select(F.explode(t).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+
+    bi = docs.select(
+        "doc_id", F.explode(shingles(t, 2, distinct=False)).alias("bg")
+    ).select(
+        "doc_id",
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    bic = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+
+    lp = F.log2((F.col("c12") + F.lit(_K)) / (F.col("c1") + F.lit(_K) * F.col("v")))
+    scored = (
+        bi.join(bic, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        round_to(F.pow(F.lit(2.0), -F.avg("lp")), 4).alias("perplexity"),
+    )
+
+
+TFIDF_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), tf AS (
+    SELECT doc_id, w, COUNT(*) AS tf
+    FROM (SELECT doc_id, UNNEST(t) AS w FROM toks)
+    GROUP BY doc_id, w
+), df AS (
+    SELECT w, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, w FROM tf) GROUP BY w
+), n AS (
+    SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+    SELECT tf.doc_id, tf.w,
+           ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 4) AS score
+    FROM tf JOIN df ON df.w = tf.w CROSS JOIN n
+), ranked AS (
+    SELECT doc_id, w, score,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rn
+    FROM scored
+)
+SELECT doc_id, w AS keyword, score, CAST(rn AS INT) AS rank
+FROM ranked WHERE rn <= 3
+"""
+
+
+@register("llm_tfidf_keywords", oracle=TFIDF_ORACLE, tags=("llm", "scoring"))
+def llm_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (smoothed sklearn-style idf =
+    ln((N+1)/(df+1)) + 1). Ranking happens on the ROUNDED score with a
+    token tie-break so both engines rank identically; the per-doc top-k is
+    a WindowGroupLimit (per-partition heap), not a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+
+    tf = (
+        docs.select("doc_id", F.explode(t).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_rel = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+
+    score = round_to(
+        F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0), 4
+    )
+    scored = (
+        tf.join(df_rel, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", F.col("w").alias("keyword"), score.alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "keyword")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "keyword", "score", "rank")
+    )

@@ -130,6 +130,106 @@ def jdbc_sink(
     writer.save()
 
 
+def jdbc_keyed_upsert(
+    df: DataFrame,
+    url: str,
+    table: str,
+    key_cols: list[str],
+    *,
+    properties: dict[str, str] | None = None,
+    max_connections: int = 8,
+    staging_suffix: str = "_staging",
+) -> None:
+    """Idempotent keyed upsert into a JDBC table: bulk-write the batch to a
+    staging table (cluster-parallel, bounded connections), then one
+    transactional ``MERGE`` from staging into the target on the key.
+
+    This is the sink the reference NEEDED: its "upsert" is a plain append
+    under ``outputMode("update")`` (``spark_consumer_kafka.py:131-157``),
+    so every re-emitted window collides with the target's primary key. A
+    staging-table MERGE makes window re-emissions and epoch replays
+    converge — the JDBC analog of ``streaming/sinks.keyed_upsert_parquet``
+    (wire via ``foreachBatch`` for streaming).
+
+    The MERGE itself is standard SQL:2003 (Derby/MySQL 8/Postgres 15+);
+    only the row-moving write is distributed — the merge is one statement
+    executed on the database, where it belongs.
+    """
+    if not _jdbc_table_exists(df, url, table, properties):
+        # First batch bootstraps the target (same as the parquet sink's
+        # "no dir yet" path); dedup within the batch so a key emitted twice
+        # in one epoch still lands once.
+        jdbc_sink(
+            df.dropDuplicates(key_cols), url, table,
+            mode="append", properties=properties, max_connections=max_connections,
+        )
+        return
+    staging = f"{table}{staging_suffix}"
+    # Dedup within the batch first: MERGE rejects two source rows hitting
+    # the same target row (ANSI "attempt to update a row more than once").
+    jdbc_sink(
+        df.dropDuplicates(key_cols), url, staging,
+        mode="overwrite", properties=properties, max_connections=max_connections,
+    )
+    # Identifier quoting mirrors Spark's writer exactly: the dbtable name
+    # passes through UNQUOTED (the database case-normalizes it; Derby
+    # uppercases), while COLUMN names are dialect-quoted at CREATE time and
+    # so must be quoted (case-exact) here.
+    cols = df.columns
+    on = " AND ".join(f't."{k}" = s."{k}"' for k in key_cols)
+    set_clause = ", ".join(f't."{c}" = s."{c}"' for c in cols if c not in key_cols)
+    insert_cols = ", ".join(f'"{c}"' for c in cols)
+    insert_vals = ", ".join(f's."{c}"' for c in cols)
+    merge = (
+        f"MERGE INTO {table} t USING {staging} s ON {on} "
+        + (f"WHEN MATCHED THEN UPDATE SET {set_clause} " if set_clause else "")
+        + f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+    )
+    _execute_jdbc_statement(df, url, merge, properties)
+
+
+def _jdbc_table_exists(
+    df: DataFrame, url: str, table: str, properties: dict[str, str] | None
+) -> bool:
+    """Existence probe: an unquoted single-row SELECT, so the name resolves
+    under the database's own case normalization — exactly how Spark's
+    writer created it (metadata getTables() is exact-match and misses
+    e.g. Derby's uppercase-folded storage of unquoted names)."""
+    try:
+        _execute_jdbc_statement(
+            df, url, f"SELECT 1 FROM {table} FETCH FIRST 1 ROWS ONLY", properties
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _execute_jdbc_statement(
+    df: DataFrame, url: str, sql: str, properties: dict[str, str] | None
+) -> None:
+    """Run one SQL statement on the JDBC target through the driver JVM
+    (java.sql.DriverManager via the py4j gateway — no extra dependency).
+    Used for the MERGE step of ``jdbc_keyed_upsert``; everything
+    row-volume-shaped goes through the distributed writer, never here."""
+    jvm = df.sparkSession.sparkContext._jvm
+    driver = (properties or {}).get("driver")
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        if k != "driver":
+            props.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        stmt = conn.createStatement()
+        try:
+            stmt.execute(sql)  # execute(), not executeUpdate(): valid for both DML and the probe SELECT
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
 def to_kafka_payload(df: DataFrame, *, key_col: str | None = None) -> DataFrame:
     """Serialize every row to a Kafka-ready (key, value) pair:
     ``value = to_json(struct(*))``. Writing is then

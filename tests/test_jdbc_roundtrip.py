@@ -58,3 +58,30 @@ def test_jdbc_partitioned_read(spark, derby_url):
     assert part.rdd.getNumPartitions() == 4
     assert part.count() == 1000
     assert part.agg({"doubled": "sum"}).collect()[0][0] == sum(2 * i for i in range(1000))
+
+
+def test_jdbc_keyed_upsert_converges(spark, derby_url):
+    """The MERGE-based JDBC upsert: re-emitted keys update in place,
+    replays are idempotent — the contract the reference's append-under-
+    update-mode sink violates against its MySQL primary key."""
+    from data_pipeline_with_spark_kafka_spark.sources.readers import jdbc_keyed_upsert
+
+    b1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (2, "b", 20.0)],  # in-batch dup key
+        "k long, name string, total double",
+    )
+    jdbc_keyed_upsert(b1, derby_url, "t_upsert", ["k"], properties=DERBY_PROPS, max_connections=1)
+    got = {(r.k, r.name, r.total) for r in jdbc_source(spark, derby_url, "t_upsert", properties=DERBY_PROPS).collect()}
+    assert got == {(1, "a", 10.0), (2, "b", 20.0)}
+
+    # batch 2: revises key 2, adds key 3
+    b2 = spark.createDataFrame(
+        [(2, "b", 25.0), (3, "c", 30.0)], "k long, name string, total double"
+    )
+    jdbc_keyed_upsert(b2, derby_url, "t_upsert", ["k"], properties=DERBY_PROPS, max_connections=1)
+    got = {(r.k, r.name, r.total) for r in jdbc_source(spark, derby_url, "t_upsert", properties=DERBY_PROPS).collect()}
+    assert got == {(1, "a", 10.0), (2, "b", 25.0), (3, "c", 30.0)}
+
+    # replay batch 2 (at-least-once foreachBatch) — no change, no error
+    jdbc_keyed_upsert(b2, derby_url, "t_upsert", ["k"], properties=DERBY_PROPS, max_connections=1)
+    assert jdbc_source(spark, derby_url, "t_upsert", properties=DERBY_PROPS).count() == 3
