@@ -579,3 +579,45 @@ def subquery_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 3)
     )
+
+
+BUCKETED_RANGE_ORACLE = """
+WITH bands AS (
+    SELECT i * 20000.0 AS lo, (i + 1) * 20000.0 AS hi,
+           'band_' || lpad(CAST(i AS VARCHAR), 2, '0') AS band
+    FROM (SELECT UNNEST(range(0, 25)) AS i)
+)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(MIN(o_totalprice), 4) AS min_price,
+       ROUND(MAX(o_totalprice), 4) AS max_price
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+"""
+
+
+@register("join_range_bucketed", oracle=BUCKETED_RANGE_ORACLE, tags=("join", "non-equi", "scale"))
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BIG-interval-side range join (scale path): identical semantics
+    to a non-equi interval join, rewritten as bucket-explode + EQUI-join +
+    residual bound filter (`operators/rangejoin.bucketed_range_join`).
+    Unlike `join_range_price_tier`'s BroadcastNestedLoopJoin — correct
+    only while the interval side broadcasts — this plan hash-shuffles on
+    the bucket key, so it survives an interval side of any size. The
+    bucket width (50000) deliberately misaligns with the band width (20000)
+    to exercise multi-bucket interval replication + residual filtering.
+    Plan discipline (no NestedLoop) asserted in tests/test_plans.py."""
+    from data_pipeline_with_spark_kafka_spark.operators.rangejoin import bucketed_range_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.range(0, 25).select(
+        (F.col("id") * 20000.0).alias("lo"),
+        ((F.col("id") + 1) * 20000.0).alias("hi"),
+        F.concat(F.lit("band_"), F.lpad(F.col("id").cast("string"), 2, "0")).alias("band"),
+    )
+    joined = bucketed_range_join(orders, bands, "o_totalprice", "lo", "hi", bucket_width=50000.0)
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        round_to(F.min("o_totalprice"), 4).alias("min_price"),
+        round_to(F.max("o_totalprice"), 4).alias("max_price"),
+    )

@@ -113,3 +113,15 @@ def test_deterministic_shuffle_is_range_partitioned(spark, sf_dir):
     # only SinglePartition exchange allowed is the tiny offsets relation
     single = plan.count("Exchange SinglePartition")
     assert single <= 1
+
+
+def test_bucketed_range_join_has_no_nested_loop(spark, sf_dir):
+    """The scale-path range join must be an equi-join on the bucket key
+    (hash/sort-merge — shuffleable at any interval-side size), never a
+    nested loop."""
+    from data_pipeline_with_spark_kafka_spark.queries import all_queries
+
+    df = all_queries()["join_range_bucketed"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
+    assert "Join" in plan
