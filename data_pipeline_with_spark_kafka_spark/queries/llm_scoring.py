@@ -12,6 +12,7 @@ score with a token tie-break.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -151,4 +152,54 @@ def llm_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("doc_id", "keyword", "score", "rank")
+    )
+
+
+@register("agg_hll_sketch_merge", oracle=None, tags=("agg", "approx", "scale"))
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABLE-SKETCH pattern for distinct counts at 100 TB: build a
+    Datasketches HLL per partition (here: per event_type), persist/ship the
+    sketch BYTES, then union-merge sketches for any rollup — re-aggregation
+    without re-scanning raw data (incremental DAU, cross-shard uniques).
+    One pass builds all per-type sketches; the global count comes from
+    merging THOSE, not from the events table. Rows-only (sketch estimates
+    are implementation-specific); accuracy vs exact count_distinct is
+    property-tested in tests/test_llm_ops.py."""
+    events = load_table(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    return merged.select(F.lit("all_types").alias("scope"), "approx_users", "n_types")
+
+
+@register("llm_weighted_quality_mean", oracle=None, tags=("llm", "pandas-udf", "approx"))
+def llm_weighted_quality_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (the §2.9 GROUPED_AGG surface): per-language
+    quality-weighted mean document length — one Arrow batch per group into
+    a numpy reduction. Rows-only: partial-agg ordering makes the float sum
+    engine-specific; equivalence to the exact SQL formula is pinned with
+    tolerance in tests/test_llm_ops.py. (For a pure-SQL weighted mean the
+    codegen path `sum(x*w)/sum(w)` is preferred — this query exists to
+    exercise the vectorized grouped-agg UDF contract.)"""
+    from pyspark.sql.functions import pandas_udf
+
+    from data_pipeline_with_spark_kafka_spark.operators.text import quality_score
+
+    def _wmean(chars: pd.Series, weight: pd.Series) -> float:
+        total = float(weight.sum())
+        return float((chars * weight).sum() / total) if total else 0.0
+
+    wmean = pandas_udf(_wmean, "double")
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang",
+        F.col("n_chars").cast("double").alias("n_chars"),
+        quality_score(F.col("text"), tokens(F.col("text"))).alias("q"),
+    )
+    return scored.groupBy("lang").agg(
+        round_to(wmean("n_chars", "q"), 4).alias("weighted_mean_chars")
     )

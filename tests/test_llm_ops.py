@@ -294,3 +294,40 @@ def test_winnowing_fingerprint_deterministic_and_content_sensitive(spark, sf_dir
     # identical texts -> identical fingerprints; the corpus' planted
     # near-dups are NOT identical, so fingerprints should mostly differ
     assert len(set(a.values())) > len(a) // 2
+
+
+def test_hll_sketch_merge_tracks_exact_count(spark, sf_dir, duck):
+    from data_pipeline_with_spark_kafka_spark.queries import all_queries
+
+    row = all_queries()["agg_hll_sketch_merge"].builder(spark, sf_dir).collect()[0]
+    exact = duck.execute("SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
+    assert abs(row.approx_users - exact) <= max(0.05 * exact, 2), (row.approx_users, exact)
+
+
+def test_weighted_quality_mean_matches_exact_formula(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_spark_kafka_spark.queries import all_queries
+    from data_pipeline_with_spark_kafka_spark.operators.text import quality_score, tokens
+    from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+
+    got = {
+        r.lang: r.weighted_mean_chars
+        for r in all_queries()["llm_weighted_quality_mean"].builder(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        r.lang: r.wm
+        for r in docs.select(
+            "lang",
+            F.col("n_chars").cast("double").alias("c"),
+            quality_score(F.col("text"), tokens(F.col("text"))).alias("q"),
+        )
+        .groupBy("lang")
+        .agg((F.sum(F.col("c") * F.col("q")) / F.sum("q")).alias("wm"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for lang in got:
+        # the query rounds to 4 decimals at the boundary
+        assert abs(got[lang] - exact[lang]) < 5.1e-5, (lang, got[lang], exact[lang])
