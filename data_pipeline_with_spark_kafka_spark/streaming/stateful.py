@@ -65,11 +65,18 @@ def stream_stream_join(
     right_time: str,
     watermark: str = "10 minutes",
     max_lag: str = "5 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: right events join left events
-    with ``right_time`` in [left_time, left_time + max_lag]. The time bound
+    """Watermarked stream-stream join: right events join left events with
+    ``right_time`` in [left_time, left_time + max_lag]. The time bound
     plus watermarks let Spark evict both buffers — without them a
-    stream-stream join holds unbounded state."""
+    stream-stream join holds unbounded state.
+
+    ``how="left_outer"`` adds the delayed-null contract: a left row with no
+    match is emitted null-padded only once the watermark passes its
+    eviction bound (state can prove no future match can arrive) — the
+    streaming analog of "click-through with not-yet-clicked rows".
+    """
     lw = left.withWatermark(left_time, watermark)
     # Rename the right key so the join output has unambiguous columns.
     rw = right.withColumnRenamed(key, f"{key}_r").withWatermark(right_time, watermark)
@@ -78,4 +85,4 @@ def stream_stream_join(
         & (rw[right_time] >= lw[left_time])
         & (rw[right_time] <= lw[left_time] + F.expr(f"INTERVAL {max_lag}"))
     )
-    return lw.join(rw, cond, "inner").drop(f"{key}_r")
+    return lw.join(rw, cond, how).drop(f"{key}_r")

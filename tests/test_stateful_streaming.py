@@ -159,3 +159,59 @@ def test_stream_stream_join_within_time_bound(spark, tmp_path):
     drain(q)
     ads = sorted(r.ad for r in spark.sql("SELECT ad FROM ssj_out").collect())
     assert ads == ["ad1"]
+
+
+def test_stream_stream_left_outer_emits_null_after_eviction(spark, tmp_path):
+    """Left-outer stream-stream join: the unmatched impression must emit a
+    null-click row, but ONLY after the watermark passes its join-state
+    eviction bound — later filler events on both sides advance it."""
+    lsrc, rsrc, ckpt = tmp_path / "lo", tmp_path / "ro", tmp_path / "cko"
+    lsrc.mkdir()
+    rsrc.mkdir()
+
+    def impression(t, key):
+        return json.dumps({"ad": key, "imp_time": t})
+
+    def click(t, key):
+        return json.dumps({"ad": key, "click_time": t})
+
+    # batch 1: two impressions, one gets a click
+    (lsrc / "l1.json").write_text(
+        impression("2024-06-01 10:00:00", "ad1") + "\n" + impression("2024-06-01 10:00:00", "ad2") + "\n"
+    )
+    (rsrc / "r1.json").write_text(click("2024-06-01 10:02:00", "ad1") + "\n")
+    # batches 2-3: filler far in the future pushes the watermark past
+    # ad2's eviction bound (imp 10:00 + 5 min lag + 10 min watermark)
+    (lsrc / "l2.json").write_text(impression("2024-06-01 12:00:00", "ad_fill_l") + "\n")
+    (rsrc / "r2.json").write_text(click("2024-06-01 12:00:00", "ad_fill_r") + "\n")
+    (lsrc / "l3.json").write_text(impression("2024-06-01 12:30:00", "ad_fill_l2") + "\n")
+    (rsrc / "r3.json").write_text(click("2024-06-01 12:30:00", "ad_fill_r2") + "\n")
+
+    left = (
+        spark.readStream.schema("ad string, imp_time string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(lsrc))
+        .withColumn("imp_time", F.to_timestamp("imp_time"))
+    )
+    right = (
+        spark.readStream.schema("ad string, click_time string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(rsrc))
+        .withColumn("click_time", F.to_timestamp("click_time"))
+    )
+    joined = stream_stream_join(
+        left, right, key="ad", left_time="imp_time", right_time="click_time",
+        max_lag="5 minutes", how="left_outer",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_outer")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain(q)
+    rows = {r.ad: r.click_time for r in spark.sql("SELECT ad, click_time FROM ssj_outer").collect()}
+    assert rows.get("ad1") is not None          # matched within the lag
+    assert "ad2" in rows and rows["ad2"] is None  # evicted unmatched -> null-padded
