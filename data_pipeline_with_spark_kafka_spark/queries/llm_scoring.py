@@ -203,3 +203,22 @@ def llm_weighted_quality_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("lang").agg(
         round_to(wmean("n_chars", "q"), 4).alias("weighted_mean_chars")
     )
+
+
+@register("llm_bpe_vocab", oracle=None, tags=("llm", "scoring", "iterative"))
+def llm_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-vocabulary induction on the corpus (operators/bpe):
+    10 merges learned via iterative pair-count aggregates over the
+    distinct-word relation — the k-means-style driver loop, one
+    map-side-combined aggregate + one in-array JVM merge per iteration.
+    Deterministic (lexicographic tie-break), merge-for-merge equal to a
+    pure-Python reference (tests/test_bpe.py); rows-only because the loop
+    is not SQL-expressible."""
+    from data_pipeline_with_spark_kafka_spark.operators.bpe import train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", num_merges=10)
+    return spark.createDataFrame(
+        [(i, a, b, a + b, n) for i, (a, b, n) in enumerate(merges)],
+        "rank int, left string, right string, merged string, weighted_count long",
+    )
