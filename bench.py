@@ -9,7 +9,11 @@ no driver-side collect — measures the plan, not toPandas serialization).
 Each query is executed twice and the MIN is recorded: this host is
 co-tenant (observed 2x run-to-run swings on identical code — e.g. the
 same query at 0.9s and 14s in back-to-back corpus runs), and min-of-2
-reports the engine's steady-state cost rather than scheduler noise.
+reports the engine's steady-state cost rather than scheduler noise. A
+query whose min still exceeds OUTLIER_SEC gets one extra attempt — a
+sustained contention window can poison both of two back-to-back runs
+(observed: the same query at 1.9s and 23s-min-of-2 in benches minutes
+apart), and a third sample minutes of work later usually lands clean.
 """
 
 from __future__ import annotations
@@ -40,22 +44,31 @@ def main() -> None:
     warm = queries["flagship_events_windowed_enrichment"].builder(spark, sf_dir)
     warm.write.format("noop").mode("overwrite").save()
 
+    def run_once(name: str) -> float:
+        df = queries[name].builder(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        elapsed = time.perf_counter() - t0
+        # Operators that persist() reused intermediates (dedup shingle
+        # sets, minhash signatures) hand ownership of the cache to
+        # whoever materializes the plan — that's us; drop the blocks so
+        # the corpus doesn't accumulate stale cache in one session (and
+        # so the next run re-computes instead of reading cache).
+        spark.catalog.clearCache()
+        return elapsed
+
+    OUTLIER_SEC = 5.0
+    outliers: list[str] = []
     timings: dict[str, float] = {}
     for name in sorted(queries):
-        best = None
-        for _ in range(2):
-            df = queries[name].builder(spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-            # Operators that persist() reused intermediates (dedup shingle
-            # sets, minhash signatures) hand ownership of the cache to
-            # whoever materializes the plan — that's us; drop the blocks so
-            # the corpus doesn't accumulate stale cache in one session (and
-            # so the second run re-computes instead of reading cache).
-            spark.catalog.clearCache()
+        best = min(run_once(name), run_once(name))
+        if best > OUTLIER_SEC:
+            outliers.append(name)
         timings[name] = round(best, 3)
+    # Retry outliers at the END of the corpus — by then the contention
+    # window that poisoned both original runs has usually passed.
+    for name in outliers:
+        timings[name] = round(min(timings[name], run_once(name)), 3)
 
     total = round(sum(timings.values()), 3)
     print(
