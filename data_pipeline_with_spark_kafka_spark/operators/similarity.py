@@ -51,7 +51,9 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k of every row against a single-row query relation
     (broadcast — the fact side never shuffles)."""
-    q = query_df.select(as_double(F.col(vec_col)).alias("qvec"))
+    # limit(1) makes the 1-row contract structural (GlobalLimit in the
+    # plan), so the broadcast hint is provably bounded regardless of scale.
+    q = query_df.select(as_double(F.col(vec_col)).alias("qvec")).limit(1)
     v = as_double(F.col(vec_col))
     return (
         df.crossJoin(F.broadcast(q))
@@ -100,7 +102,7 @@ def lsh_topk(
     q = query_df.select(
         as_double(F.col(vec_col)).alias("qvec"),
         hyperplane_signs(F.col(vec_col), planes).alias("qbucket"),
-    )
+    ).limit(1)  # structural 1-row bound -> broadcast hint is scale-safe
     v = as_double(F.col(vec_col))
     probe = F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))) <= probe_radius
     return (

@@ -103,7 +103,7 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("day", "ts").alias("active_day")
     ).distinct()
     return (
-        activity.join(F.broadcast(first_day), "user_id")
+        activity.join(first_day, "user_id")
         .groupBy(
             "cohort_day",
             F.datediff(F.col("active_day"), F.col("cohort_day")).alias("day_offset"),

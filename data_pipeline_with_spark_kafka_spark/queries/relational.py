@@ -6,7 +6,9 @@ Determinism contract (driver hash): doubles rounded to 4 decimals on both
 sides; window orderings always carry a unique tiebreak key; top-k sorts on
 the ROUNDED measure so Spark and the oracle cut the same k rows.
 
-Scale notes: dim sides of joins are broadcast explicitly; the non-equi tier
+Scale notes: only bounded dims (literal tier tables, 1-row scalar
+aggregates) carry explicit broadcast hints; sf-proportional dims are
+hint-free (AQE elects broadcast while small). The non-equi tier
 join is a broadcast nested-loop against a 3-row literal table (never a
 cartesian against another fact); window functions repartition by the
 partition key only (one shuffle); rollup/cube expand grouping sets before
@@ -37,11 +39,12 @@ WHERE c.c_mktsegment = 'MACHINERY'
     tags=("join",),
 )
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inner equi-join fact⋈dim with the dim broadcast (ref J1 analogue)."""
+    """Inner equi-join fact⋈dim (ref J1 analogue); the dim is
+    sf-proportional so broadcast is AQE-elected, not hinted."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "MACHINERY")
     return (
-        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"], "inner")
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"], "inner")
         .select("o_orderkey", "c_name", round_to("o_totalprice", 4).alias("total_price"))
     )
 

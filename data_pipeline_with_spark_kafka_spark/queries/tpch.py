@@ -7,8 +7,11 @@ of shuffles, group-bys with many aggregates, deterministic top-k.
 Scale discipline (100 TB):
 - filters and narrow projections sit directly on the scans so Catalyst
   pushes them into parquet (PushedFilters/ReadSchema);
-- small dims (region, nation, customer at dim-scale) are broadcast
-  explicitly -- fact tables never shuffle for those joins;
+- only genuinely bounded dims (region=5, nation=25 rows by schema) carry
+  explicit broadcast hints; sf-proportional tables (customer, supplier,
+  part) are left hint-free so AQE elects broadcast at small scale but can
+  fall back to shuffle join at 100 TB -- a hard hint on a linearly-growing
+  relation is an OOM by construction at the design point;
 - top-k uses sort+limit (Spark's TakeOrderedAndProject), not a global
   sort materialization.
 
@@ -88,8 +91,9 @@ LIMIT 10
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3: selective 3-way join + group-by + deterministic top-10.
 
-    customer is dim-sized -> broadcast; lineitem⋈orders shuffles on the
-    orderkey once. Top-k via orderBy+limit => TakeOrderedAndProject (no
+    customer is sf-proportional -> no hard hint; AQE broadcasts it while it
+    fits and demotes to shuffle join at scale. lineitem⋈orders shuffles on
+    the orderkey once. Top-k via orderBy+limit => TakeOrderedAndProject (no
     global sort materialization). Revenue rounded before the sort so the
     Spark and oracle top-10 cut identically (tiebreak o_orderkey).
     """
@@ -102,7 +106,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .groupBy("o_orderkey", "o_orderdate")
         .agg(round_to(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
@@ -128,7 +132,8 @@ GROUP BY n.n_name
 
 @register("tpch_q5_local_supplier_volume", oracle=Q5_ORACLE, tags=("tpch", "join"))
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5: 6-way join (region/nation/supplier broadcast) + group-by."""
+    """TPC-H Q5: 6-way join (region/nation broadcast; customer/supplier
+    AQE-elected) + group-by."""
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
     cust = load_table(spark, sf_dir, "customer")
@@ -140,9 +145,9 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(
-            F.broadcast(supp),
+            supp,
             (supp["s_suppkey"] == li["l_suppkey"]) & (supp["s_nationkey"] == cust["c_nationkey"]),
         )
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
@@ -203,7 +208,7 @@ LIMIT 20
 
 @register("tpch_q10_returned_items", oracle=Q10_ORACLE, tags=("tpch", "join", "topk"))
 def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10: returned-item revenue ranking, broadcast dims, top-20."""
+    """TPC-H Q10: returned-item revenue ranking, nation broadcast, top-20."""
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -213,7 +218,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation_name"))
         .agg(round_to(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))

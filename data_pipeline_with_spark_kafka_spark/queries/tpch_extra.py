@@ -54,7 +54,8 @@ WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
 
 @register("tpch_q14_promo_effect", oracle=Q14_ORACLE, tags=("tpch", "agg"))
 def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14: conditional aggregation ratio over a broadcast part join."""
+    """TPC-H Q14: conditional aggregation ratio over a part join
+    (AQE-elected strategy; part is sf-proportional)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -62,7 +63,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .agg(
             round_to(
                 100.0
@@ -105,7 +106,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.join(sums, orders["o_orderkey"] == sums["l_orderkey"])
         .join(big.withColumnRenamed("l_orderkey", "big_key"), F.col("o_orderkey") == F.col("big_key"), "left_semi")
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .select(
             "c_custkey",
             "o_orderkey",
@@ -136,7 +137,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     q = F.col("l_quantity")
-    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    joined = li.join(part, li["l_partkey"] == part["p_partkey"])
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10) & q.between(5, 20))
         | ((F.col("p_brand") == "Brand#5") & F.col("p_size").between(5, 20) & q.between(10, 30))

@@ -99,7 +99,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         anti.join(orders, F.col("k1") == orders["o_orderkey"])
-        .join(F.broadcast(supp), F.col("s1") == supp["s_suppkey"])
+        .join(supp, F.col("s1") == supp["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

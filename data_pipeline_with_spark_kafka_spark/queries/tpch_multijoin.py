@@ -45,8 +45,8 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -91,9 +91,9 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(region), F.col("cn_region") == region["r_regionkey"])
         .groupBy(F.year("o_orderdate").alias("o_year"))
@@ -135,8 +135,8 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity") * 0.6
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .groupBy(F.col("n_name").alias("nation_name"), F.year("o_orderdate").alias("o_year"))

@@ -120,7 +120,7 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )

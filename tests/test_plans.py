@@ -115,6 +115,112 @@ def test_deterministic_shuffle_is_range_partitioned(spark, sf_dir):
     assert single <= 1
 
 
+# --------------------------------------------------------------------------
+# Broadcast-hint discipline (round-2 verdict item 1): a hard F.broadcast()
+# hint on an sf-proportional relation is an OOM by construction at the
+# 100-TB design point, because AQE cannot demote an explicit hint. Hints
+# are allowed ONLY on relations whose size is bounded by something other
+# than the data volume: fixed dims (nation=25, region=5), literal tables,
+# global (grouping-free => 1-row) aggregates, and partition-id-grouped
+# relations (bounded by cluster width, not data size).
+# --------------------------------------------------------------------------
+
+# Columns that identify a scan of an sf-proportional table.
+_SF_MARKERS = (
+    "c_custkey", "s_suppkey", "p_partkey", "o_orderkey", "l_orderkey",
+    "event_id", "doc_id", "vec_id",
+)
+# Grouping keys whose cardinality is bounded by the cluster, not the data.
+_BOUNDED_GROUP_KEYS = {"_pid"}
+
+
+def _node_depth(line: str) -> int:
+    """Depth of a node line in a logical-plan tree string (position of its
+    ':- '/'+- ' marker; the root line has no marker -> -1)."""
+    import re
+
+    m = re.search(r"[:+]- ", line)
+    return m.start() if m else -1
+
+
+def _first_bracket_group(s: str) -> str | None:
+    """Return the contents of the first balanced [...] group in s."""
+    start = s.find("[")
+    if start < 0:
+        return None
+    depth = 0
+    for i in range(start, len(s)):
+        if s[i] == "[":
+            depth += 1
+        elif s[i] == "]":
+            depth -= 1
+            if depth == 0:
+                return s[start + 1 : i]
+    return None
+
+
+def _aggregate_grouping(line: str) -> str | None:
+    """For an 'Aggregate ...' plan line, return its grouping-key list as a
+    string ('' for a global aggregate). Analyzed plans print grouped
+    aggregates as 'Aggregate [keys], [exprs]' and global ones with a single
+    list 'Aggregate [exprs]'."""
+    body = line[line.index("Aggregate ") + len("Aggregate ") :]
+    first = _first_bracket_group(body)
+    if first is None:
+        return None
+    rest = body[body.index("[") + len(first) + 2 :]
+    return first if rest.lstrip().startswith(", [") else ""
+
+
+def _broadcast_hint_violations(analyzed: str) -> list[str]:
+    lines = analyzed.splitlines()
+    bad: list[str] = []
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line and "UnresolvedHint" not in line:
+            continue
+        d = _node_depth(line)
+        subtree = []
+        for j in range(i + 1, len(lines)):
+            if _node_depth(lines[j]) <= d:
+                break
+            subtree.append(lines[j])
+        scans_sf = any(
+            "Relation" in l and any(m in l for m in _SF_MARKERS) for l in subtree
+        )
+        if not scans_sf:
+            continue  # bounded dim / literal relation: hint is fine
+        # The hint side is still bounded if the shallowest cardinality-
+        # bounding node is a LIMIT (fixed row count), a grouping-free
+        # Aggregate (1 row), or an Aggregate grouped on cluster-bounded keys.
+        bounding = sorted(
+            (l for l in subtree if "Aggregate [" in l or "GlobalLimit" in l),
+            key=_node_depth,
+        )
+        if bounding:
+            top = bounding[0]
+            if "GlobalLimit" in top:
+                continue  # limit-k build side -> bounded by construction
+            grouping = _aggregate_grouping(top)
+            if grouping == "":
+                continue  # global aggregate -> 1-row build side
+            keys = {k.split("#")[0].strip() for k in grouping.split(",")}
+            if keys <= _BOUNDED_GROUP_KEYS:
+                continue  # partition-id-grouped -> bounded by cluster width
+        bad.append(line.strip())
+    return bad
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_broadcast_hint_on_sf_scaled_table(spark, sf_dir, name):
+    df = QUERIES[name].builder(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    violations = _broadcast_hint_violations(analyzed)
+    assert not violations, (
+        f"{name} applies an explicit broadcast hint to an sf-proportional "
+        f"relation (AQE cannot demote it at scale): {violations}"
+    )
+
+
 def test_bucketed_range_join_has_no_nested_loop(spark, sf_dir):
     """The scale-path range join must be an equi-join on the bucket key
     (hash/sort-merge — shuffleable at any interval-side size), never a
