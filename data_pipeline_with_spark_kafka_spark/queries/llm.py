@@ -24,7 +24,7 @@ from data_pipeline_with_spark_kafka_spark.operators.text import (
 )
 from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
 from data_pipeline_with_spark_kafka_spark.queries.registry import register
-from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table, table_row_count
 
 # --------------------------------------------------------------------------
 # Dedup tiers
@@ -168,7 +168,14 @@ WHERE ROUND(list_dot_product(a.v, b.v)
 def llm_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine >= 0.4) blocked by label."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dup_pairs(emb, "vec_id", "embedding", "label", threshold=0.4)
+    # Guard decision from footer metadata (no Spark job): if the whole
+    # table fits in one block budget, no block can exceed it -> simple
+    # plan. Larger corpora take the triangle-guarded plan, whose extra
+    # stages are noise at that scale.
+    guard = table_row_count(sf_dir, "embeddings") > 4096
+    return dedup.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", "label", threshold=0.4, guard=guard
+    )
 
 
 # --------------------------------------------------------------------------

@@ -9,15 +9,17 @@ from pyspark.sql import functions as F
 
 from data_pipeline_with_spark_kafka_spark.operators import clustering, dedup
 from data_pipeline_with_spark_kafka_spark.queries.registry import register
-from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table, table_row_count
 
 
 @register("llm_dedup_embedding_cosine_fast", oracle=None, tags=("llm", "dedup", "pandas-udf"))
 def llm_dedup_embedding_cosine_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numpy-matmul-per-block embedding near-dup (applyInPandas fast path)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # Footer-metadata guard decision (no Spark job); see llm.py twin.
+    guard = table_row_count(sf_dir, "embeddings") > 4096
     return dedup.embedding_near_dup_pairs_vectorized(
-        emb, "vec_id", "embedding", "label", threshold=0.4
+        emb, "vec_id", "embedding", "label", threshold=0.4, guard=guard
     )
 
 

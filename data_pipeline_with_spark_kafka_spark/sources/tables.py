@@ -44,15 +44,47 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     as a raw long (``spark.sql.legacy.parquet.nanosAsLong``) and we
     truncate ns -> us here (``ts div 1000``), matching DuckDB's
     ``CAST(ts_ns AS TIMESTAMP)`` truncation semantics exactly.
+
+    The resulting DataFrame is memoized on the session (keyed by
+    (sf_dir, name)) — a lightweight catalog. Besides avoiding repeated
+    setup, this keeps query CONSTRUCTION job-free after the first load:
+    ``spark.read.parquet`` runs one small schema-inference job per call,
+    which would otherwise recur in every plan that touches the table.
+    DataFrames are immutable plans, so sharing one per table is safe.
     """
-    if name == "events":
-        # The driver may hand us a session without this conf; it is a
-        # runtime-settable SQL conf, so set it defensively before the scan.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+    cache = spark.__dict__.setdefault("_graft_table_cache", {})
+    key = (sf_dir, name)
+    if key not in cache:
+        if name == "events":
+            # The driver may hand us a session without this conf; it is a
+            # runtime-settable SQL conf, so set it defensively pre-scan.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        cache[key] = df
+    return cache[key]
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of a fixture table from the parquet footer(s).
+
+    Driver-side metadata read — the same class of IO Spark itself performs
+    at planning time (file listing / schema read), NOT a Spark job. Used by
+    queries that need a cheap cardinality bound to choose a plan shape
+    without breaking the lazy-construction contract (e.g. the embedding
+    near-dup guard decision)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.read_metadata(p).num_rows
+            for p in glob.glob(os.path.join(path, "*.parquet"))
+        )
+    return pq.read_metadata(path).num_rows
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> dict[str, DataFrame]:
