@@ -289,6 +289,19 @@ def connected_components(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    else:
+        # The label sum was still falling after max_iterations: the graph's
+        # diameter exceeds the round budget (plausible for long boilerplate
+        # near-dup chains at corpus scale). Returning the partial labels
+        # would silently split one component into several "clusters" — and
+        # dedup would then keep one doc per FRAGMENT. Fail loudly instead.
+        sym.unpersist()
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations (label sum still decreasing); raise max_iterations "
+            "— rounds needed equal the component graph's diameter"
+        )
     sym.unpersist()
     return labels.select("doc", F.col("label").alias("cluster_id"))
 

@@ -40,15 +40,29 @@ def bucketed_range_join(
     (codegen, no UDF); points compute one bucket id. The precise bound
     check is re-applied after the equi-join, so results are EXACTLY the
     non-equi join's. Interval-end buckets are clamped so a half-open
-    interval landing on a bucket boundary doesn't replicate into a bucket
-    it cannot match.
+    interval ending exactly on a bucket boundary doesn't replicate into a
+    bucket it cannot match.
+
+    Only ``how='inner'`` is supported: an outer mode would need the
+    residual bound predicate folded into the join condition itself —
+    applied as a post-join filter it silently drops null-padded rows and
+    duplicates in-bounds rows per covered bucket.
     """
+    if how != "inner":
+        raise ValueError(
+            "bucketed_range_join supports only how='inner'; outer modes "
+            f"would be silently wrong with a residual filter (got {how!r})"
+        )
     pb = points.withColumn("_bucket", F.floor(F.col(point_col) / bucket_width).cast("long"))
     lo_b = F.floor(F.col(lo_col) / bucket_width).cast("long")
-    # ceil-exclusive: the last covered bucket is the one holding the
-    # largest value strictly below hi.
-    hi_b = F.floor(
-        (F.col(hi_col) - F.lit(1e-9) * F.lit(bucket_width)) / bucket_width
+    # ceil-exclusive: the last covered bucket is floor(hi/w), EXCEPT when
+    # hi sits exactly on a bucket boundary — [lo, hi) cannot reach bucket
+    # hi/w then. An exact modulo test (not an epsilon shave, which dropped
+    # the top sliver for hi within epsilon above a boundary) keeps every
+    # matching bucket covered; the residual filter guarantees exactness.
+    hi_over_w = F.col(hi_col) / bucket_width
+    hi_b = (
+        F.floor(hi_over_w) - F.when(F.col(hi_col) % bucket_width == 0, 1).otherwise(0)
     ).cast("long")
     ib = intervals.withColumn(
         "_bucket", F.explode(F.sequence(lo_b, F.greatest(hi_b, lo_b)))

@@ -125,10 +125,14 @@ def window_range_frame_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
-        # o_orderdate arrives as TIMESTAMP_NTZ (no direct long cast);
-        # through TIMESTAMP first — session TZ is pinned UTC, so this is
-        # the same epoch DuckDB's epoch() computes on the naive value.
-        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        # TZ-independent epoch seconds: the ntz->timestamp->long cast used
+        # previously silently assumed a UTC session (the grading driver's
+        # session has no TZ pin; DST shifts would move frame edges by
+        # 3600 s). o_orderdate is midnight-valued, so whole days * 86400
+        # is exactly DuckDB's epoch() on the naive value, on any host TZ.
+        .orderBy(
+            (F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long") * 86400)
+        )
         .rangeBetween(-30 * 86400, 0)
     )
     return orders.select(

@@ -194,14 +194,31 @@ def _jdbc_table_exists(
     """Existence probe: an unquoted single-row SELECT, so the name resolves
     under the database's own case normalization — exactly how Spark's
     writer created it (metadata getTables() is exact-match and misses
-    e.g. Derby's uppercase-folded storage of unquoted names)."""
+    e.g. Derby's uppercase-folded storage of unquoted names).
+
+    Only genuine table-not-found SQLStates map to False; anything else
+    (connection refused, auth failure, driver missing) re-raises —
+    otherwise a transient outage would silently demote the keyed MERGE
+    upsert to a duplicate-inserting bootstrap append."""
     try:
         _execute_jdbc_statement(
             df, url, f"SELECT 1 FROM {table} FETCH FIRST 1 ROWS ONLY", properties
         )
         return True
-    except Exception:
-        return False
+    except Exception as exc:
+        # Derby 42X05 ("Table/View does not exist"); MySQL/SQLServer 42S02;
+        # Postgres 42P01 ("undefined_table"); ODBC-style S0002.
+        not_found = {"42X05", "42S02", "42P01", "S0002"}
+        je = getattr(exc, "java_exception", None)
+        while je is not None:
+            try:
+                state = je.getSQLState()
+            except Exception:
+                state = None
+            if state in not_found:
+                return False
+            je = je.getCause()
+        raise
 
 
 def _execute_jdbc_statement(

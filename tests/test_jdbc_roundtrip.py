@@ -85,3 +85,26 @@ def test_jdbc_keyed_upsert_converges(spark, derby_url):
     # replay batch 2 (at-least-once foreachBatch) — no change, no error
     jdbc_keyed_upsert(b2, derby_url, "t_upsert", ["k"], properties=DERBY_PROPS, max_connections=1)
     assert jdbc_source(spark, derby_url, "t_upsert", properties=DERBY_PROPS).count() == 3
+
+
+def test_table_exists_probe_distinguishes_errors(spark, tmp_path):
+    """Missing TABLE -> False (bootstrap append is correct). But a broken
+    CONNECTION must raise, never read as "table missing" — that would
+    silently demote the keyed MERGE upsert to a duplicate-inserting
+    append on the next reachable moment."""
+    from data_pipeline_with_spark_kafka_spark.sources.readers import (
+        _jdbc_table_exists,
+    )
+
+    df = spark.range(1)
+    good_url = f"jdbc:derby:{tmp_path}/probe_db;create=true"
+    jdbc_sink(df, good_url, "t_present", mode="overwrite", properties=DERBY_PROPS)
+    assert _jdbc_table_exists(df, good_url, "t_present", DERBY_PROPS) is True
+    assert _jdbc_table_exists(df, good_url, "t_absent", DERBY_PROPS) is False
+
+    # No ;create=true and no database at the path: Derby raises XJ004
+    # (database not found) — a connection-class failure, must propagate.
+    bad_url = f"jdbc:derby:{tmp_path}/no_such_db"
+    with pytest.raises(Exception) as exc_info:
+        _jdbc_table_exists(df, bad_url, "t_present", DERBY_PROPS)
+    assert "XJ004" in str(exc_info.value) or "not found" in str(exc_info.value)

@@ -36,3 +36,21 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert len(df.columns) == 10
+
+
+def test_range_frame_is_timezone_independent(spark, sf_dir):
+    """The grading driver's session has no UTC pin: the RANGE-frame sort
+    key must produce identical frames under any session timezone (the old
+    ntz->timestamp->long cast shifted epochs by the TZ offset, moving
+    frame edges across DST transitions)."""
+    name = "window_range_frame_30d"
+    tz_conf = "spark.sql.session.timeZone"
+    original = spark.conf.get(tz_conf)
+    try:
+        spark.conf.set(tz_conf, "UTC")
+        utc = sorted(map(tuple, QUERIES[name].builder(spark, sf_dir).collect()))
+        spark.conf.set(tz_conf, "America/New_York")
+        nyc = sorted(map(tuple, QUERIES[name].builder(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set(tz_conf, original)
+    assert utc == nyc

@@ -36,6 +36,45 @@ def test_two_stage_agg_equals_plain_sum(spark, sf_dir):
     assert plain == staged
 
 
+def test_bucketed_range_join_boundary_sliver(spark):
+    """An interval ending within a hair ABOVE a bucket boundary must still
+    cover that boundary's bucket (the old epsilon-shave under-computed the
+    last bucket and silently dropped points in the top sliver), while an
+    interval ending EXACTLY on a boundary must not replicate into a bucket
+    it cannot match."""
+    from data_pipeline_with_spark_kafka_spark.operators.rangejoin import (
+        bucketed_range_join,
+    )
+
+    points = spark.createDataFrame([(20.0,), (19.5,), (25.0,)], "p double")
+    intervals = spark.createDataFrame(
+        [(5.0, 20.000000001, "sliver"), (0.0, 20.0, "exact")],
+        "lo double, hi double, tag string",
+    )
+    got = {
+        (r.p, r.tag)
+        for r in bucketed_range_join(
+            points, intervals, "p", "lo", "hi", bucket_width=10.0
+        ).collect()
+    }
+    assert got == {(20.0, "sliver"), (19.5, "sliver"), (19.5, "exact")}
+
+
+def test_bucketed_range_join_rejects_outer_modes(spark):
+    """Outer modes would be silently wrong (residual filter drops the
+    null-padded rows); the operator must refuse them."""
+    import pytest
+
+    from data_pipeline_with_spark_kafka_spark.operators.rangejoin import (
+        bucketed_range_join,
+    )
+
+    points = spark.createDataFrame([(1.0,)], "p double")
+    intervals = spark.createDataFrame([(0.0, 2.0)], "lo double, hi double")
+    with pytest.raises(ValueError, match="inner"):
+        bucketed_range_join(points, intervals, "p", "lo", "hi", bucket_width=1.0, how="left")
+
+
 def test_kmeans_deterministic_and_partitions_data(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     c1 = clustering.kmeans(emb, "vec_id", "embedding", k=8, iterations=3)
