@@ -185,3 +185,111 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_to(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
     )
+
+
+Q11_ORACLE = """
+WITH per_part AS (
+    SELECT l.l_partkey,
+           SUM(l.l_extendedprice * (1 - l.l_discount)) AS value
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_2'
+    GROUP BY l.l_partkey
+),
+tot AS (SELECT SUM(value) AS total FROM per_part)
+SELECT p.l_partkey, ROUND(p.value, 4) AS value
+FROM per_part p, tot t
+WHERE p.value > 0.0005 * t.total
+"""
+
+
+@register("tpch_q11_important_stock", oracle=Q11_ORACLE, tags=("tpch", "subquery"))
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: HAVING against a GLOBAL scalar x fraction — per-part value
+    for one nation's suppliers, kept only above a share of the nation
+    total. (Reshaped over lineitem/supplier; the fixture has no partsupp —
+    value is shipped revenue rather than stock value, same plan shape:
+    group-aggregate, 1-row global aggregate of the SAME relation,
+    broadcast cross join, threshold filter.)
+
+    Scale: per_part is reused for both the group rows and the global sum —
+    one shuffle to build it; the total is a 1-row aggregate (broadcast-
+    hintable by the plan lint's rules). Threshold compares the raw sums:
+    both engines' correctly-rounded doubles sit far from the boundary for
+    any non-adversarial data.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    nation_supp = supp.join(
+        F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"], "left_semi"
+    ).select("s_suppkey")
+    per_part = (
+        li.join(nation_supp, li["l_suppkey"] == nation_supp["s_suppkey"], "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+    )
+    total = per_part.agg(F.sum("value").alias("total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > 0.0005 * F.col("total"))
+        .select("l_partkey", round_to("value", 4).alias("value"))
+    )
+
+
+Q20_ORACLE = """
+WITH widget_parts AS (
+    SELECT p_partkey FROM part WHERE CONTAINS(p_name, 'widget')
+),
+per AS (
+    SELECT l_suppkey, l_partkey,
+           SUM(CASE WHEN EXTRACT(YEAR FROM l_shipdate) = 1997
+                    THEN l_quantity ELSE 0 END) AS qty97,
+           SUM(l_quantity) AS qty_all
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM widget_parts)
+    GROUP BY l_suppkey, l_partkey
+),
+qual AS (SELECT DISTINCT l_suppkey FROM per WHERE qty97 > 0.3 * qty_all)
+SELECT s.s_name, ROUND(s.s_acctbal, 4) AS acctbal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_3'
+  AND s.s_suppkey IN (SELECT l_suppkey FROM qual)
+"""
+
+
+@register("tpch_q20_potential_promotion", oracle=Q20_ORACLE, tags=("tpch", "subquery"))
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: the nested semi-join chain — part-name filter feeds a
+    correlated quantity threshold, whose survivors semi-filter supplier,
+    intersected with a nation filter. (Reshaped over lineitem; no
+    partsupp: the availqty > 0.5 x shipped-qty predicate becomes
+    1997-shipped > 0.3 x all-time-shipped per (supplier, part) — the same
+    aggregate-threshold-inside-IN-chain plan.)
+
+    Scale: two semi joins (never materializing the multiplied row set),
+    one grouped aggregate on (suppkey, partkey); quantities are integral
+    doubles, so the 0.3x threshold compare is engine-exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+
+    li_widget = li.join(
+        part.select("p_partkey"), li["l_partkey"] == part["p_partkey"], "left_semi"
+    )
+    per = li_widget.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(
+            F.when(F.year("l_shipdate") == 1997, F.col("l_quantity")).otherwise(0.0)
+        ).alias("qty97"),
+        F.sum("l_quantity").alias("qty_all"),
+    )
+    qual = per.filter(F.col("qty97") > 0.3 * F.col("qty_all")).select("l_suppkey").distinct()
+    return (
+        supp.join(qual, supp["s_suppkey"] == qual["l_suppkey"], "left_semi")
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"], "left_semi")
+        .select("s_name", round_to("s_acctbal", 4).alias("acctbal"))
+    )
