@@ -1,7 +1,10 @@
 """Benchmark harness: runs the named query corpus at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints a
+compact headline JSON line {"metric": ..., "value": total_sec, ...}
+followed by the full line with per-query timings
+{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. The compact line comes FIRST so a
+tail-truncated artifact capture always retains the headline total.
 
 Each query is forced end-to-end with the `noop` sink (full computation,
 no driver-side collect — measures the plan, not toPandas serialization).
@@ -71,6 +74,20 @@ def main() -> None:
         timings[name] = round(min(timings[name], run_once(name)), 3)
 
     total = round(sum(timings.values()), 3)
+    # Compact headline FIRST: the driver's artifact capture tails stdout
+    # and can truncate the front of a long line — a leading summary line
+    # guarantees the total survives even if the per-query dict is cut.
+    print(
+        json.dumps(
+            {
+                "metric": "query_corpus_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "sf": sf,
+            }
+        )
+    )
     print(
         json.dumps(
             {

@@ -67,10 +67,16 @@ def brute_force_topk(
 
 
 def hyperplane_signs(vec_col: Column, planes: np.ndarray) -> Column:
-    """Bucket id = integer of sign bits of <plane_i, v>."""
+    """Bucket id = integer of sign bits of <plane_i, v>.
+
+    Each plane is ONE array Literal (``F.lit(ndarray)`` — a Python list
+    would desugar to CreateArray of dim element literals): at dim 512 x 8
+    planes the per-element form put 4096 expression nodes into the tree,
+    bloating analysis and codegen; a Literal is a single node regardless
+    of dim."""
     acc = F.lit(0).cast("long")
     for plane in planes:
-        plane_lit = F.array(*[F.lit(float(w)) for w in plane])
+        plane_lit = F.lit(np.asarray(plane, dtype=np.float64))
         bit = F.when(dot(as_double(vec_col), plane_lit) >= 0, 1).otherwise(0)
         acc = acc * 2 + bit
     return acc

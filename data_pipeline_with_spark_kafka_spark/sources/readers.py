@@ -130,6 +130,64 @@ def jdbc_sink(
     writer.save()
 
 
+def upsert_dialect_for_url(url: str) -> str:
+    """Map a JDBC URL to the upsert dialect ``build_upsert_sql`` speaks.
+
+    MySQL (the reference's actual target, ``spark_consumer_kafka.py:12-15,
+    138-146``) has no ``MERGE`` statement — its native idempotent-write
+    form is ``INSERT ... ON DUPLICATE KEY UPDATE``. Everything else we
+    target (Derby, Postgres 15+, SQL Server, Oracle) speaks SQL:2003
+    ``MERGE``."""
+    return "mysql" if url.lower().startswith("jdbc:mysql:") else "merge"
+
+
+def build_upsert_sql(
+    table: str, staging: str, cols: list[str], key_cols: list[str], *, dialect: str
+) -> str:
+    """The one statement that folds a staging table into the target keyed
+    on ``key_cols``. Pure string-builder so the MySQL branch is unit-testable
+    without a MySQL server in the environment.
+
+    Identifier quoting mirrors Spark's JDBC writer exactly: the dbtable
+    name passes through UNQUOTED (the database case-normalizes it; Derby
+    uppercases, MySQL is filesystem-cased), while COLUMN names are
+    dialect-quoted at CREATE time and so must be quoted (case-exact) here —
+    double quotes for ANSI MERGE targets, backticks for MySQL (matching
+    Spark's ``MySQLDialect.quoteIdentifier``).
+    """
+    val_cols = [c for c in cols if c not in key_cols]
+    if dialect == "mysql":
+        q = lambda c: f"`{c}`"  # noqa: E731
+        insert_cols = ", ".join(q(c) for c in cols)
+        select_vals = ", ".join(f"s.{q(c)}" for c in cols)
+        if not val_cols:
+            # Nothing to update when every column is part of the key:
+            # INSERT IGNORE keeps existing rows and inserts missing ones.
+            return f"INSERT IGNORE INTO {table} ({insert_cols}) SELECT {select_vals} FROM {staging} s"
+        # INSERT..SELECT form: the SELECT alias is visible in the ODKU
+        # clause (MySQL 8 manual, "INSERT ... ON DUPLICATE KEY UPDATE"),
+        # so s.`col` refers to the staging row — the VALUES() function is
+        # deprecated in 8.0.20+. Requires the target's PRIMARY/UNIQUE key
+        # to be exactly key_cols (the reference's DDL declares it,
+        # README.md:74-92).
+        set_clause = ", ".join(f"{q(c)} = s.{q(c)}" for c in val_cols)
+        return (
+            f"INSERT INTO {table} ({insert_cols}) SELECT {select_vals} FROM {staging} s "
+            f"ON DUPLICATE KEY UPDATE {set_clause}"
+        )
+    if dialect == "merge":
+        on = " AND ".join(f't."{k}" = s."{k}"' for k in key_cols)
+        set_clause = ", ".join(f't."{c}" = s."{c}"' for c in val_cols)
+        insert_cols = ", ".join(f'"{c}"' for c in cols)
+        insert_vals = ", ".join(f's."{c}"' for c in cols)
+        return (
+            f"MERGE INTO {table} t USING {staging} s ON {on} "
+            + (f"WHEN MATCHED THEN UPDATE SET {set_clause} " if set_clause else "")
+            + f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+        )
+    raise ValueError(f"unknown upsert dialect: {dialect!r}")
+
+
 def jdbc_keyed_upsert(
     df: DataFrame,
     url: str,
@@ -139,20 +197,23 @@ def jdbc_keyed_upsert(
     properties: dict[str, str] | None = None,
     max_connections: int = 8,
     staging_suffix: str = "_staging",
+    dialect: str | None = None,
 ) -> None:
     """Idempotent keyed upsert into a JDBC table: bulk-write the batch to a
     staging table (cluster-parallel, bounded connections), then one
-    transactional ``MERGE`` from staging into the target on the key.
+    transactional set-statement from staging into the target on the key —
+    SQL:2003 ``MERGE`` where available, ``INSERT ... ON DUPLICATE KEY
+    UPDATE`` on MySQL (auto-detected from the URL; override via
+    ``dialect=``).
 
     This is the sink the reference NEEDED: its "upsert" is a plain append
     under ``outputMode("update")`` (``spark_consumer_kafka.py:131-157``),
     so every re-emitted window collides with the target's primary key. A
-    staging-table MERGE makes window re-emissions and epoch replays
+    staging-table upsert makes window re-emissions and epoch replays
     converge — the JDBC analog of ``streaming/sinks.keyed_upsert_parquet``
     (wire via ``foreachBatch`` for streaming).
 
-    The MERGE itself is standard SQL:2003 (Derby/MySQL 8/Postgres 15+);
-    only the row-moving write is distributed — the merge is one statement
+    Only the row-moving write is distributed — the fold is one statement
     executed on the database, where it belongs.
     """
     if not _jdbc_table_exists(df, url, table, properties):
@@ -165,27 +226,18 @@ def jdbc_keyed_upsert(
         )
         return
     staging = f"{table}{staging_suffix}"
-    # Dedup within the batch first: MERGE rejects two source rows hitting
-    # the same target row (ANSI "attempt to update a row more than once").
+    # Dedup within the batch first: both MERGE (ANSI "attempt to update a
+    # row more than once") and ODKU (last-dup-wins nondeterminism) misbehave
+    # when two source rows hit the same target row.
     jdbc_sink(
         df.dropDuplicates(key_cols), url, staging,
         mode="overwrite", properties=properties, max_connections=max_connections,
     )
-    # Identifier quoting mirrors Spark's writer exactly: the dbtable name
-    # passes through UNQUOTED (the database case-normalizes it; Derby
-    # uppercases), while COLUMN names are dialect-quoted at CREATE time and
-    # so must be quoted (case-exact) here.
-    cols = df.columns
-    on = " AND ".join(f't."{k}" = s."{k}"' for k in key_cols)
-    set_clause = ", ".join(f't."{c}" = s."{c}"' for c in cols if c not in key_cols)
-    insert_cols = ", ".join(f'"{c}"' for c in cols)
-    insert_vals = ", ".join(f's."{c}"' for c in cols)
-    merge = (
-        f"MERGE INTO {table} t USING {staging} s ON {on} "
-        + (f"WHEN MATCHED THEN UPDATE SET {set_clause} " if set_clause else "")
-        + f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+    sql = build_upsert_sql(
+        table, staging, df.columns, key_cols,
+        dialect=dialect or upsert_dialect_for_url(url),
     )
-    _execute_jdbc_statement(df, url, merge, properties)
+    _execute_jdbc_statement(df, url, sql, properties)
 
 
 def _jdbc_table_exists(

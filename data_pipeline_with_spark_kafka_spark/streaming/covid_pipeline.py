@@ -13,6 +13,7 @@ End-to-end parity with
 | window bound extraction    | :90-99           | idem |
 | stream-static join         | :101-106         | broadcast dim join |
 | derived per-million metric | :109-112,126     | DECIMAL(20,4) column |
+| processing_time audit col  | :127             | ``windowed_enrichment(audit=True)`` (sink default) |
 | sink                       | :131-157 (wart)  | idempotent keyed upsert (streaming/sinks.py) |
 
 The event payload mirrors the reference's covid schema
@@ -68,10 +69,17 @@ def windowed_enrichment(
     *,
     window: str = "1 minute",
     watermark: str = "10 minutes",
+    audit: bool = False,
 ) -> callable:
     """Transform: watermark -> tumbling window aggs -> broadcast dim join ->
     derived DECIMAL metric. Works identically on a streaming or batch input
-    (batch ignores the watermark), which is what makes golden tests exact."""
+    (batch ignores the watermark), which is what makes golden tests exact.
+
+    ``audit=True`` appends the reference's ``processing_time`` audit column
+    (``current_timestamp()``, spark_consumer_kafka.py:127) — wall-clock of
+    the emitting micro-batch. Off by default: the column is nondeterministic
+    by design, so golden/oracle comparisons exclude it while the production
+    sink schema (build_stream_pipeline) carries it."""
 
     def apply(parsed: DataFrame) -> DataFrame:
         agg = (
@@ -85,6 +93,7 @@ def windowed_enrichment(
                 F.count(F.lit(1)).alias("n_entries"),
             )
         )
+        audit_cols = [F.current_timestamp().alias("processing_time")] if audit else []
         return (
             agg.join(F.broadcast(dim), "location", "inner")
             .select(
@@ -103,6 +112,7 @@ def windowed_enrichment(
                 )
                 .cast("decimal(20,4)")
                 .alias("new_cases_per_million_in_window"),
+                *audit_cols,
             )
         )
 
@@ -116,12 +126,18 @@ def build_stream_pipeline(
     *,
     window: str = "1 minute",
     watermark: str = "10 minutes",
+    audit: bool = True,
 ) -> Pipeline:
     """Assemble the full declarative pipeline (source is swappable: kafka in
-    production, file-stream in tests — SAME transforms and sink)."""
+    production, file-stream in tests — SAME transforms and sink). The sink
+    schema carries the ``processing_time`` audit column by default
+    (reference parity); goldens compare against the deterministic columns."""
     return Pipeline(
         source=source,
-        transforms=[parse_events, windowed_enrichment(dim, window=window, watermark=watermark)],
+        transforms=[
+            parse_events,
+            windowed_enrichment(dim, window=window, watermark=watermark, audit=audit),
+        ],
         sink=sink,
     )
 

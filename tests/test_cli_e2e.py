@@ -86,7 +86,8 @@ def test_cli_e2e_matches_batch_golden(spark, tmp_path, csv_inputs):
     payload = build_producer_frame(spark, events_csv)
     golden = windowed_enrichment(dim)(parse_events(payload))
 
-    assert _rows_set(streamed) == _rows_set(golden)
+    assert "processing_time" in streamed.columns  # audit col in sink schema
+    assert _rows_set(streamed.drop("processing_time")) == _rows_set(golden)
     # validation semantics: 2 rows dropped (missing essentials), the
     # empty/malformed-numeric rows kept with 0s -> LOC_A has windows
     # 10:00, 10:01, 10:02; LOC_B 10:00, 10:03; LOC_C 10:02

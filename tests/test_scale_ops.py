@@ -36,6 +36,25 @@ def test_two_stage_agg_equals_plain_sum(spark, sf_dir):
     assert plain == staged
 
 
+def test_hyperplane_signs_expression_tree_stays_bounded(spark):
+    """At dim=512 the bucket expression must stay a handful of nodes per
+    plane (one array Literal each), not dim x planes element literals —
+    the per-element form bloated analysis and generated code (round-2
+    verdict item 8)."""
+    planes = similarity.make_planes(dim=512, n_planes=8)
+    expr = similarity.hyperplane_signs(F.col("v"), planes)
+    df = spark.createDataFrame([([0.0] * 512,)], "v array<double>").select(
+        expr.alias("bucket")
+    )
+    analyzed = df._jdf.queryExecution().analyzed()
+    # No CreateArray from the planes: each is a single array Literal.
+    assert "array(" not in analyzed.toString()
+    tree_lines = analyzed.expressions().head().numberedTreeString().count("\n") + 1
+    # 8 planes x (when + comparison + dot-aggregate chain + ONE literal)
+    # comfortably fits in a few hundred nodes; 4096 element literals do not.
+    assert tree_lines < 500, f"bucket expression tree has {tree_lines} nodes"
+
+
 def test_bucketed_range_join_boundary_sliver(spark):
     """An interval ending within a hair ABOVE a bucket boundary must still
     cover that boundary's bucket (the old epsilon-shave under-computed the
