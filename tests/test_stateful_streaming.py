@@ -161,6 +161,78 @@ def test_stream_stream_join_within_time_bound(spark, tmp_path):
     assert ads == ["ad1"]
 
 
+def test_stream_stream_left_outer_state_survives_checkpoint_restart(spark, tmp_path):
+    """Kill-and-restart contract for stream-stream join state: run 1 buffers
+    an unmatched impression in the state store and stops; run 2 (same
+    checkpoint, new data) must emit its null-padded row EXACTLY once — the
+    buffered left row is neither lost (no null emission ever) nor replayed
+    (duplicate emission) across the restart."""
+    lsrc, rsrc, ckpt = tmp_path / "lr", tmp_path / "rr", tmp_path / "ckr"
+    lsrc.mkdir()
+    rsrc.mkdir()
+
+    emitted = []
+
+    def collect(df, epoch):
+        emitted.extend((r.ad, r.click_time) for r in df.collect())
+
+    def run_once():
+        left = (
+            spark.readStream.schema("ad string, imp_time string").json(str(lsrc))
+            .withColumn("imp_time", F.to_timestamp("imp_time"))
+        )
+        right = (
+            spark.readStream.schema("ad string, click_time string").json(str(rsrc))
+            .withColumn("click_time", F.to_timestamp("click_time"))
+        )
+        joined = stream_stream_join(
+            left, right, key="ad", left_time="imp_time", right_time="click_time",
+            max_lag="5 minutes", how="left_outer",
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .foreachBatch(collect)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain(q)
+
+    # run 1: ad1 matches within the lag; ad2 stays buffered (watermark has
+    # not passed its eviction bound when the query drains and stops)
+    (lsrc / "l1.json").write_text(
+        json.dumps({"ad": "ad1", "imp_time": "2024-06-01 10:00:00"}) + "\n"
+        + json.dumps({"ad": "ad2", "imp_time": "2024-06-01 10:00:00"}) + "\n"
+    )
+    (rsrc / "r1.json").write_text(
+        json.dumps({"ad": "ad1", "click_time": "2024-06-01 10:02:00"}) + "\n"
+    )
+    run_once()
+    first_run = list(emitted)
+    assert ("ad2", None) not in first_run, "null row must not pre-empt the watermark"
+
+    # run 2: restart from the checkpoint; filler on both sides pushes the
+    # watermark past ad2's eviction bound (10:00 + 5 min lag + 10 min delay)
+    (lsrc / "l2.json").write_text(
+        json.dumps({"ad": "fill_l", "imp_time": "2024-06-01 12:00:00"}) + "\n"
+    )
+    (rsrc / "r2.json").write_text(
+        json.dumps({"ad": "fill_r", "click_time": "2024-06-01 12:00:00"}) + "\n"
+    )
+    (lsrc / "l3.json").write_text(
+        json.dumps({"ad": "fill_l2", "imp_time": "2024-06-01 12:30:00"}) + "\n"
+    )
+    (rsrc / "r3.json").write_text(
+        json.dumps({"ad": "fill_r2", "click_time": "2024-06-01 12:30:00"}) + "\n"
+    )
+    run_once()
+
+    matched = [e for e in emitted if e[0] == "ad1"]
+    nulls = [e for e in emitted if e[1] is None and e[0] == "ad2"]
+    assert len(matched) == 1 and matched[0][1] is not None  # exactly-once match
+    assert len(nulls) == 1, f"ad2 null row must appear exactly once, got {emitted}"
+
+
 def test_stream_stream_left_outer_emits_null_after_eviction(spark, tmp_path):
     """Left-outer stream-stream join: the unmatched impression must emit a
     null-click row, but ONLY after the watermark passes its join-state

@@ -261,6 +261,137 @@ def test_streaming_kafka_payload_sink(spark, tmp_path):
     assert all(set(d) == {"window_start", "location", "total_new_cases_in_window"} for d in decoded)
 
 
+def user_event(t: str, user: str, value: float) -> str:
+    return json.dumps({"user_id": user, "ts": t, "value": value})
+
+
+def user_stream(spark, path, *, max_files_per_trigger=1):
+    return (
+        spark.readStream.schema("user_id string, ts string, value double")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(str(path))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+
+
+def test_streaming_session_window_finalizes_and_drops_late(spark, tmp_path):
+    """session_window on a STREAM (the batch expression from
+    queries/windows_time.py, unchanged): append mode (Spark does not
+    support update mode for session windows) across 3 micro-batches.
+    A batch-2 event EXTENDS an open session (merge into session state),
+    filler advances the watermark to finalize it, and a batch-3 event
+    older than the watermark is dropped."""
+    src = tmp_path / "sess_in"
+    ckpt = tmp_path / "sess_ck"
+    src.mkdir()
+    # batch 1: U1 opens a session (2 events), U2 opens one
+    write_file(str(src / "f1.json"), [
+        user_event("2024-06-01 10:00:00", "U1", 1.0),
+        user_event("2024-06-01 10:10:00", "U1", 2.0),
+        user_event("2024-06-01 10:05:00", "U2", 5.0),
+    ])
+    # batch 2: U1's session extends (10:20 < 10:10 + 30min gap); far-future
+    # filler pushes the watermark to 12:50 at commit (13:00 - 10 min delay)
+    write_file(str(src / "f2.json"), [
+        user_event("2024-06-01 10:20:00", "U1", 3.0),
+        user_event("2024-06-01 13:00:00", "FILL", 0.0),
+    ])
+    # batch 3: a 9:00 event is far behind the 12:50 watermark -> dropped;
+    # this batch also emits the sessions finalized by batch 2's watermark
+    write_file(str(src / "f3.json"), [user_event("2024-06-01 09:00:00", "LATE", 99.0)])
+    os.utime(str(src / "f1.json"), (1, 1))
+    os.utime(str(src / "f2.json"), (100, 100))
+
+    sessions = (
+        user_stream(spark, src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events", "total_value")
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory").queryName("sess_out")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    # U1's merged session spans all 3 events (end = last event + gap); the
+    # FILL session is still open (withheld by append mode) and LATE was
+    # dropped — exactly the finalized sessions appear, each exactly once.
+    assert got == {
+        ("U1", "2024-06-01 10:00:00", "2024-06-01 10:50:00", 3, 6.0),
+        ("U2", "2024-06-01 10:05:00", "2024-06-01 10:35:00", 1, 5.0),
+    }
+
+
+def test_streaming_sliding_window_update_mode_revises_and_drops_late(spark, tmp_path):
+    """Sliding window (10 min / 5 min) on a STREAM in update mode across 3
+    micro-batches with a keyed-upsert sink: a batch-2 event lands in the
+    SAME two windows as batch 1 (update-mode re-emission replaces via the
+    keyed sink), and a batch-3 event behind the watermark is dropped. The
+    converged sink state equals the batch-mode plan on the kept events."""
+    src = tmp_path / "slide_in"
+    ckpt = tmp_path / "slide_ck"
+    out = tmp_path / "slide_out"
+    src.mkdir()
+    write_file(str(src / "f1.json"), [user_event("2024-06-01 10:02:00", "U1", 1.0)])
+    # revises both of U1's open windows; filler -> watermark 11:50 at commit
+    write_file(str(src / "f2.json"), [
+        user_event("2024-06-01 10:04:00", "U1", 2.0),
+        user_event("2024-06-01 12:00:00", "FILL", 0.0),
+    ])
+    write_file(str(src / "f3.json"), [user_event("2024-06-01 09:00:00", "LATE", 99.0)])
+    os.utime(str(src / "f1.json"), (1, 1))
+    os.utime(str(src / "f2.json"), (100, 100))
+
+    def sliding(df):
+        return (
+            df.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "user_id",
+                    "n_events", "total_value")
+        )
+
+    q = (
+        sliding(user_stream(spark, src))
+        .writeStream.outputMode("update")
+        .foreachBatch(keyed_upsert_parquet(str(out), ["window_start", "user_id"]))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+
+    streamed = {
+        (str(r.window_start), r.user_id, r.n_events, r.total_value)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    # batch golden over the KEPT events (late one excluded by the watermark)
+    kept = spark.createDataFrame(
+        [("U1", "2024-06-01 10:02:00", 1.0), ("U1", "2024-06-01 10:04:00", 2.0),
+         ("FILL", "2024-06-01 12:00:00", 0.0)],
+        "user_id string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    golden = {
+        (str(r.window_start), r.user_id, r.n_events, r.total_value)
+        for r in sliding(kept).collect()
+    }
+    assert streamed == golden
+    # U1's two windows (9:55, 10:00) each saw the batch-2 revision: n=2
+    assert {(w, n) for w, u, n, _ in streamed if u == "U1"} == {
+        ("2024-06-01 09:55:00", 2), ("2024-06-01 10:00:00", 2),
+    }
+
+
 @pytest.mark.parametrize("dedup_within", [True])
 def test_drop_duplicates_within_watermark(spark, tmp_path, dedup_within):
     """dropDuplicatesWithinWatermark on a replayed stream: duplicate event
