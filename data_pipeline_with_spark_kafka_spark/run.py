@@ -164,6 +164,87 @@ def cmd_e2e(spark: SparkSession, args: argparse.Namespace) -> None:
     cmd_consume(spark, args)
 
 
+def cmd_orchestrate(spark: SparkSession, args: argparse.Namespace) -> None:
+    """produce -> consume as a retried job DAG — the shape the reference
+    delegates to Airflow (``spark_consumer_dag.py:10-15`` default_args:
+    retries + retry_delay), scheduler-less: per-job retry with delay,
+    downstream skip on failure, attempt records printed per job."""
+    from data_pipeline_with_spark_kafka_spark.orchestration import (
+        JobSpec,
+        RetryPolicy,
+        run_dag,
+    )
+
+    args.kafka_servers = None
+    args.output_dir = args.stage_dir
+    policy = RetryPolicy(retries=args.retries, retry_delay_s=args.retry_delay)
+
+    def produce() -> None:
+        cmd_produce(spark, args)
+
+    def consume() -> None:
+        args.input_dir = args.stage_dir
+        cmd_consume(spark, args)
+
+    results = run_dag(
+        [
+            JobSpec("produce", produce, retry=policy),
+            JobSpec("consume", consume, depends_on=("produce",), retry=policy),
+        ]
+    )
+    for r in results.values():
+        print(f"{r.name}: {r.state} after {r.attempts} attempt(s)")
+    if any(r.state != "success" for r in results.values()):
+        raise SystemExit(1)
+
+
+def cmd_dag(args: argparse.Namespace) -> None:
+    """Emit the Airflow DAG file for this pipeline (the deployment artifact
+    the reference hand-writes, ``spark_consumer_dag.py``) — generated from
+    the same specs the scheduler-less runner uses. No SparkSession needed."""
+    from data_pipeline_with_spark_kafka_spark.orchestration import (
+        RetryPolicy,
+        SparkSubmitSpec,
+        airflow_dag_source,
+    )
+
+    scala_bin = "2.13"  # Spark 4.x is Scala 2.13-only
+    consumer = SparkSubmitSpec(
+        application=args.application,
+        application_args=(
+            "consume",
+            "--kafka-servers", args.kafka_servers,
+            "--topic", args.topic,
+            "--dim", args.dim,
+            "--target", args.target,
+            "--checkpoint", args.checkpoint,
+        ),
+        packages=(
+            f"org.apache.spark:spark-sql-kafka-0-10_{scala_bin}:{args.spark_version}",
+            "com.mysql:mysql-connector-j:8.4.0",
+        ),
+        executor_cores=1,
+        executor_memory="2g",
+        driver_memory="1g",
+        num_executors=2,
+        conf={"spark.sql.shuffle.partitions": "200"},
+    )
+    source = airflow_dag_source(
+        "spark_pipeline_consumer",
+        {"submit_consumer": consumer},
+        description="Consume events from Kafka, window-aggregate, upsert to the JDBC target.",
+        schedule=None,
+        retry=RetryPolicy(retries=1, retry_delay_s=300),
+        tags=("spark", "kafka", "streaming"),
+    )
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(source)
+        print(f"wrote {args.out}")
+    else:
+        print(source, end="")
+
+
 def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="data_pipeline_with_spark_kafka_spark.run")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -198,6 +279,29 @@ def make_parser() -> argparse.ArgumentParser:
     e2e.add_argument("--target", required=True)
     e2e.add_argument("--checkpoint", required=True)
     e2e.add_argument("--timeout", type=int, default=120)
+
+    orch = sub.add_parser(
+        "orchestrate", help="produce -> consume as a retried job DAG (Airflow-parity semantics)"
+    )
+    orch.add_argument("--input", required=True)
+    orch.add_argument("--stage-dir", required=True)
+    orch.add_argument("--batches", type=int, default=4)
+    orch.add_argument("--dim", required=True)
+    orch.add_argument("--target", required=True)
+    orch.add_argument("--checkpoint", required=True)
+    orch.add_argument("--timeout", type=int, default=120)
+    orch.add_argument("--retries", type=int, default=1)
+    orch.add_argument("--retry-delay", type=float, default=300.0, help="seconds between attempts")
+
+    dag = sub.add_parser("dag", help="emit the generated Airflow DAG file for the consumer job")
+    dag.add_argument("--application", default="/opt/spark/app/run.py")
+    dag.add_argument("--kafka-servers", default="kafka:9092")
+    dag.add_argument("--topic", default="covid_data")
+    dag.add_argument("--dim", default="/opt/spark/app/dim.csv")
+    dag.add_argument("--target", default="/data/covid_agg")
+    dag.add_argument("--checkpoint", default="/tmp/spark-checkpoint")
+    dag.add_argument("--spark-version", default="4.1.2")
+    dag.add_argument("--out", help="write the DAG file here (default: stdout)")
     return p
 
 
@@ -207,10 +311,17 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> No
         make_parser().error("produce needs --output-dir or --kafka-servers")
     if args.cmd == "consume" and not (args.input_dir or args.kafka_servers):
         make_parser().error("consume needs --input-dir or --kafka-servers")
+    if args.cmd == "dag":  # pure codegen — no SparkSession
+        cmd_dag(args)
+        return
     spark = spark or get_spark("pipeline-cli")
-    {"produce": cmd_produce, "consume": cmd_consume, "curate": cmd_curate, "e2e": cmd_e2e}[
-        args.cmd
-    ](spark, args)
+    {
+        "produce": cmd_produce,
+        "consume": cmd_consume,
+        "curate": cmd_curate,
+        "e2e": cmd_e2e,
+        "orchestrate": cmd_orchestrate,
+    }[args.cmd](spark, args)
 
 
 if __name__ == "__main__":
