@@ -7,6 +7,7 @@ from data_pipeline_with_spark_kafka_spark.queries import (  # noqa: F401
     llm,
     llm_curation,
     llm_fast_paths,
+    llm_repetition,
     llm_sampling,
     llm_scoring,
     nulls_semantics,
