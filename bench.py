@@ -74,20 +74,6 @@ def main() -> None:
         timings[name] = round(min(timings[name], run_once(name)), 3)
 
     total = round(sum(timings.values()), 3)
-    # Compact headline FIRST: the driver's artifact capture tails stdout
-    # and can truncate the front of a long line — a leading summary line
-    # guarantees the total survives even if the per-query dict is cut.
-    print(
-        json.dumps(
-            {
-                "metric": "query_corpus_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "n_queries": len(timings),
-                "sf": sf,
-            }
-        )
-    )
     print(
         json.dumps(
             {
@@ -95,6 +81,22 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    # Compact headline LAST: the driver's artifact capture keeps the TAIL
+    # of stdout, so the final bytes are what survive truncation. The long
+    # per-query line above is informational; this short line is the one
+    # that must parse (BENCH_r01..r03 all lost their total because the
+    # summary printed first and was truncated away).
+    print(
+        json.dumps(
+            {
+                "metric": "query_corpus_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
                 "sf": sf,
             }
         )

@@ -358,7 +358,10 @@ def simhash_pairs(
 # probe is a real Spark job, so repeated construction of the same query
 # must not re-run it (round-2 verdict: building a DataFrame should not
 # execute; the probe is the one documented exception, and only once).
+# Bounded FIFO (a long-running service probing many distinct plans must
+# not leak session-lifetime memory); 64 entries dwarfs any one corpus run.
 _MAX_BLOCK_CACHE: dict = {}
+_MAX_BLOCK_CACHE_CAP = 64
 
 
 def _max_block_size(df: DataFrame, block_col: str) -> int:
@@ -377,6 +380,8 @@ def _max_block_size(df: DataFrame, block_col: str) -> int:
         row = df.groupBy(F.col(block_col)).agg(F.count(F.lit(1)).alias("n")).agg(
             F.max("n")
         ).collect()
+        while len(_MAX_BLOCK_CACHE) >= _MAX_BLOCK_CACHE_CAP:
+            _MAX_BLOCK_CACHE.pop(next(iter(_MAX_BLOCK_CACHE)))
         _MAX_BLOCK_CACHE[key] = int(row[0][0] or 0)
     return _MAX_BLOCK_CACHE[key]
 

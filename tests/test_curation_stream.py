@@ -61,10 +61,15 @@ def test_stream_curation_matches_batch_on_same_log(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    deadline = time.time() + 120
+    deadline = time.time() + 600
     while q.isActive and time.time() < deadline:
         q.awaitTermination(2)
-    assert not q.isActive
+    if q.isActive:
+        status = q.status
+        q.stop()
+        raise AssertionError(f"stream did not drain in 600s; status={status}")
+    if q.exception() is not None:
+        raise AssertionError(f"stream failed: {q.exception()}")
 
     out = spark.read.parquet(target)
     rows = out.collect()

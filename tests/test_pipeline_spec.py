@@ -47,13 +47,13 @@ def test_rate_source_produces_rows(spark, tmp_path):
         .start()
     )
     try:
-        deadline = time.time() + 30
+        deadline = time.time() + 120
         n = 0
         while time.time() < deadline:
             n = spark.sql("SELECT COUNT(*) AS n FROM rate_out").collect()[0].n
             if n > 0:
                 break
             time.sleep(1)
-        assert n > 0, "rate source produced no rows in 30s"
+        assert n > 0, "rate source produced no rows in 120s"
     finally:
         q.stop()

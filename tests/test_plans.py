@@ -231,3 +231,27 @@ def test_bucketed_range_join_has_no_nested_loop(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan, plan
     assert "Join" in plan
+
+
+SF01_DIR = "/root/testdata/sf0.1"
+
+
+@pytest.mark.parametrize(
+    "name", ["tpch_q22_global_sales_opportunity", "tpch_q14_promo_effect"]
+)
+def test_dehinted_dim_joins_still_broadcast_at_sf01(spark, name):
+    """Round-3 removed the hard broadcast hints on `customer` (q22 anti-join
+    build side) and `part` (q14) because they are sf-proportional; the
+    scale-safe contract is that the PLANNER (stats + AQE) elects broadcast
+    where the relation actually fits the threshold, and falls back to
+    shuffle joins where it doesn't. At sf0.1 both relations are well under
+    the 32 MB autoBroadcastJoinThreshold, so the plan must still be the
+    broadcast one — de-hinting may not cost the toy-scale plan."""
+    import os
+
+    if not os.path.isdir(SF01_DIR):
+        pytest.skip("sf0.1 fixtures not present")
+    df = QUERIES[name].builder(spark, SF01_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

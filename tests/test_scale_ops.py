@@ -115,3 +115,28 @@ def test_ivf_topk_includes_query_and_overlaps_brute_force(spark, sf_dir):
     assert 0 in ivf  # the query's own vector is always in its own cell
     recall = len(set(ivf) & set(brute)) / 10
     assert recall >= 0.1, f"IVF recall collapsed: {recall} (ivf={ivf}, brute={brute})"
+
+
+def test_max_block_cache_is_bounded(spark):
+    """The build-time probe memo must not grow without bound across many
+    distinct plans (session-lifetime leak in a long-running service)."""
+    from data_pipeline_with_spark_kafka_spark.operators import dedup
+
+    saved = dict(dedup._MAX_BLOCK_CACHE)
+    dedup._MAX_BLOCK_CACHE.clear()
+    try:
+        for i in range(dedup._MAX_BLOCK_CACHE_CAP + 10):
+            # Distinct literal → distinct semantic plan hash per iteration.
+            df = spark.range(2).withColumn("blk", F.lit(i) % 2)
+            n = dedup._max_block_size(df, "blk")
+            assert n == 2 if i % 2 == 0 else n >= 1
+            assert len(dedup._MAX_BLOCK_CACHE) <= dedup._MAX_BLOCK_CACHE_CAP
+        # Repeated probe of a cached plan does not grow the cache.
+        df = spark.range(2).withColumn("blk", F.lit(0))
+        dedup._max_block_size(df, "blk")
+        size = len(dedup._MAX_BLOCK_CACHE)
+        dedup._max_block_size(df, "blk")
+        assert len(dedup._MAX_BLOCK_CACHE) == size
+    finally:
+        dedup._MAX_BLOCK_CACHE.clear()
+        dedup._MAX_BLOCK_CACHE.update(saved)

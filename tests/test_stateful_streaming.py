@@ -15,11 +15,19 @@ from data_pipeline_with_spark_kafka_spark.streaming.stateful import (
 )
 
 
-def drain(query, timeout=120):
+def drain(query, timeout=600):
+    # availableNow queries terminate deterministically, but on a co-tenant
+    # box a micro-batch can take minutes under load — the deadline is a
+    # hang backstop, not a performance assertion.
     deadline = time.time() + timeout
     while query.isActive and time.time() < deadline:
         query.awaitTermination(2)
-    assert not query.isActive
+    if query.isActive:
+        status = query.status
+        query.stop()
+        raise AssertionError(f"stream did not drain in {timeout}s; status={status}")
+    if query.exception() is not None:
+        raise AssertionError(f"stream failed: {query.exception()}")
 
 
 def event_line(t, loc, n):

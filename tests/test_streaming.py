@@ -56,11 +56,18 @@ def write_file(path: str, lines: list[str]) -> None:
         f.write("\n".join(lines) + "\n")
 
 
-def run_to_completion(query, timeout=120):
+def run_to_completion(query, timeout=600):
+    # Hang backstop only — availableNow drains deterministically but a
+    # micro-batch can take minutes under co-tenant load.
     deadline = time.time() + timeout
     while query.isActive and time.time() < deadline:
         query.awaitTermination(2)
-    assert not query.isActive, "stream did not drain in time"
+    if query.isActive:
+        status = query.status
+        query.stop()
+        raise AssertionError(f"stream did not drain in {timeout}s; status={status}")
+    if query.exception() is not None:
+        raise AssertionError(f"stream failed: {query.exception()}")
 
 
 def rows_set(df):
