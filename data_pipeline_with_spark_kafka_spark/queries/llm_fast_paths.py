@@ -41,3 +41,40 @@ def llm_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.ivf_topk(
         emb, "vec_id", "embedding", emb.filter(F.col("vec_id") == 0), centroids, k=10, n_probe=3
     )
+
+
+INCREMENTAL_ORACLE = """
+WITH split AS (SELECT CAST(FLOOR(MAX(doc_id) / 2) AS BIGINT) AS half FROM documents),
+known AS (SELECT text FROM documents, split WHERE doc_id < half),
+batch AS (SELECT doc_id, text, lang, source, n_chars FROM documents, split WHERE doc_id >= half),
+novel AS (
+    SELECT b.* FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM known k WHERE k.text = b.text)
+),
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM novel GROUP BY text)
+SELECT n.doc_id, n.lang, n.source, n.n_chars
+FROM novel n JOIN keepers USING (doc_id)
+"""
+
+
+@register("llm_dedup_incremental", oracle=INCREMENTAL_ORACLE, tags=("llm", "dedup", "incremental"))
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: treat the doc_id upper half as today's
+    batch and the lower half as the curated corpus; admit only batch docs
+    whose content is novel (not in the corpus, first occurrence in batch).
+    Runs the Bloom-prefiltered tier (`operators/incremental.py`) — a
+    DataFrame-native Bloom relation built from corpus fingerprints,
+    broadcast-probed by the batch, exact anti-join only for might-contain
+    rows — whose output is provably identical to the plain anti-join the
+    oracle expresses (no false negatives by construction)."""
+    from data_pipeline_with_spark_kafka_spark.operators.incremental import incremental_novel
+
+    docs = load_table(spark, sf_dir, "documents")
+    half_row = docs.agg(F.floor(F.max("doc_id") / 2).cast("long").alias("half"))
+    # The split point is a 1-row scalar: broadcast cross join (plan-lint
+    # allowed — bounded by construction).
+    with_half = docs.crossJoin(F.broadcast(half_row))
+    batch = with_half.filter(F.col("doc_id") >= F.col("half")).drop("half")
+    known = with_half.filter(F.col("doc_id") < F.col("half")).drop("half")
+    novel = incremental_novel(batch, known, "doc_id", "text", prefilter=True)
+    return novel.select("doc_id", "lang", "source", "n_chars")

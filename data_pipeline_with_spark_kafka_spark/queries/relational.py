@@ -624,3 +624,52 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_to(F.min("o_totalprice"), 4).alias("min_price"),
         round_to(F.max("o_totalprice"), 4).alias("max_price"),
     )
+
+
+ASOF_ORACLE = """
+WITH clicks AS (
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+    FROM events WHERE event_type = 'click'
+), views AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts, value AS view_value
+    FROM events WHERE event_type = 'view'
+)
+SELECT c.event_id, c.user_id, c.click_ts,
+       CASE WHEN v.view_ts IS NOT NULL
+                 AND epoch(c.click_ts) - epoch(v.view_ts) <= 86400
+            THEN v.view_ts END AS matched_view_ts,
+       CASE WHEN v.view_ts IS NOT NULL
+                 AND epoch(c.click_ts) - epoch(v.view_ts) <= 86400
+            THEN v.view_value END AS view_value
+FROM clicks c
+ASOF LEFT JOIN views v ON c.user_id = v.user_id AND v.view_ts <= c.click_ts
+"""
+
+
+@register("join_asof_latest_view", oracle=ASOF_ORACLE, tags=("join", "asof", "events"))
+def join_asof_latest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: for every click event, the same user's
+    latest view event at-or-before it, null unless within a 24-hour
+    tolerance. Spark has no native as-of join; `operators/asof.asof_join`
+    expresses it as tagged-union + one per-key time-ordered window pass
+    (single shuffle on user_id — the sort-merge-join shape). Oracle is
+    DuckDB's native ASOF LEFT JOIN with the tolerance as a post null-out,
+    i.e. an independent implementation of the same semantics."""
+    from data_pipeline_with_spark_kafka_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("click_ts")
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("value").alias("view_value")
+    )
+    return asof_join(
+        clicks,
+        views,
+        key="user_id",
+        left_ts="click_ts",
+        right_ts="view_ts",
+        right_cols=["view_value"],
+        tolerance_seconds=86400,
+    )
