@@ -78,3 +78,56 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     known = with_half.filter(F.col("doc_id") < F.col("half")).drop("half")
     novel = incremental_novel(batch, known, "doc_id", "text", prefilter=True)
     return novel.select("doc_id", "lang", "source", "n_chars")
+
+
+CHUNK_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+wins AS (
+    SELECT doc_id, t,
+           CAST(i AS INT) AS chunk_id,
+           CAST(i AS INT) * 16 AS start
+    FROM toks,
+         UNNEST(range(0, CAST(1 + CEIL(GREATEST(len(t) - 32, 0) / 16.0) AS BIGINT))) AS r(i)
+)
+SELECT doc_id, chunk_id,
+       array_to_string(t[start + 1 : start + 32], ' ') AS chunk_text,
+       CAST(LEAST(32, len(t) - start) AS INT) AS n_tokens
+FROM wins
+"""
+
+
+@register("llm_chunk_documents", oracle=CHUNK_ORACLE, tags=("llm", "chunking"))
+def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (32-token windows, stride 16):
+    the pre-embedding step of an LLM pipeline, pure expression tree
+    (tokenize → posexplode window starts → slice), no shuffle at all."""
+    from data_pipeline_with_spark_kafka_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", size=32, stride=16)
+
+
+LENGTH_HIST_ORACLE = """
+SELECT lang,
+       CAST(LEAST(FLOOR(len(string_split(text, ' ')) / 16), 7) AS INT) AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@register("llm_length_histogram", oracle=LENGTH_HIST_ORACLE, tags=("llm", "stats"))
+def llm_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-length histogram (16-token buckets, top-coded at
+    bucket 7) — the corpus-shape profile mixture planning reads. One
+    map-side-combinable aggregate; no joins, no explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    bucket = F.least(F.floor(n_tok / 16), F.lit(7)).cast("int")
+    return docs.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).cast("bigint").alias("n_tokens"),
+    )
