@@ -103,3 +103,60 @@ def test_single_shuffle_on_key(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_matches_pandas_merge_asof_on_random_series(spark):
+    """Independent-reference property: on randomized keyed time series the
+    operator must agree row-for-row with pandas.merge_asof (same backward +
+    allow-exact-matches + tolerance semantics), across several seeds in
+    one DataFrame round-trip per seed."""
+    import numpy as np
+    import pandas as pd
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n_l, n_r = 200, 150
+        lpdf = pd.DataFrame(
+            {
+                "lid": np.arange(n_l),
+                "k": rng.integers(0, 8, n_l).astype("int64"),
+                "lts": pd.Timestamp("2024-01-01")
+                + pd.to_timedelta(rng.integers(0, 10**6, n_l), unit="s"),
+            }
+        )
+        rpdf = pd.DataFrame(
+            {
+                "k": rng.integers(0, 8, n_r).astype("int64"),
+                "rts": pd.Timestamp("2024-01-01")
+                + pd.to_timedelta(rng.integers(0, 10**6, n_r), unit="s"),
+                "rv": rng.normal(size=n_r).round(6),
+            }
+        )
+        # merge_asof requires globally sorted 'on' keys and UNIQUE right
+        # (k, rts) pairs for a deterministic match (our operator breaks
+        # ties arbitrarily, which is fine for real data but not for a
+        # row-for-row comparison).
+        rpdf = rpdf.drop_duplicates(["k", "rts"])
+        expected = pd.merge_asof(
+            lpdf.sort_values("lts"),
+            rpdf.sort_values("rts"),
+            left_on="lts",
+            right_on="rts",
+            by="k",
+            direction="backward",
+            tolerance=pd.Timedelta(seconds=50_000),
+        ).sort_values("lid")
+
+        out = asof_join(
+            spark.createDataFrame(lpdf),
+            spark.createDataFrame(rpdf),
+            key="k",
+            left_ts="lts",
+            right_ts="rts",
+            right_cols=["rv"],
+            tolerance_seconds=50_000,
+        ).toPandas().sort_values("lid")
+
+        got = list(zip(out["lid"], out["rv"].round(6).fillna(-999)))
+        want = list(zip(expected["lid"], expected["rv"].round(6).fillna(-999)))
+        assert got == want, f"seed {seed}: mismatch"
