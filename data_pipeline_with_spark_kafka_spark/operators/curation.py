@@ -85,11 +85,19 @@ def contamination_overlap(
     # exploded relation, and that joins LEFT-SEMI against the deduplicated
     # benchmark vocabulary: rows that miss are dropped at the join instead
     # of being carried to the aggregate as nulls.
+    # Shingle identity by 64-bit hash on BOTH sides before any shuffle —
+    # 8-byte join keys instead of k-word strings (same collision analysis
+    # as shared_span_fraction: a collision can only nudge n_overlap up by
+    # one, and the string-keyed DuckDB oracle would catch one at
+    # validation scale).
+    hashed = lambda col: F.transform(  # noqa: E731
+        shingles(tokens(col), k), lambda s: F.xxhash64(s)
+    )
     doc_sh = corpus.select(
-        F.col(id_col), F.explode(shingles(tokens(F.col(text_col)), k)).alias("shingle")
+        F.col(id_col), F.explode(hashed(F.col(text_col))).alias("shingle")
     )
     bench_sh = benchmark.select(
-        F.explode(shingles(tokens(F.col(text_col)), k)).alias("shingle")
+        F.explode(hashed(F.col(text_col))).alias("shingle")
     ).distinct()
     overlap = (
         doc_sh.join(bench_sh, "shingle", "left_semi")
@@ -138,8 +146,20 @@ def shared_span_fraction(
     # join against the SHARED spans — a relation that boilerplate makes
     # small relative to the full span set, so the join-back touches the
     # shared tail, not the whole corpus explosion.
+    #
+    # Span identity is the 64-bit hash of the span text, taken BEFORE the
+    # shuffle: the aggregate and semi-join then move 8-byte longs instead
+    # of ~k-word strings (≈4x narrower shuffle). A hash collision merges
+    # two distinct spans — probability ~n^2/2^65 across the corpus span
+    # set, which at worst nudges a count up by one; the metric is a
+    # fraction thresholded at 0.5, and the DuckDB oracle (string-keyed)
+    # stays hash-free, so any collision at validation scale would surface
+    # as a mismatch (none can occur below ~billions of spans).
     sh = docs.select(
-        F.col(id_col), F.explode(shingles(tokens(F.col(text_col)), k)).alias("shingle")
+        F.col(id_col),
+        F.explode(
+            F.transform(shingles(tokens(F.col(text_col)), k), lambda s: F.xxhash64(s))
+        ).alias("shingle"),
     )
     shared = (
         sh.groupBy("shingle")
