@@ -1,0 +1,159 @@
+"""Plan-shape regression ledger: every registered query's INITIAL physical
+plan (pre-AQE, deterministic for fixed testdata + session conf) must not
+grow new Exchange (shuffle/broadcast-exchange) nodes relative to the
+recorded budget. A count BELOW budget is fine (an optimization landed —
+re-record); a count above fails: some change added a shuffle the plan
+didn't need, exactly the class of regression that is invisible at
+sf0.001 runtimes and expensive at 100 TB.
+
+Budgets recorded round 4 (2026-08-13) at sf0.001; includes ReusedExchange
+occurrences (substring count over the plan tree string), so the numbers
+are an upper bound on *distinct* shuffles.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline_with_spark_kafka_spark.queries import all_queries
+
+QUERIES = all_queries()
+
+EXCHANGE_BUDGET = {
+    "agg_approx_count_distinct": 1,
+    "agg_approx_percentile": 1,
+    "agg_cube_flag_status": 1,
+    "agg_global_stats": 2,
+    "agg_group_count_distinct": 2,
+    "agg_hll_sketch_merge": 2,
+    "agg_percentiles": 1,
+    "agg_rollup_status_priority": 1,
+    "dedup_keep_first_order": 1,
+    "distinct_segment_nation": 1,
+    "events_daily_active_users": 2,
+    "events_funnel_conversion": 2,
+    "events_retention_cohorts": 4,
+    "flagship_events_windowed_enrichment": 2,
+    "func_array_family": 0,
+    "func_cast_family": 0,
+    "func_conditional_family": 0,
+    "func_date_family": 0,
+    "func_explode_tokens": 1,
+    "func_json_family": 0,
+    "func_math_family": 0,
+    "func_string_family": 0,
+    "func_struct_map_family": 0,
+    "join_anti_customers_without_orders": 1,
+    "join_asof_latest_view": 1,
+    "join_cross_small": 2,
+    "join_full_outer_keys": 2,
+    "join_inner_orders_customer": 1,
+    "join_left_customer_orders": 1,
+    "join_range_bucketed": 2,
+    "join_range_price_tier": 1,
+    "join_semi_customers_with_orders": 1,
+    "llm_bpe_vocab": 0,
+    "llm_chunk_documents": 0,
+    "llm_contamination_overlap": 4,
+    "llm_curated_corpus": 2,
+    "llm_dedup_clusters": 394,
+    "llm_dedup_corpus_segments": 4,
+    "llm_dedup_embedding_cosine": 1,
+    "llm_dedup_embedding_cosine_fast": 1,
+    "llm_dedup_exact": 1,
+    "llm_dedup_incremental": 26,
+    "llm_dedup_minhash_lsh": 4,
+    "llm_dedup_ngram_jaccard": 9,
+    "llm_dedup_simhash": 0,
+    "llm_deterministic_shuffle": 6,
+    "llm_domain_mixture": 5,
+    "llm_fingerprint_winnowing": 0,
+    "llm_length_histogram": 1,
+    "llm_multimodal_audio_features": 1,
+    "llm_multimodal_decode_features": 0,
+    "llm_multimodal_image_features": 1,
+    "llm_multimodal_metadata": 0,
+    "llm_perplexity_bigram": 8,
+    "llm_pii_redaction": 0,
+    "llm_quality_gopher": 0,
+    "llm_quality_percentile_filter": 2,
+    "llm_quality_weighted_sample": 0,
+    "llm_repetition_metrics": 9,
+    "llm_seeded_sample": 0,
+    "llm_sequence_packing": 1,
+    "llm_shared_span_fraction": 4,
+    "llm_sim_topk_bruteforce": 2,
+    "llm_sim_topk_ivf": 5,
+    "llm_sim_topk_lsh": 2,
+    "llm_stratified_sample": 0,
+    "llm_text_fingerprint": 0,
+    "llm_text_langid": 0,
+    "llm_text_quality": 0,
+    "llm_text_stats": 0,
+    "llm_tfidf_keywords": 7,
+    "llm_token_count_regex": 0,
+    "llm_top_bigrams": 1,
+    "llm_train_val_test_split": 0,
+    "llm_vocab_stats": 2,
+    "llm_weighted_quality_mean": 1,
+    "nulls_semantics": 1,
+    "orderby_limit_topk": 0,
+    "pivot_status_by_priority": 2,
+    "setop_except_all": 1,
+    "setop_intersect": 2,
+    "setop_intersect_all": 1,
+    "setop_union_all": 0,
+    "setop_union_by_name_missing": 0,
+    "sql_grouping_sets": 1,
+    "sql_lateral_posexplode": 0,
+    "sql_right_join": 1,
+    "sql_unpivot_metrics": 0,
+    "subquery_having_active_customers": 1,
+    "subquery_scalar_above_avg": 2,
+    "tpch_q10_returned_items": 4,
+    "tpch_q11_important_stock": 8,
+    "tpch_q12_shipmode_priority": 2,
+    "tpch_q13_customer_distribution": 3,
+    "tpch_q14_promo_effect": 2,
+    "tpch_q15_top_supplier": 5,
+    "tpch_q16_supplier_cnt": 3,
+    "tpch_q17_small_quantity": 3,
+    "tpch_q18_large_volume": 5,
+    "tpch_q19_discounted_revenue": 2,
+    "tpch_q1_pricing_summary": 1,
+    "tpch_q20_potential_promotion": 5,
+    "tpch_q21_waiting_supplier": 5,
+    "tpch_q22_global_sales_opportunity": 4,
+    "tpch_q2_min_cost_per_part": 2,
+    "tpch_q3_shipping_priority": 3,
+    "tpch_q4_priority_checking": 2,
+    "tpch_q5_local_supplier_volume": 6,
+    "tpch_q6_forecast_revenue": 1,
+    "tpch_q7_volume_shipping": 6,
+    "tpch_q8_market_share": 7,
+    "tpch_q9_product_profit": 5,
+    "window_lag_lead_orders": 1,
+    "window_qualify_latest_order": 1,
+    "window_range_frame_30d": 1,
+    "window_rank_customers": 1,
+    "window_running_sum": 1,
+    "window_session_30m": 1,
+    "window_sliding_10m_5m": 1,
+    "window_topk_per_group": 1,
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_exchange_count_within_budget(spark, sf_dir, name):
+    assert name in EXCHANGE_BUDGET, (
+        f"new query {name} has no exchange budget — record one "
+        f"(plan.count('Exchange') at sf0.001) in EXCHANGE_BUDGET"
+    )
+    plan = QUERIES[name].builder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    got = plan.count("Exchange")
+    assert got <= EXCHANGE_BUDGET[name], (
+        f"{name}: {got} Exchange nodes vs budget {EXCHANGE_BUDGET[name]} — "
+        f"a change added a shuffle this plan didn't have. If the extra "
+        f"exchange is intentional (new semantics), update the budget with "
+        f"a justification; otherwise fix the plan.\n{plan}"
+    )
