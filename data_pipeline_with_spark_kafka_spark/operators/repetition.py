@@ -178,3 +178,73 @@ def dedup_corpus_segments(docs: DataFrame, *, width: int = SEGMENT_WIDTH) -> Dat
             (F.col("n_segs") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
         )
     )
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Cross-document repeated-SPAN removal at k-gram granularity — the
+    ExactSubstr dedup of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better", §4.1) re-expressed relationally: their
+    suffix-array finds character substrings shared across docs; here a
+    token k-gram is the match unit, so any shared span of >= k tokens is
+    found as a run of shared k-grams and every token covered by one is
+    dropped (the same "remove from all but one... we remove from all"
+    simplification their §4.1 discusses, applied corpus-symmetrically).
+
+    Plan (all keyed, no windows over the corpus): positions explode →
+    per-gram distinct-doc count (map-side combinable) → semi-join of
+    positions against the repeated grams (gram identity = 64-bit hash,
+    same collision analysis as curation.py) → per-doc covered-position
+    array (one collect_list agg, bounded by doc length) → one
+    token-filter expression over the doc's token array (exists() over
+    covered starts). Docs shorter than k tokens pass through unchanged.
+
+    Returns (id, cleaned_text, n_tokens, n_removed).
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(-1))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    )
+    # (doc, pos, gram-hash) positions; sequence(0,-1) descends, so clamp
+    # short docs to an empty gram array first.
+    pos = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(F.size(toks) >= k, grams).otherwise(F.array().cast("array<bigint>"))
+        ).alias("pos", "g"),
+    )
+    # "appears in more than one distinct doc" == min(doc) != max(doc):
+    # two fully map-side-combinable aggregates instead of count_distinct's
+    # dedup expansion (same shuffle key, far smaller partial state).
+    repeated = (
+        pos.groupBy("g")
+        .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .select("g")
+    )
+    covered = (
+        pos.join(repeated, "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("_starts"))
+    )
+    out = docs.join(covered, id_col, "left").withColumn(
+        "_starts", F.coalesce("_starts", F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("_starts"), lambda p: (p <= i) & (i < p + F.lit(k))
+        ),
+    )
+    return out.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("cleaned_text"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).cast("bigint").alias("n_removed"),
+    )

@@ -113,3 +113,51 @@ def llm_dedup_corpus_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line-level (here: segment-level) corpus dedup — keep each
     segment text only at its global first occurrence, rebuild docs."""
     return dedup_corpus_segments(load_table(spark, sf_dir, "documents"))
+
+
+REMOVE_SPANS_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+    SELECT doc_id, CAST(i AS INT) AS pos,
+           array_to_string(t[CAST(i AS INT) + 1 : CAST(i AS INT) + 10], ' ') AS g
+    FROM toks, UNNEST(range(0, GREATEST(len(t) - 9, 0))) r(i)
+),
+rep AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1),
+marked AS (SELECT doc_id, pos FROM grams JOIN rep USING (g)),
+tok_idx AS (
+    SELECT doc_id, CAST(i AS INT) AS i, t[CAST(i AS INT) + 1] AS tok
+    FROM toks, UNNEST(range(0, len(t))) r(i)
+),
+kept AS (
+    SELECT ti.doc_id, ti.i, ti.tok
+    FROM tok_idx ti
+    WHERE NOT EXISTS (SELECT 1 FROM marked m
+                      WHERE m.doc_id = ti.doc_id
+                        AND m.pos <= ti.i AND ti.i < m.pos + 10)
+),
+agg AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS cleaned_text,
+           COUNT(*) AS n_kept
+    FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.cleaned_text, '') AS cleaned_text,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(string_split(d.text, ' ')) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("llm_remove_repeated_spans", oracle=REMOVE_SPANS_ORACLE, tags=("llm", "dedup", "spans"))
+def llm_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al-style exact repeated-span removal (k=10 token grams):
+    every token covered by a 10-gram that occurs in more than one document
+    is dropped from all of them. The DuckDB oracle recomputes it with
+    string grams + NOT EXISTS — an independent algorithm over the same
+    semantics (`operators/repetition.remove_repeated_spans`)."""
+    from data_pipeline_with_spark_kafka_spark.operators.repetition import (
+        remove_repeated_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_repeated_spans(docs, "doc_id", "text", k=10)

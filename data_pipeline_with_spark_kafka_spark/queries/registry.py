@@ -96,6 +96,7 @@ _COVERED_IN_OFFICIAL_ARTIFACTS = frozenset({
 _ADDED_ROUND_4 = frozenset({
     "join_asof_latest_view", "llm_dedup_incremental",
     "llm_chunk_documents", "llm_length_histogram",
+    "llm_remove_repeated_spans",
 })
 
 

@@ -78,6 +78,7 @@ EXCHANGE_BUDGET = {
     "llm_quality_gopher": 0,
     "llm_quality_percentile_filter": 2,
     "llm_quality_weighted_sample": 0,
+    "llm_remove_repeated_spans": 5,
     "llm_repetition_metrics": 9,
     "llm_seeded_sample": 0,
     "llm_sequence_packing": 1,

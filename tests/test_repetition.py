@@ -85,3 +85,53 @@ def test_dedup_corpus_segments_reassembles_in_position_order(spark):
     got = {r.doc_id: r for r in dedup_corpus_segments(df2, width=2).collect()}
     assert got[1].text_clean == "a a b b c c"
     assert got[2].text_clean == "d d"
+
+
+def test_remove_repeated_spans_hand_computed(spark):
+    from data_pipeline_with_spark_kafka_spark.operators.repetition import (
+        remove_repeated_spans,
+    )
+
+    shared = "s1 s2 s3 s4"  # 4-token span shared by docs 1 and 2
+    df = _docs(
+        spark,
+        [
+            (1, f"a b {shared} c d"),
+            (2, f"x {shared} y z"),
+            (3, "p q r"),            # shorter than k -> untouched
+            (4, "m m m m m m"),      # self-repetition only -> untouched
+        ],
+    )
+    got = {r.doc_id: r for r in remove_repeated_spans(df, "doc_id", "text", k=4).collect()}
+    # Every token covered by the shared 4-gram is dropped from BOTH docs.
+    assert got[1].cleaned_text == "a b c d" and got[1].n_removed == 4
+    assert got[2].cleaned_text == "x y z" and got[2].n_removed == 4
+    assert got[3].cleaned_text == "p q r" and got[3].n_removed == 0
+    # k-grams repeat WITHIN doc 4 but in no other doc: distinct-doc count
+    # is 1, so nothing is removed.
+    assert got[4].cleaned_text == "m m m m m m" and got[4].n_removed == 0
+
+
+def test_remove_repeated_spans_overlapping_runs_merge(spark):
+    from data_pipeline_with_spark_kafka_spark.operators.repetition import (
+        remove_repeated_spans,
+    )
+
+    # Docs share a 5-token run; with k=4 the two overlapping shared
+    # 4-grams cover the whole run in both docs (run-merge via coverage).
+    df = _docs(spark, [(1, "a b c d e x"), (2, "y a b c d e")])
+    got = {r.doc_id: r for r in remove_repeated_spans(df, "doc_id", "text", k=4).collect()}
+    assert got[1].cleaned_text == "x" and got[1].n_removed == 5
+    assert got[2].cleaned_text == "y" and got[2].n_removed == 5
+
+
+def test_remove_repeated_spans_identical_docs_empty_out(spark):
+    from data_pipeline_with_spark_kafka_spark.operators.repetition import (
+        remove_repeated_spans,
+    )
+
+    text = " ".join(f"t{i}" for i in range(6))
+    df = _docs(spark, [(1, text), (2, text)])
+    got = {r.doc_id: r for r in remove_repeated_spans(df, "doc_id", "text", k=4).collect()}
+    assert got[1].cleaned_text == "" and got[1].n_removed == 6
+    assert got[2].cleaned_text == "" and got[2].n_removed == 6
