@@ -74,7 +74,14 @@ def asof_join(
         .orderBy(ts_order, F.col(_SIDE).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = both.withColumn(_MATCH, F.last(_MATCH, ignorenulls=True).over(w))
+    # A null left timestamp matches nothing in either direction. Backward
+    # gets this for free (asc puts nulls first, before any right row), but
+    # forward sorts nulls LAST, where the carry would hand them the
+    # minimum-ts right payload — so gate the carry on a non-null timestamp.
+    carried = both.withColumn(
+        _MATCH,
+        F.when(F.col(_TS).isNotNull(), F.last(_MATCH, ignorenulls=True).over(w)),
+    )
 
     out = carried.filter(F.col(_SIDE) == 1)
     if tolerance_seconds is not None:

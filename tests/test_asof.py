@@ -82,6 +82,32 @@ def test_inner_drops_unmatched(spark):
     assert sorted(r.lid for r in out.collect()) == [1, 2]  # k2 pre-window, k3 absent
 
 
+def test_null_left_timestamp_matches_nothing(spark):
+    """A null left timestamp must never match — forward direction sorts
+    nulls last, where an ungated carry-forward would hand them the
+    minimum-ts right payload (advisor-flagged edge)."""
+    left, right = make_sides(spark)
+    left = left.union(
+        left.sparkSession.createDataFrame(
+            [(99, "k1", None)], "lid int, k string, lts timestamp"
+        )
+    )
+    for direction in ("backward", "forward"):
+        out = rows_by_id(
+            asof_join(
+                left, right, key="k", left_ts="lts", right_ts="rts",
+                right_cols=["rv"], direction=direction,
+            )
+        )
+        assert out[99] == (None, None), direction
+    # and inner drops the null-ts row entirely
+    inner = asof_join(
+        left, right, key="k", left_ts="lts", right_ts="rts",
+        right_cols=["rv"], direction="forward", how="inner",
+    )
+    assert 99 not in {r.lid for r in inner.collect()}
+
+
 def test_rejects_colliding_and_bad_args(spark):
     left, right = make_sides(spark)
     with pytest.raises(ValueError, match="collide"):
