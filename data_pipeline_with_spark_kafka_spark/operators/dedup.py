@@ -173,6 +173,30 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *, k: int = 3)
     return base.select("doc", "sh", sig.alias("sig"))
 
 
+def band_buckets(sigs: DataFrame) -> DataFrame:
+    """(doc, band, bucket) LSH band index from a (doc, sh, sig) signature
+    relation: each signature is sliced into BANDS bands of ROWS_PER_BAND
+    values, each slice hashed to one bucket id. Two docs collide in a band
+    iff that slice of their signatures is identical.
+
+    This narrow 3-column relation IS the persistable corpus index for
+    batch-vs-corpus incremental near-dup (operators/incremental.py): write
+    it (plus the shingle sets) once at corpus-curation time, probe it with
+    each ingest batch's buckets."""
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.element_at("sig", b * ROWS_PER_BAND + r + 1) for r in range(ROWS_PER_BAND)]
+            ).alias("bucket"),
+        )
+        for b in range(BANDS)
+    ]
+    return sigs.select("doc", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -193,21 +217,10 @@ def minhash_lsh_pairs(
     # and the verification lookups.
     sigs = minhash_signatures(df, id_col, text_col, k=k).persist()
 
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.element_at("sig", b * ROWS_PER_BAND + r + 1) for r in range(ROWS_PER_BAND)]
-            ).alias("bucket"),
-        )
-        for b in range(BANDS)
-    ]
     # Narrow relation for the self-join: (doc, band, bucket) only — shingle
     # arrays are joined back AFTER pair-dedup so wide rows never shuffle
     # through the candidate explosion.
-    banded = sigs.select("doc", F.explode(F.array(*band_cols)).alias("bb")).select(
-        "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    banded = band_buckets(sigs)
 
     a = banded.alias("a")
     b = banded.alias("b")

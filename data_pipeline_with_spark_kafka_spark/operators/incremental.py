@@ -113,6 +113,134 @@ def bloom_might_contain(
     return hit
 
 
+def corpus_near_index(
+    corpus: DataFrame, id_col: str, content_col: str, *, k: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistable corpus near-dup index: the LSH band index
+    ``(doc, band, bucket)`` plus the shingle-set relation ``(doc, sh)``.
+
+    At 100 TB these are written ONCE at corpus-curation time (both are
+    plain narrow DataFrames — write them as parquet tables partitionable
+    by band / bucketed by doc) and re-read by every ingest batch; nothing
+    here depends on the batch. Callers that persist them to disk get the
+    probe below without ever re-scanning the corpus text.
+    """
+    from data_pipeline_with_spark_kafka_spark.operators.dedup import (
+        band_buckets,
+        minhash_signatures,
+    )
+
+    # Cache contract (same as dedup.py): the signature relation feeds both
+    # returned index relations; persisting it keeps corpus tokenization +
+    # hashing to one pass when the index is built in-session. (Persisted-
+    # to-parquet indexes never hit this path at all.)
+    sigs = minhash_signatures(corpus, id_col, content_col, k=k).persist()
+    return band_buckets(sigs), sigs.select("doc", "sh")
+
+
+def incremental_near_dups(
+    batch: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_sets: DataFrame,
+    id_col: str,
+    content_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(batch id, corpus doc, jaccard) — batch docs that are NEAR-dups of
+    the already-curated corpus, via the persisted corpus index.
+
+    The batch-vs-corpus form of MinHash-LSH (`dedup.minhash_lsh_pairs` is
+    the self-join form): band the batch's signatures with the same scheme
+    the index was built with, equi-join ``(band, bucket)`` against the
+    corpus band index — only bucket COLLISIONS shuffle, never all
+    batch x corpus pairs — then verify each colliding pair with exact
+    Jaccard against only those corpus docs' shingle sets.
+
+    Scale contract: the corpus-derived relations (band index, shingle
+    sets) are never broadcast and never collected — they are probe-join
+    sides keyed on (band, bucket) / doc. The batch side is the small
+    relation; AQE may elect to broadcast IT, which is the right choice.
+    Recall is the LSH S-curve: P(candidate) = 1-(1-J^2)^BANDS ~ 1 - 8e-8
+    at J >= 0.8 — and verification is exact, so false candidates cost
+    only a bounded array intersection.
+    """
+    from data_pipeline_with_spark_kafka_spark.operators.dedup import (
+        band_buckets,
+        minhash_signatures,
+    )
+    from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
+
+    batch_sigs = minhash_signatures(batch, id_col, content_col, k=k).persist()
+    batch_bands = band_buckets(batch_sigs)
+
+    candidates = (
+        batch_bands.withColumnRenamed("doc", "batch_doc")
+        .join(corpus_bands.withColumnRenamed("doc", "corpus_doc"), ["band", "bucket"])
+        .select("batch_doc", "corpus_doc")
+        .dropDuplicates(["batch_doc", "corpus_doc"])
+    )
+    pairs = (
+        candidates.join(
+            batch_sigs.select(F.col("doc").alias("batch_doc"), F.col("sh").alias("sh_a")),
+            "batch_doc",
+        )
+        .join(
+            corpus_sets.select(F.col("doc").alias("corpus_doc"), F.col("sh").alias("sh_b")),
+            "corpus_doc",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.withColumn("jaccard", round_to(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_doc", "corpus_doc", "jaccard")
+    )
+
+
+def incremental_novel_near(
+    batch: DataFrame,
+    known: DataFrame,
+    id_col: str,
+    content_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.8,
+    prefilter: bool = True,
+    corpus_bands: DataFrame | None = None,
+    corpus_sets: DataFrame | None = None,
+) -> DataFrame:
+    """Admit only batch docs that are novel vs the corpus under BOTH
+    tiers: not an exact dup (fingerprint anti-join, Bloom-prefiltered)
+    and not a NEAR-dup (Jaccard >= threshold on k-gram shingles via the
+    corpus LSH band index), deduplicated exact within the batch
+    (min-id keeper).
+
+    Pass ``corpus_bands`` / ``corpus_sets`` (from ``corpus_near_index``,
+    possibly read back from persisted tables) to skip re-deriving the
+    index from ``known``; at 100 TB the persisted form is the only sane
+    one. The exact tier runs FIRST so the near probe only signatures the
+    exact-novel survivors."""
+    if (corpus_bands is None) != (corpus_sets is None):
+        raise ValueError("pass both corpus_bands and corpus_sets, or neither")
+    if corpus_bands is None:
+        corpus_bands, corpus_sets = corpus_near_index(known, id_col, content_col, k=k)
+
+    # exact_novel feeds both the near probe and the final anti-join;
+    # persist so the Bloom + anti-join tier runs once.
+    exact_novel = incremental_novel(
+        batch, known, id_col, content_col, prefilter=prefilter
+    ).persist()
+    near = incremental_near_dups(
+        exact_novel, corpus_bands, corpus_sets, id_col, content_col,
+        k=k, threshold=threshold,
+    )
+    near_ids = near.select(F.col("batch_doc").alias(id_col)).distinct()
+    return exact_novel.join(near_ids, id_col, "left_anti")
+
+
 def incremental_novel(
     batch: DataFrame,
     known: DataFrame,

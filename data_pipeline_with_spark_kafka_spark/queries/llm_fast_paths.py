@@ -80,6 +80,73 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return novel.select("doc_id", "lang", "source", "n_chars")
 
 
+INCREMENTAL_NEAR_ORACLE = """
+WITH split AS (SELECT CAST(FLOOR(MAX(doc_id) / 2) AS BIGINT) AS half FROM documents),
+known AS (SELECT doc_id, text FROM documents, split WHERE doc_id < half),
+batch AS (SELECT doc_id, text, lang, source, n_chars FROM documents, split WHERE doc_id >= half),
+novel AS (
+    SELECT b.* FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM known k WHERE k.text = b.text)
+),
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM novel GROUP BY text),
+exact_novel AS (SELECT n.* FROM novel n JOIN keepers USING (doc_id)),
+btoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM exact_novel),
+bsh AS (
+    SELECT DISTINCT doc_id AS doc,
+           t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
+    FROM btoks, UNNEST(range(1, len(t) - 1)) AS r(i)
+),
+ktoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM known),
+ksh AS (
+    SELECT DISTINCT doc_id AS doc,
+           t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
+    FROM ktoks, UNNEST(range(1, len(t) - 1)) AS r(i)
+),
+bsizes AS (SELECT doc, COUNT(*) AS n_sh FROM bsh GROUP BY doc),
+ksizes AS (SELECT doc, COUNT(*) AS n_sh FROM ksh GROUP BY doc),
+inter AS (
+    SELECT b.doc AS bdoc, k.doc AS kdoc, COUNT(*) AS n_inter
+    FROM bsh b JOIN ksh k ON b.shingle = k.shingle
+    GROUP BY 1, 2
+),
+neardup AS (
+    SELECT DISTINCT bdoc FROM inter
+    JOIN bsizes sb ON sb.doc = inter.bdoc
+    JOIN ksizes sk ON sk.doc = inter.kdoc
+    WHERE ROUND(n_inter * 1.0 / (sb.n_sh + sk.n_sh - n_inter), 4) >= 0.8
+)
+SELECT e.doc_id, e.lang, e.source, e.n_chars
+FROM exact_novel e
+WHERE NOT EXISTS (SELECT 1 FROM neardup nd WHERE nd.bdoc = e.doc_id)
+"""
+
+
+@register(
+    "llm_dedup_incremental_near",
+    oracle=INCREMENTAL_NEAR_ORACLE,
+    tags=("llm", "dedup", "incremental"),
+)
+def llm_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingest: same half-split as
+    llm_dedup_incremental, but batch docs are also rejected when they are
+    a near-dup (3-gram Jaccard >= 0.8) of ANY corpus doc — probed through
+    the persisted corpus MinHash band index (``corpus_near_index`` /
+    ``incremental_near_dups``), so only (band, bucket) collisions shuffle
+    and the corpus is never broadcast. Candidates are verified with exact
+    Jaccard, which is what the DuckDB oracle computes exhaustively."""
+    from data_pipeline_with_spark_kafka_spark.operators.incremental import (
+        incremental_novel_near,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    half_row = docs.agg(F.floor(F.max("doc_id") / 2).cast("long").alias("half"))
+    with_half = docs.crossJoin(F.broadcast(half_row))
+    batch = with_half.filter(F.col("doc_id") >= F.col("half")).drop("half")
+    known = with_half.filter(F.col("doc_id") < F.col("half")).drop("half")
+    novel = incremental_novel_near(batch, known, "doc_id", "text", threshold=0.8)
+    return novel.select("doc_id", "lang", "source", "n_chars")
+
+
 CHUNK_ORACLE = """
 WITH toks AS (
     SELECT doc_id, string_split(text, ' ') AS t FROM documents
