@@ -85,10 +85,10 @@ def main() -> None:
             }
         )
     )
-    # Compact headline LAST: the driver's artifact capture keeps the TAIL
-    # of stdout, so the final bytes are what survive truncation. The long
-    # per-query line above is informational; this short line is the one
-    # that must parse (BENCH_r01..r03 all lost their total because the
+    # Compact headline near-LAST: the driver's artifact capture keeps the
+    # TAIL of stdout, so the final bytes are what survive truncation. The
+    # long per-query line above is informational; this short line is the
+    # one that must parse (BENCH_r01..r03 all lost their total because the
     # summary printed first and was truncated away).
     print(
         json.dumps(
@@ -101,6 +101,20 @@ def main() -> None:
             }
         )
     )
+    # Streaming throughput (the reference is a STREAMING pipeline — its
+    # headline number belongs in the official artifact, not just docs):
+    # the rate-source windowed pipeline from tools/stream_bench.py, run
+    # short, printed after the corpus total so the tail carries both
+    # metric lines. Env-guarded off via SPARK_GRAFT_STREAM_BENCH=0; any
+    # failure must not cost us the already-printed batch totals.
+    if os.environ.get("SPARK_GRAFT_STREAM_BENCH", "1") != "0":
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+            from stream_bench import measure
+
+            print(json.dumps(measure(spark, rate=200_000, run_seconds=45)))
+        except Exception as exc:  # noqa: BLE001
+            print(json.dumps({"metric": "stream_rows_per_sec", "value": 0.0, "error": str(exc)[:200]}))
     spark.stop()
 
 

@@ -11,6 +11,8 @@ seconds over a fixed run.
 
 Usage: python tools/stream_bench.py [rows_per_second] [run_seconds]
 Prints one JSON line {"metric": "stream_rows_per_sec", ...}.
+``measure(spark, ...)`` is the importable form bench.py uses to append
+the same metric line to the per-round bench artifact.
 """
 
 from __future__ import annotations
@@ -25,19 +27,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from data_pipeline_with_spark_kafka_spark.session import get_spark
 from data_pipeline_with_spark_kafka_spark.streaming.covid_pipeline import (
     windowed_enrichment,
 )
 
 
-def main() -> None:
-    rate = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    run_seconds = int(sys.argv[2]) if len(sys.argv) > 2 else 90
-
-    spark = get_spark("stream-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
+def measure(spark, rate: int = 200_000, run_seconds: int = 90) -> dict:
+    """Run the rate-source windowed pipeline and return the metric dict
+    {"metric": "stream_rows_per_sec", ...} (value 0.0 if no data batch
+    completed within the deadline)."""
     dim = spark.createDataFrame(
         [(f"LOC_{i}", 1_000_000 + i, "EU") for i in range(50)],
         "location string, population long, continent string",
@@ -81,19 +79,26 @@ def main() -> None:
     total_in = sum(p["numInputRows"] for p in data_batches.values())
     total_ms = sum(p["durationMs"]["triggerExecution"] for p in data_batches.values())
     rows_per_sec = round(total_in / (total_ms / 1000.0), 1) if total_ms else 0.0
-    print(
-        json.dumps(
-            {
-                "metric": "stream_rows_per_sec",
-                "value": rows_per_sec,
-                "unit": "rows/sec",
-                "offered_rate": rate,
-                "run_seconds": run_seconds,
-                "n_batches": len(data_batches),
-                "total_rows": int(total_in),
-            }
-        )
-    )
+    return {
+        "metric": "stream_rows_per_sec",
+        "value": rows_per_sec,
+        "unit": "rows/sec",
+        "offered_rate": rate,
+        "run_seconds": run_seconds,
+        "n_batches": len(data_batches),
+        "total_rows": int(total_in),
+    }
+
+
+def main() -> None:
+    rate = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    run_seconds = int(sys.argv[2]) if len(sys.argv) > 2 else 90
+
+    from data_pipeline_with_spark_kafka_spark.session import get_spark
+
+    spark = get_spark("stream-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(measure(spark, rate, run_seconds)))
     spark.stop()
 
 
