@@ -212,13 +212,17 @@ def remove_repeated_spans(
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
     )
     # (doc, pos, gram-hash) positions; sequence(0,-1) descends, so clamp
-    # short docs to an empty gram array first.
+    # short docs to an empty gram array first. Persist (same cache
+    # contract as dedup.py): this relation — the largest intermediate in
+    # the pipeline, one row per token — feeds BOTH the repeated-gram
+    # aggregate and the covered semi-join below; without the persist the
+    # tokenize + gram-hash + explode pass runs twice per job.
     pos = docs.select(
         F.col(id_col),
         F.posexplode(
             F.when(F.size(toks) >= k, grams).otherwise(F.array().cast("array<bigint>"))
         ).alias("pos", "g"),
-    )
+    ).persist()
     # "appears in more than one distinct doc" == min(doc) != max(doc):
     # two fully map-side-combinable aggregates instead of count_distinct's
     # dedup expansion (same shuffle key, far smaller partial state).
