@@ -1,14 +1,12 @@
-"""Tokenization-depth queries: BPE-ish regex token counting (oracle-able)
-and winnowing document fingerprints (pandas_udf — the §2.9 [EXT] vectorized
-Python surface; rows-only, determinism pinned in tests/test_llm_ops.py).
+"""Tokenization-depth queries: BPE-ish regex token counting and winnowing
+document fingerprints — both oracle-able, pure expression trees (the §2.9
+[EXT] pandas_udf surface lives in llm_scoring.py / multimodal.py).
 """
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 
 from data_pipeline_with_spark_kafka_spark.queries.registry import register
 from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
@@ -35,48 +33,66 @@ def llm_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Winnowing parameters (Schleimer/Wilkerson/Aiken): k-char rolling hashes,
-# window-of-w minima, xor-folded to one 63-bit fingerprint.
-_K, _W, _BASE, _MOD = 8, 4, 257, (1 << 61) - 1
+# Winnowing parameters (Schleimer/Wilkerson/Aiken, SIGMOD'03): token
+# 3-gram hashes, window-of-4 minima, xor-folded to one fingerprint. The
+# gram hash is the first 15 hex digits of md5 parsed as an integer — the
+# one string hash DuckDB and Spark compute IDENTICALLY, which is what
+# makes this tier oracle-able (xxhash64 seeds differ between engines).
+_WINNOW_K, _WINNOW_W = 3, 4
+
+WINNOWING_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+    SELECT doc_id,
+           [array_to_string(t[CAST(i AS INT) : CAST(i AS INT) + 2], ' ')
+            FOR i IN range(1, GREATEST(len(t) - 1, 1))] AS g
+    FROM toks
+), hashes AS (
+    SELECT doc_id,
+           [CAST(list_sum([(strpos('0123456789abcdef', substr(md5(x), CAST(j AS INT), 1)) - 1)
+                           * CAST(POWER(16, 15 - j) AS BIGINT)
+                           FOR j IN range(1, 16)]) AS BIGINT)
+            FOR x IN g] AS h
+    FROM grams
+), wins AS (
+    SELECT doc_id,
+           CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
+                ELSE [list_min(h[CAST(i AS INT) : CAST(i AS INT) + 3])
+                      FOR i IN range(1, GREATEST(len(h) - 3, 1) + 1)]
+           END AS m
+    FROM hashes
+)
+SELECT doc_id, CAST(COALESCE(list_aggregate(m, 'bit_xor'), 0) AS BIGINT) AS winnow_fp
+FROM wins
+"""
 
 
-def _winnow_series(texts: pd.Series) -> pd.Series:
-    """Vectorized (Arrow-batched) winnowing fingerprint — the kind of
-    tokenizer-adjacent logic that genuinely needs Python; everything
-    around it stays in codegen. (Wrapped by ``pandas_udf`` lazily: the
-    decorator parses its DDL type and needs a live SparkSession.)"""
-
-    def fp(text: str) -> int:
-        data = text.encode("utf-8", "ignore")
-        n = len(data)
-        if n < _K:
-            h = 0
-            for ch in data:
-                h = (h * _BASE + ch) % _MOD
-            return h
-        hashes = []
-        h = 0
-        power = pow(_BASE, _K - 1, _MOD)
-        for i, ch in enumerate(data):
-            h = (h * _BASE + ch) % _MOD
-            if i >= _K:
-                h = (h - data[i - _K] * power * _BASE) % _MOD
-            if i >= _K - 1:
-                hashes.append(h)
-        out = 0
-        for i in range(0, max(len(hashes) - _W + 1, 1)):
-            out ^= min(hashes[i : i + _W])
-        return out
-
-    return texts.map(fp).astype("int64")
-
-
-@register("llm_fingerprint_winnowing", oracle=None, tags=("llm", "text", "pandas-udf"))
+@register("llm_fingerprint_winnowing", oracle=WINNOWING_ORACLE, tags=("llm", "text"))
 def llm_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing rolling-hash fingerprints over documents (pandas_udf)."""
+    """Winnowing document fingerprints, pure expression tree (no UDF, no
+    shuffle): token 3-gram md5 hashes -> sliding window-of-4 minima ->
+    xor fold. Same S/W/A guarantee as the classic char-gram form — any
+    sufficiently long shared run of tokens contributes a shared window
+    minimum — at token granularity, matching the rest of the text stack."""
+    from data_pipeline_with_spark_kafka_spark.operators.text import shingles, tokens
+
     docs = load_table(spark, sf_dir, "documents")
-    winnow_fingerprint = pandas_udf(_winnow_series, "long")
-    return docs.select("doc_id", winnow_fingerprint("text").alias("winnow_fp"))
+    t = tokens(F.col("text"))
+    grams = shingles(t, _WINNOW_K, distinct=False)
+    h = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    )
+    n = F.size(h)
+    n_windows = F.greatest(n - (_WINNOW_W - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda i: F.array_min(F.slice(h, i + 1, _WINNOW_W)),
+    )
+    fp = F.when(n == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(mins, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseXOR(x))
+    )
+    return docs.select("doc_id", fp.alias("winnow_fp"))
 
 
 # --------------------------------------------------------------------------
