@@ -124,6 +124,50 @@ def kmeans_centroids_cached(
 _CENTROID_CACHE: dict = {}
 
 
+def cell_multi_assign(
+    df: DataFrame,
+    vec_col: str,
+    centroid_rows: list,
+    *,
+    n_assign: int = 2,
+    out_col: str = "cell",
+) -> DataFrame:
+    """SHUFFLE-FREE multi-cell assignment: each row gains ``n_assign``
+    copies, one per nearest IVF cell.
+
+    The k centroids are a tiny offline artifact (k x dim doubles —
+    ``kmeans_centroids_cached`` rows), so instead of a broadcast join they
+    ship as LITERALS inside one codegen expression: an array of
+    (sq_dist, cid) structs, ``array_sort`` (lexicographic: distance, then
+    cid tiebreak — deterministic), ``slice`` the ``n_assign`` nearest,
+    explode. Zero Exchange, zero Python — assignment is a narrow map over
+    the scan, which is the shape that matters when the fact side is 100 TB.
+
+    Each centroid vector is ONE ndarray Literal (see
+    ``similarity.hyperplane_signs`` for why a Python list would bloat the
+    tree to k x dim nodes).
+
+    Multi-assignment (``n_assign >= 2``) is the boundary-recall device:
+    a near pair split across two cells still collides if either vector's
+    second-nearest cell is the other's cell — the standard IVF multi-probe
+    tradeoff, costing ``n_assign``-fold replication instead of a rebuild.
+    """
+    import numpy as np
+
+    v = as_double(F.col(vec_col))
+    scored = F.array(
+        *[
+            F.struct(
+                _sq_dist(v, F.lit(np.asarray(c, dtype=np.float64))).alias("d"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, c in centroid_rows
+        ]
+    )
+    top = F.slice(F.array_sort(scored), 1, n_assign)
+    return df.withColumn(out_col, F.explode(F.transform(top, lambda s: s["cid"])))
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,

@@ -595,3 +595,47 @@ def embedding_near_dup_pairs(
             "cosine",
         )
     )
+
+
+def embedding_near_dup_pairs_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    centroid_rows: list,
+    n_assign: int = 2,
+    threshold: float = 0.4,
+    max_block: int = 4096,
+    guard: bool | None = None,
+) -> DataFrame:
+    """Embedding near-dup with LEARNED blocking — the 100-TB default.
+
+    ``embedding_near_dup_pairs`` / ``..._vectorized`` take the block
+    column as given, which on the fixtures means the ``label`` column — a
+    luxury a real corpus doesn't have. This tier derives the block from
+    the data itself: a k-means coarse quantizer (trained offline,
+    ``clustering.kmeans_centroids_cached``) assigns every vector to its
+    ``n_assign`` nearest cells via a zero-shuffle literal-centroid
+    expression (``clustering.cell_multi_assign``), the BLAS pair kernel
+    runs per cell with the same triangle-task guard for dense cells, and
+    pairs discovered in more than one shared cell collapse via
+    ``distinct``.
+
+    Recall semantics: a pair is found iff the two vectors share at least
+    one of their ``n_assign`` nearest cells — exact within-cell, approx
+    across cells (tested >= 0.95 on cluster-structured corpora;
+    tests/test_ivf_neardup.py). Cell granularity is the recall/cost dial:
+    k should track corpus_size / target_cell_size, with ``n_assign``
+    covering cell-boundary pairs.
+
+    Returns (vec_a, vec_b, cosine) — the cell id is an internal blocking
+    artifact, not an output column.
+    """
+    from data_pipeline_with_spark_kafka_spark.operators.clustering import cell_multi_assign
+
+    assigned = cell_multi_assign(df, vec_col, centroid_rows, n_assign=n_assign, out_col="__cell")
+    pairs = embedding_near_dup_pairs_vectorized(
+        assigned, id_col, vec_col, "__cell",
+        threshold=threshold, max_block=max_block, guard=guard,
+    )
+    return pairs.select("vec_a", "vec_b", "cosine").distinct()

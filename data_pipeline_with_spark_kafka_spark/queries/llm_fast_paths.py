@@ -23,6 +23,33 @@ def llm_dedup_embedding_cosine_fast(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register(
+    "llm_dedup_embedding_cosine_ivf", oracle=None, tags=("llm", "dedup", "approx", "pandas-udf")
+)
+def llm_dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup blocked by LEARNED k-means IVF cells (the scale
+    default: real corpora have no ``label`` column to block on).
+
+    Quantizer: k=10 cells (matching this corpus's cluster structure;
+    at scale k tracks corpus_size / target_cell_size), trained once per
+    dataset and memoized, shipped as literals — assignment is a
+    zero-shuffle narrow map (``clustering.cell_multi_assign``). Each
+    vector lands in its 2 nearest cells so cell-boundary pairs still
+    collide; the BLAS kernel + triangle guard run per cell. Rows-only
+    (approx by design); recall >= 0.95 vs the label-blocked exact tier on
+    cluster-structured corpora is pytest-asserted
+    (tests/test_ivf_neardup.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows, _schema = clustering.kmeans_centroids_cached(
+        emb, "vec_id", "embedding", cache_key=sf_dir, k=10, iterations=3
+    )
+    # Footer-metadata guard decision (no Spark job); see llm.py twin.
+    guard = table_row_count(sf_dir, "embeddings") > 4096
+    return dedup.embedding_near_dup_pairs_ivf(
+        emb, "vec_id", "embedding", centroid_rows=rows, n_assign=2, threshold=0.4, guard=guard
+    )
+
+
 @register("llm_sim_topk_ivf", oracle=None, tags=("llm", "similarity", "approx"))
 def llm_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 (k-means coarse quantizer, 3 probes).

@@ -150,3 +150,49 @@ def test_table_exists_probe_distinguishes_errors(spark, tmp_path):
     with pytest.raises(Exception) as exc_info:
         _jdbc_table_exists(df, bad_url, "t_present", DERBY_PROPS)
     assert "XJ004" in str(exc_info.value) or "not found" in str(exc_info.value)
+
+
+def test_jdbc_upsert_crash_between_staging_and_merge(spark, derby_url, monkeypatch):
+    """Exactly-once under a mid-epoch crash: the writer dies AFTER the
+    staging overwrite but BEFORE the MERGE commits. The target must be
+    untouched by the half-finished epoch, and the foreachBatch replay of
+    the same epoch must land it exactly once — the two-phase property the
+    reference's direct append (spark_consumer_kafka.py:145 under
+    outputMode("update"), vs its PRIMARY KEY DDL in README.md:81) cannot
+    provide: a crash there leaves whatever prefix of rows the executors
+    already inserted."""
+    from data_pipeline_with_spark_kafka_spark.sources import readers
+
+    b1 = spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)], "k long, name string, total double")
+    jdbc_keyed_upsert = readers.jdbc_keyed_upsert
+    jdbc_keyed_upsert(b1, derby_url, "t_crash", ["k"], properties=DERBY_PROPS, max_connections=1)
+
+    real_exec = readers._execute_jdbc_statement
+
+    def crash_on_merge(df, url, sql, properties):
+        if sql.lstrip().upper().startswith("MERGE"):
+            raise RuntimeError("injected crash: process died before MERGE commit")
+        return real_exec(df, url, sql, properties)
+
+    b2 = spark.createDataFrame([(2, "b", 25.0), (3, "c", 30.0)], "k long, name string, total double")
+    monkeypatch.setattr(readers, "_execute_jdbc_statement", crash_on_merge)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        jdbc_keyed_upsert(b2, derby_url, "t_crash", ["k"], properties=DERBY_PROPS, max_connections=1)
+    monkeypatch.setattr(readers, "_execute_jdbc_statement", real_exec)
+
+    # The crashed epoch left the TARGET exactly as it was (staging holds
+    # the orphan rows — invisible to readers of the target).
+    got = {(r.k, r.name, r.total) for r in jdbc_source(spark, derby_url, "t_crash", properties=DERBY_PROPS).collect()}
+    assert got == {(1, "a", 10.0), (2, "b", 20.0)}
+
+    # Replay of the epoch (checkpoint re-delivers batch 2): staging is
+    # overwritten from scratch, MERGE folds it once -> state equals one
+    # clean run of batches 1+2.
+    jdbc_keyed_upsert(b2, derby_url, "t_crash", ["k"], properties=DERBY_PROPS, max_connections=1)
+    got = {(r.k, r.name, r.total) for r in jdbc_source(spark, derby_url, "t_crash", properties=DERBY_PROPS).collect()}
+    assert got == {(1, "a", 10.0), (2, "b", 25.0), (3, "c", 30.0)}
+
+    # And a second replay (at-least-once redelivery after success) still
+    # converges to the same state.
+    jdbc_keyed_upsert(b2, derby_url, "t_crash", ["k"], properties=DERBY_PROPS, max_connections=1)
+    assert jdbc_source(spark, derby_url, "t_crash", properties=DERBY_PROPS).count() == 3

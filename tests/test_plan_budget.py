@@ -60,6 +60,9 @@ EXCHANGE_BUDGET = {
     "llm_dedup_corpus_segments": 4,
     "llm_dedup_embedding_cosine": 1,
     "llm_dedup_embedding_cosine_fast": 1,
+    # groupBy(cell,task) shuffle + distinct; cell assignment itself is a
+    # zero-Exchange literal-centroid map (tests/test_ivf_neardup.py).
+    "llm_dedup_embedding_cosine_ivf": 2,
     "llm_dedup_exact": 1,
     "llm_dedup_incremental": 26,
     # Composes the exact tier (26) with the band-index near probe; the
