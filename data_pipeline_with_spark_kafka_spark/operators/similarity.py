@@ -117,3 +117,98 @@ def lsh_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def knn_join_exact(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries_df: DataFrame,
+    *,
+    k: int = 10,
+    query_limit: int = 16,
+) -> DataFrame:
+    """Exact k-NN JOIN: top-k cosine neighbors for EVERY query vector (the
+    batch form of ``brute_force_topk``, which answers one query).
+
+    Shape: the query set is the small side (``limit(query_limit)`` makes
+    that structural, so the broadcast is provably bounded); the corpus
+    fans out once per query (narrow map — no corpus shuffle), and the
+    per-query top-k is a row_number window on the query key, which Spark
+    executes as WindowGroupLimit: each input partition keeps only its own
+    top-k per query BEFORE the shuffle, so the exchange carries at most
+    ``k x queries x partitions`` rows regardless of corpus size.
+
+    Returns (query_id, neighbor id, cosine, rank); ranking key is the
+    ROUNDED cosine with id tiebreak so the order is reproducible across
+    engines (raw double ties at 1e-16 would make ranks nondeterministic).
+    """
+    from pyspark.sql import Window
+
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
+    ).limit(query_limit)
+    v = as_double(F.col(vec_col))
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            round_to(cosine(v, F.col("qvec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_join_ivf(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries_df: DataFrame,
+    centroid_rows: list,
+    *,
+    k: int = 10,
+    n_probe: int = 3,
+    query_limit: int = 16,
+) -> DataFrame:
+    """IVF approximate k-NN join: each corpus vector lives in its ONE
+    nearest cell, each query probes its ``n_probe`` nearest cells, and the
+    exact rerank runs only where they meet (equi-join on the cell id, not
+    a cross join) — the candidate set shrinks ~k_cells/n_probe-fold.
+
+    Same zero-shuffle literal-centroid assignment as the near-dup tier
+    (``clustering.cell_multi_assign``); same WindowGroupLimit top-k as the
+    exact tier, so output order and schema match and recall is directly
+    measurable (tests/test_knn_join.py).
+    """
+    from pyspark.sql import Window
+
+    from data_pipeline_with_spark_kafka_spark.operators.clustering import cell_multi_assign
+
+    members = cell_multi_assign(corpus, vec_col, centroid_rows, n_assign=1, out_col="cell")
+    q = (
+        queries_df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_raw"))
+        .limit(query_limit)
+    )
+    probes = cell_multi_assign(q, "q_raw", centroid_rows, n_assign=n_probe, out_col="cell").select(
+        "query_id", as_double(F.col("q_raw")).alias("qvec"), "cell"
+    )
+    v = as_double(F.col(vec_col))
+    scored = (
+        members.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            round_to(cosine(v, F.col("qvec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -315,6 +315,40 @@ def llm_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_JOIN_ORACLE = """
+WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id < 8
+), e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), scored AS (
+    SELECT q.query_id,
+           e.vec_id AS neighbor_id,
+           ROUND(list_dot_product(v, qv)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+    FROM e, q
+    WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+@register("llm_knn_join_exact", oracle=KNN_JOIN_ORACLE, tags=("llm", "similarity", "knn"))
+def llm_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN JOIN: top-10 cosine neighbors for each of 8 query
+    vectors in one pass (broadcast query set, WindowGroupLimit top-k —
+    the batch retrieval shape, vs ``llm_sim_topk_bruteforce``'s single
+    query)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_join_exact(
+        emb, "vec_id", "embedding", emb.filter(F.col("vec_id") < 8), k=10, query_limit=8
+    )
+
+
 @register("llm_sim_topk_lsh", oracle=None, tags=("llm", "similarity", "approx"))
 def llm_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-10 (recall tested vs brute force)."""

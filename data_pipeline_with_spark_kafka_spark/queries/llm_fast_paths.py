@@ -50,6 +50,25 @@ def llm_dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register("llm_knn_join_ivf", oracle=None, tags=("llm", "similarity", "knn", "approx"))
+def llm_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate k-NN join: same 8-query top-10 contract as
+    ``llm_knn_join_exact``, but each query probes only its 3 nearest
+    k-means cells (cell equi-join instead of the query x corpus fan-out).
+    Rows-only; recall vs the exact tier is pytest-pinned
+    (tests/test_knn_join.py)."""
+    from data_pipeline_with_spark_kafka_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows, _schema = clustering.kmeans_centroids_cached(
+        emb, "vec_id", "embedding", cache_key=sf_dir, k=10, iterations=3
+    )
+    return similarity.knn_join_ivf(
+        emb, "vec_id", "embedding", emb.filter(F.col("vec_id") < 8), rows,
+        k=10, n_probe=3, query_limit=8,
+    )
+
+
 @register("llm_sim_topk_ivf", oracle=None, tags=("llm", "similarity", "approx"))
 def llm_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 (k-means coarse quantizer, 3 probes).

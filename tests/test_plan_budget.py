@@ -64,6 +64,11 @@ EXCHANGE_BUDGET = {
     # zero-Exchange literal-centroid map (tests/test_ivf_neardup.py).
     "llm_dedup_embedding_cosine_ivf": 2,
     "llm_dedup_exact": 1,
+    # broadcast(8-row query set) + its GlobalLimit single-partition
+    # exchange + one query_id window shuffle (WindowGroupLimit partial
+    # top-k runs before it); IVF twin swaps the fan-out for a cell join.
+    "llm_knn_join_exact": 3,
+    "llm_knn_join_ivf": 3,
     "llm_dedup_incremental": 26,
     # Composes the exact tier (26) with the band-index near probe; the
     # static plan string repeats persisted subtrees (sigs, exact_novel),
