@@ -49,10 +49,15 @@ def segments(tokens_col: Column, width: int = SEGMENT_WIDTH) -> Column:
 
 
 def exploded_segments(docs: DataFrame, *, width: int = SEGMENT_WIDTH) -> DataFrame:
-    """(doc_id, pos, seg) — one row per segment, position 0-based."""
-    return docs.select(
-        "doc_id",
-        F.posexplode(segments(tokens(F.col("text")), width)).alias("pos", "seg"),
+    """(doc_id, pos, seg) — one row per segment, position 0-based.
+
+    The token array is bound to an attribute BEFORE ``segments`` slices
+    it: inlined, every per-segment slice re-evaluates the whole split()
+    (no common-subexpression elimination across a transform lambda — the
+    winnowing lesson, queries/text_extra.py)."""
+    d = docs.select("doc_id", tokens(F.col("text")).alias("_t"))
+    return d.select(
+        "doc_id", F.posexplode(segments(F.col("_t"), width)).alias("pos", "seg")
     )
 
 
@@ -75,10 +80,15 @@ def repetition_metrics(docs: DataFrame, *, width: int = SEGMENT_WIDTH) -> DataFr
     aggregation handles the fan-out and the only shuffles are hash
     repartitions on those keys.
     """
-    toks = tokens(F.col("text"))
+    # Bind the token array once (attribute, not inline expression — see
+    # exploded_segments); all three explode pipelines slice from it.
+    d = docs.select(
+        "doc_id", F.length("text").alias("doc_chars"), tokens(F.col("text")).alias("_t")
+    )
+    toks = F.col("_t")
 
     seg_occ = (
-        docs.select("doc_id", F.explode(segments(toks, width)).alias("seg"))
+        d.select("doc_id", F.explode(segments(toks, width)).alias("seg"))
         .groupBy("doc_id", "seg")
         .agg(F.count("*").alias("cnt"))
     )
@@ -92,7 +102,7 @@ def repetition_metrics(docs: DataFrame, *, width: int = SEGMENT_WIDTH) -> DataFr
     )
 
     bigram_occ = (
-        docs.select("doc_id", F.explode(shingles(toks, 2, distinct=False)).alias("gram"))
+        d.select("doc_id", F.explode(shingles(toks, 2, distinct=False)).alias("gram"))
         .groupBy("doc_id", "gram")
         .agg(F.count("*").alias("cnt"))
     )
@@ -101,7 +111,7 @@ def repetition_metrics(docs: DataFrame, *, width: int = SEGMENT_WIDTH) -> DataFr
     )
 
     five_occ = (
-        docs.select("doc_id", F.explode(shingles(toks, 5, distinct=False)).alias("gram"))
+        d.select("doc_id", F.explode(shingles(toks, 5, distinct=False)).alias("gram"))
         .groupBy("doc_id", "gram")
         .agg(F.count("*").alias("cnt"))
     )
@@ -112,7 +122,7 @@ def repetition_metrics(docs: DataFrame, *, width: int = SEGMENT_WIDTH) -> DataFr
 
     # Left-join every stat onto the doc spine: short docs legitimately have
     # no bigrams (<2 tokens) or 5-grams (<5) and must still emit a row.
-    base = docs.select("doc_id", F.length("text").alias("doc_chars"))
+    base = d.select("doc_id", "doc_chars")
     return (
         base.join(seg_stats, "doc_id", "left")
         .join(top_bigram, "doc_id", "left")
@@ -166,8 +176,8 @@ def dedup_corpus_segments(docs: DataFrame, *, width: int = SEGMENT_WIDTH) -> Dat
         ).alias("text_clean"),
         F.count("*").alias("n_kept"),
     )
-    totals = docs.select(
-        "doc_id", F.size(segments(tokens(F.col("text")), width)).cast("long").alias("n_segs")
+    totals = docs.select("doc_id", tokens(F.col("text")).alias("_t")).select(
+        "doc_id", F.size(segments(F.col("_t"), width)).cast("long").alias("n_segs")
     )
     return (
         totals.join(rebuilt, "doc_id", "left")
@@ -206,7 +216,10 @@ def remove_repeated_spans(
 
     Returns (id, cleaned_text, n_tokens, n_removed).
     """
-    toks = tokens(F.col(text_col))
+    # Token array bound to an attribute (see exploded_segments): inlined,
+    # every per-gram slice would re-run the whole split().
+    tok_docs = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    toks = F.col("_t")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(-1))),
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
@@ -217,7 +230,7 @@ def remove_repeated_spans(
     # the pipeline, one row per token — feeds BOTH the repeated-gram
     # aggregate and the covered semi-join below; without the persist the
     # tokenize + gram-hash + explode pass runs twice per job.
-    pos = docs.select(
+    pos = tok_docs.select(
         F.col(id_col),
         F.posexplode(
             F.when(F.size(toks) >= k, grams).otherwise(F.array().cast("array<bigint>"))
@@ -237,7 +250,7 @@ def remove_repeated_spans(
         .groupBy(id_col)
         .agg(F.collect_list("pos").alias("_starts"))
     )
-    out = docs.join(covered, id_col, "left").withColumn(
+    out = tok_docs.join(covered, id_col, "left").withColumn(
         "_starts", F.coalesce("_starts", F.array().cast("array<int>"))
     )
     kept = F.filter(
@@ -246,9 +259,12 @@ def remove_repeated_spans(
             F.col("_starts"), lambda p: (p <= i) & (i < p + F.lit(k))
         ),
     )
+    # Stage the kept array too: it is referenced three times below, and
+    # its filter-over-exists cost is O(tokens x starts) per evaluation.
+    out = out.select(F.col(id_col), toks.alias("_t"), kept.alias("_kept"))
     return out.select(
         F.col(id_col),
-        F.concat_ws(" ", kept).alias("cleaned_text"),
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        (F.size(toks) - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.concat_ws(" ", "_kept").alias("cleaned_text"),
+        F.size("_t").cast("bigint").alias("n_tokens"),
+        (F.size("_t") - F.size("_kept")).cast("bigint").alias("n_removed"),
     )

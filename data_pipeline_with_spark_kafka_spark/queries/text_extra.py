@@ -83,16 +83,24 @@ def llm_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.transform(
         grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
     )
-    n = F.size(h)
-    n_windows = F.greatest(n - (_WINNOW_W - 1), F.lit(1))
+    # STAGED projections, not one inlined expression: the hash array must
+    # be bound to an attribute before the per-window slices reference it.
+    # Inlined, every one of the ~n windows re-evaluated the ENTIRE
+    # md5-per-gram array (no common-subexpression elimination across a
+    # transform lambda boundary) — O(n^2) hashing per doc, measured 33 s
+    # for the sf0.1 corpus vs 0.96 s staged. CollapseProject leaves the
+    # stages alone because the alias is non-cheap and multiply-referenced.
+    d = docs.select("doc_id", h.alias("_h"))
+    d = d.select("doc_id", "_h", F.size("_h").alias("_n"))
     mins = F.transform(
-        F.sequence(F.lit(0), n_windows - 1),
-        lambda i: F.array_min(F.slice(h, i + 1, _WINNOW_W)),
+        F.sequence(F.lit(0), F.greatest(F.col("_n") - (_WINNOW_W - 1), F.lit(1)) - 1),
+        lambda i: F.array_min(F.slice(F.col("_h"), i + 1, _WINNOW_W)),
     )
-    fp = F.when(n == 0, F.lit(0).cast("long")).otherwise(
-        F.aggregate(mins, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseXOR(x))
+    d = d.select("doc_id", "_n", mins.alias("_m"))
+    fp = F.when(F.col("_n") == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate("_m", F.lit(0).cast("long"), lambda acc, x: acc.bitwiseXOR(x))
     )
-    return docs.select("doc_id", fp.alias("winnow_fp"))
+    return d.select("doc_id", fp.alias("winnow_fp"))
 
 
 # --------------------------------------------------------------------------
@@ -158,26 +166,45 @@ def llm_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_with_spark_kafka_spark.operators.text import shingles, tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
-    n = F.size(t)
-    mean_word_len = round_to((F.length("text") - (n - F.lit(1))) / n, 4)
-    all_bi = shingles(t, 2, distinct=False)
-    total_bi = F.size(all_bi)
-    distinct_bi = F.size(F.array_distinct(all_bi))
-    dup_ratio = F.when(total_bi <= 0, F.lit(0.0)).otherwise(
-        round_to(F.lit(1.0) - distinct_bi / total_bi, 4)
+    # Staged projections (the winnowing lesson, llm_fingerprint_winnowing
+    # above): each stage binds expensive arrays/scalars to attributes so
+    # downstream references — `passes` alone re-derives every metric —
+    # never re-inline the split()/shingle work.
+    d = docs.select(
+        "doc_id", F.length("text").alias("_len"), tokens(F.col("text")).alias("_t")
     )
+    d = d.select(
+        "doc_id", "_len", "_t",
+        F.size("_t").alias("_n"),
+        shingles(F.col("_t"), 2, distinct=False).alias("_bi"),
+    )
+    # O(distinct * n) per-row top-token count, bounded by doc length — the
+    # no-shuffle form (an explode+groupBy would pay a corpus-wide shuffle).
     top_cnt = F.array_max(
-        F.transform(F.array_distinct(t), lambda w: F.size(F.filter(t, lambda y: y == w)))
+        F.transform(
+            F.array_distinct(F.col("_t")),
+            lambda w: F.size(F.filter(F.col("_t"), lambda y: y == w)),
+        )
     )
-    top_ratio = round_to(top_cnt / n, 4)
+    d = d.select(
+        "doc_id", "_len", "_n",
+        F.size("_bi").alias("_total_bi"),
+        F.size(F.array_distinct("_bi")).alias("_distinct_bi"),
+        top_cnt.alias("_top_cnt"),
+    )
+    n = F.col("_n")
+    mean_word_len = round_to((F.col("_len") - (n - F.lit(1))) / n, 4)
+    dup_ratio = F.when(F.col("_total_bi") <= 0, F.lit(0.0)).otherwise(
+        round_to(F.lit(1.0) - F.col("_distinct_bi") / F.col("_total_bi"), 4)
+    )
+    top_ratio = round_to(F.col("_top_cnt") / n, 4)
     passes = (
         n.between(10, 1000)
         & mean_word_len.between(3, 10)
         & (dup_ratio <= 0.6)
         & (top_ratio <= 0.25)
     )
-    return docs.select(
+    return d.select(
         "doc_id",
         n.alias("n_tokens"),
         mean_word_len.alias("mean_word_len"),
