@@ -162,3 +162,82 @@ def segment_word(word: str, merges: list[tuple[str, str, int]]) -> list[str]:
                 out.append(s)
         syms = out
     return syms
+
+
+def train_bpe_cached(
+    docs: DataFrame,
+    text_col: str,
+    *,
+    cache_key: str,
+    num_merges: int = 20,
+) -> list[tuple[str, str, int]]:
+    """Train-once merge cache (same discipline as the IVF centroid cache,
+    clustering.kmeans_centroids_cached): at scale the tokenizer is a small
+    offline artifact handed to every encode job, never retrained inside
+    one. Deterministic training makes this pure memoization."""
+    key = (cache_key, num_merges)
+    hit = _MERGE_CACHE.get(key)
+    if hit is None:
+        hit = train_bpe(docs, text_col, num_merges=num_merges)
+        _MERGE_CACHE[key] = hit
+    return hit
+
+
+_MERGE_CACHE: dict = {}
+
+
+def encode_word_table(words: DataFrame, merges: list[tuple[str, str, int]]) -> DataFrame:
+    """(word, pieces) — apply the learned merges, in order, to every
+    distinct word's symbol array. Pure JVM expressions: each merge is one
+    ``aggregate`` walk (the exact _merge_pair lambda the trainer uses), so
+    encode-after-train is symbol-for-symbol the trainer's final state."""
+    table = words
+    for a, b, _n in merges:
+        table = _merge_pair(table, a, b)
+    return table.select("word", F.col("syms").alias("pieces"))
+
+
+def bpe_encode(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str, int]],
+) -> DataFrame:
+    """Encode every document with a trained BPE merge list.
+
+    The 100-TB shape: per-word encoding cost is paid ONCE PER DISTINCT
+    WORD (the vocabulary-sized relation), not once per occurrence — the
+    corpus-sized side only explodes to (doc, pos, word) and equi-joins the
+    encoded word table on the word key (AQE broadcasts the vocab side when
+    it fits; at natural-language scale the vocab is millions of rows
+    against billions of occurrences). Reassembly sorts by position inside
+    a per-doc collect_list — deterministic, never relying on collect
+    order.
+
+    Returns (id, bpe_tokens array<string>, n_words, n_bpe_tokens).
+    """
+    words = word_symbol_table(docs, text_col)
+    encoded = encode_word_table(words, merges)
+    occurrences = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
+    ).filter(F.length("word") > 0)
+    joined = occurrences.join(encoded, "word")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "pieces"))),
+                    lambda s: s["pieces"],
+                )
+            ).alias("bpe_tokens"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .select(
+            F.col(id_col),
+            "bpe_tokens",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+    )

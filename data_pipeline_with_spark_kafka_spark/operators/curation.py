@@ -155,11 +155,19 @@ def shared_span_fraction(
     # fraction thresholded at 0.5, and the DuckDB oracle (string-keyed)
     # stays hash-free, so any collision at validation scale would surface
     # as a mismatch (none can occur below ~billions of spans).
-    sh = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(shingles(tokens(F.col(text_col)), k), lambda s: F.xxhash64(s))
-        ).alias("shingle"),
+    # Persist (dedup.py cache contract): the exploded span relation feeds
+    # both consumers below; without it the shingle explosion runs twice.
+    # Token array bound to an attribute first so the k slice-starts inside
+    # shingles() don't each re-run split() (the winnowing lesson).
+    sh = (
+        docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(shingles(F.col("_t"), k), lambda s: F.xxhash64(s))
+            ).alias("shingle"),
+        )
+        .persist()
     )
     shared = (
         sh.groupBy("shingle")
@@ -172,9 +180,9 @@ def shared_span_fraction(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    counted = docs.select(
+    counted = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t")).select(
         F.col(id_col),
-        F.size(shingles(tokens(F.col(text_col)), k)).cast("bigint").alias("n_spans"),
+        F.size(shingles(F.col("_t"), k)).cast("bigint").alias("n_spans"),
     )
     frac = F.coalesce(round_to(F.col("n_shared") / F.col("n_spans"), 4), F.lit(0.0))
     return counted.join(n_shared, id_col, "left").select(

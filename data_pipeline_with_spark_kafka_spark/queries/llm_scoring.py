@@ -75,13 +75,16 @@ def llm_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))
 
+    # Persist (dedup.py cache contract): the exploded bigram stream — the
+    # largest intermediate here — feeds BOTH the count model (bic) and the
+    # scoring join; without it tokenize+shingle+explode runs twice.
     bi = docs.select(
         "doc_id", F.explode(shingles(t, 2, distinct=False)).alias("bg")
     ).select(
         "doc_id",
         F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
         F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
-    )
+    ).persist()
     bic = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
 
     lp = F.log2((F.col("c12") + F.lit(_K)) / (F.col("c1") + F.lit(_K) * F.col("v")))
@@ -221,4 +224,23 @@ def llm_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i, a, b, a + b, n) for i, (a, b, n) in enumerate(merges)],
         "rank int, left string, right string, merged string, weighted_count long",
+    )
+
+
+@register("llm_bpe_encode", oracle=None, tags=("llm", "scoring", "iterative"))
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE ENCODING with the corpus-trained tokenizer (the
+    other half of llm_bpe_vocab): 20 merges applied to the distinct-word
+    table via pure JVM aggregate walks, occurrences joined back on the
+    word key and reassembled in position order (operators/bpe.bpe_encode).
+    Output drops the token array (per-doc counts only) to keep the
+    correctness hash on stable scalars; rows-only because the merge loop
+    is not SQL-expressible — token-for-token equality vs the pure-Python
+    reference encoder is pytest-pinned (tests/test_bpe.py)."""
+    from data_pipeline_with_spark_kafka_spark.operators.bpe import bpe_encode, train_bpe_cached
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_cached(docs, "text", cache_key=sf_dir, num_merges=20)
+    return bpe_encode(docs, "doc_id", "text", merges).select(
+        "doc_id", "n_words", "n_bpe_tokens"
     )

@@ -73,3 +73,44 @@ def test_bpe_distributed_path_equals_driver_path(spark):
     fast = bpe.train_bpe(docs, "text", num_merges=8)
     distributed = bpe.train_bpe(docs, "text", num_merges=8, driver_limit=0)
     assert fast == distributed
+
+
+def test_bpe_encode_matches_reference_per_doc(spark, sf_dir):
+    """Distributed encode (encode-distinct-words + occurrence join +
+    position reassembly) must be token-for-token the pure-Python
+    segment_word applied word-by-word, for every fixture doc."""
+    from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    merges = bpe.train_bpe(docs, "text", num_merges=12)
+    got = {
+        r.doc_id: (list(r.bpe_tokens), r.n_words, r.n_bpe_tokens)
+        for r in bpe.bpe_encode(docs, "doc_id", "text", merges).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        words = [w for w in row.text.split(" ") if w]
+        expect = [p for w in words for p in bpe.segment_word(w, merges)]
+        tokens_got, n_words, n_bpe = got[row.doc_id]
+        assert tokens_got == expect, row.doc_id
+        assert n_words == len(words)
+        assert n_bpe == len(expect)
+
+
+def test_bpe_encode_roundtrips_text(spark):
+    """Concatenating each word's pieces reproduces the original text:
+    encoding loses nothing."""
+    docs = spark.createDataFrame(
+        [(0, "banana bandana banana"), (1, "low lower lowest")],
+        "doc_id long, text string",
+    )
+    merges = bpe.train_bpe(docs, "text", num_merges=6)
+    out = {r.doc_id: list(r.bpe_tokens) for r in bpe.bpe_encode(docs, "doc_id", "text", merges).collect()}
+    for doc_id, text in [(0, "banana bandana banana"), (1, "low lower lowest")]:
+        joined = "".join(out[doc_id]).replace(bpe.END_OF_WORD, " ").strip()
+        assert joined == text
+
+
+def test_bpe_encode_zero_merges_is_characters(spark):
+    docs = spark.createDataFrame([(0, "ab ba")], "doc_id long, text string")
+    out = bpe.bpe_encode(docs, "doc_id", "text", []).collect()[0]
+    assert list(out.bpe_tokens) == ["a", "b", bpe.END_OF_WORD, "b", "a", bpe.END_OF_WORD]

@@ -27,6 +27,7 @@ ITERATIVE_BUILDERS = {
     "llm_dedup_clusters",  # connected components: per-generation convergence scalar
     "llm_curated_corpus",  # composes the CC-based dedup stage
     "llm_bpe_vocab",       # BPE merge loop (adaptive driver/distributed)
+    "llm_bpe_encode",      # trains via the same loop (memoized per sf_dir)
     "llm_sim_topk_ivf",    # k-means quantizer training (memoized per sf_dir)
     "llm_dedup_embedding_cosine_ivf",  # same quantizer training path
     "llm_knn_join_ivf",                # same quantizer training path

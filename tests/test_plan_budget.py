@@ -52,6 +52,8 @@ EXCHANGE_BUDGET = {
     "join_range_bucketed": 2,
     "join_range_price_tier": 1,
     "join_semi_customers_with_orders": 1,
+    # word groupBy + occurrence/vocab join + doc_id reassembly agg.
+    "llm_bpe_encode": 3,
     "llm_bpe_vocab": 0,
     "llm_chunk_documents": 0,
     "llm_contamination_overlap": 4,
