@@ -354,9 +354,12 @@ def simhash_pairs(
     """SimHash near-dup pairs within a Hamming radius, blocked on the top
     16 bits (docs differing there cannot be near at small radii ~always;
     standard multi-probe tradeoff, recall tested against exact Jaccard)."""
+    # Persist (cache contract above): both sides of the self-join read the
+    # fingerprint relation — the 64-wide aggregate is the expensive part
+    # and must not run twice.
     sh = simhash(df, id_col, text_col).withColumn(
         "block", F.shiftright("simhash", 48)
-    )
+    ).persist()
     a, b = sh.alias("a"), sh.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     return (

@@ -210,3 +210,34 @@ def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero rows, which a plain GROUP BY cannot produce)."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
     return spark.sql(RECURSIVE_SPINE_SQL.format(orders="orders_v", one_month="1 MONTH"))
+
+
+# Identical text on both engines (both speak SQL:1999 LATERAL); ranking on
+# the ROUNDED balance with a key tie-break so both engines order alike.
+LATERAL_TOPK_SQL = """
+SELECT n.n_name, t.c_custkey, t.acctbal
+FROM {nation} n,
+LATERAL (
+  SELECT c_custkey, ROUND(c_acctbal, 4) AS acctbal
+  FROM {customer} c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY ROUND(c_acctbal, 4) DESC, c_custkey
+  LIMIT 2
+) t
+"""
+
+
+@register(
+    "sql_lateral_topk_per_key",
+    oracle=LATERAL_TOPK_SQL.format(nation="nation", customer="customer"),
+    tags=("sql-surface", "lateral", "topk"),
+)
+def sql_lateral_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 customers per nation): the
+    for-each-row-of-the-left-table join form. Catalyst DECORRELATES the
+    per-nation ORDER BY/LIMIT into a rank-over-window plan — no per-row
+    re-execution survives into the physical plan, which is what makes the
+    construct usable when the left side is a billion rows, not 25."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(LATERAL_TOPK_SQL.format(nation="nation_v", customer="customer_v"))

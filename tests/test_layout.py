@@ -105,3 +105,27 @@ def test_zorder_clusters_both_dimensions(spark, sf_dir, tmp_path):
         # stripe: with 8 range partitions over a 2-D Morton key each file
         # should span well under the whole domain in BOTH columns.
         assert mean_frac < 0.7, (col, mean_frac)
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    """64 tiny files -> a handful of right-sized ones, content identical,
+    stats faithful."""
+    from data_pipeline_with_spark_kafka_spark.sources.layout import compact_parquet_dir
+
+    src = str(tmp_path / "small_files")
+    out = str(tmp_path / "compacted")
+    df = spark.range(0, 5000).selectExpr("id", "id % 7 AS grp", "CAST(id AS DOUBLE) * 0.5 AS v")
+    df.repartition(64).write.parquet(src)
+
+    stats = compact_parquet_dir(spark, src, out, target_file_bytes=64 << 10)
+    assert stats["files_before"] == 64
+    assert 1 <= stats["files_after"] < 64
+    # ceil sizing: every output file but the remainder targets ~64 KiB
+    import math
+    assert stats["files_after"] == max(1, math.ceil(stats["bytes_before"] / (64 << 10)))
+
+    back = spark.read.parquet(out)
+    assert back.count() == 5000
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+    # source untouched (never in place)
+    assert spark.read.parquet(src).count() == 5000
