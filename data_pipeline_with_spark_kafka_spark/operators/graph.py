@@ -1,0 +1,150 @@
+"""PageRank over a DataFrame edge list — the fourth iterative-algorithm
+family member (connected components, k-means, BPE are the others), same
+driver-loop discipline: each generation is bounded DataFrame algebra, the
+only driver-side values are 1-row scalars, generations persist/materialize
+eagerly and unpersist their predecessor.
+
+Training-data use: centrality over the near-dup similarity graph surfaces
+TEMPLATE HUBS — documents whose text is stitched from spans shared with
+many other documents rank high even when every individual pair sits below
+the dedup threshold.
+
+Scale shape per iteration: one join of the edge list with the rank
+relation on src (shuffle keyed by node id), one groupBy dst (same key
+family), one broadcast of two 1-row scalars (dangling mass, node count).
+The edge list never self-joins and nothing corpus-sized reaches the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    damping: float = 0.85,
+    iterations: int = 10,
+    loop_partitions: int | None = None,
+) -> DataFrame:
+    """(node, rank) for a directed edge list (src, dst).
+
+    Standard damped PageRank with dangling-mass redistribution: nodes
+    with no out-edges donate their rank uniformly to everyone (without
+    this the total mass leaks and ranks are incomparable across graphs).
+    Deterministic: initialization is uniform and every aggregate is
+    order-insensitive up to float addition (callers should round emitted
+    ranks; see functions/rounding.py).
+
+    ``loop_partitions``: shuffle width for the per-iteration joins. The
+    iteration cost is STAGE COUNT x scheduling latency, not data volume —
+    on a small or medium graph, 32-wide exchanges per generation are pure
+    overhead (measured 18 s/iteration at width 32 vs ~1 s at width 4 on a
+    toy graph). Size it to the edge count (edges/partition ~ a few
+    million); None inherits the session default, which is right when the
+    graph itself is 100-TB-scale.
+    """
+    spark = edges.sparkSession
+    old_width = spark.conf.get("spark.sql.shuffle.partitions")
+    if loop_partitions is not None:
+        # Session conf, not input partitioning, sets exchange width — and
+        # AQE's coalescing keeps default parallelism for tiny shuffles
+        # (parallelismFirst), so a narrow loop must pin it explicitly.
+        # Every materialization happens inside this function (eager
+        # counts), so the try/finally below restores the session before
+        # any caller-side action runs.
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+    try:
+        return _pagerank_loop(edges, damping=damping, iterations=iterations)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_width)
+
+
+def _pagerank_loop(edges: DataFrame, *, damping: float, iterations: int) -> DataFrame:
+    e = edges.select(F.col("src"), F.col("dst")).distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()  # 1 scalar; also materializes the persists
+    if n_nodes == 0:
+        e.unpersist()
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg")).persist()
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank")).persist()
+    ranks.count()
+
+    base = (1.0 - damping) / n_nodes
+    prev = ranks
+    for _ in range(iterations):
+        with_deg = ranks.join(outdeg, "node", "left")
+        # dangling mass: rank held by nodes with no out-edges (1-row scalar)
+        dangling = with_deg.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        contribs = (
+            e.join(
+                with_deg.filter(F.col("deg").isNotNull()).select(
+                    F.col("node").alias("src"), (F.col("rank") / F.col("deg")).alias("share")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dm") / n_nodes)
+                ).alias("rank"),
+            )
+            .persist()
+        )
+        # Materialize eagerly: otherwise each generation's plan chains the
+        # full lineage of every previous iteration (k-means discipline).
+        ranks.count()
+        prev.unpersist()
+        prev = ranks
+
+    e.unpersist()
+    outdeg.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
+def pagerank_reference(
+    edge_list: list[tuple], *, damping: float = 0.85, iterations: int = 10
+) -> dict:
+    """Pure-Python reference (tests): same init, dangling handling, and
+    update order as the DataFrame loop."""
+    edges = sorted(set(edge_list))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    if n == 0:
+        return {}
+    out: dict = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    ranks = {v: 1.0 / n for v in nodes}
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        dangling = sum(r for v, r in ranks.items() if v not in out)
+        contrib: dict = {v: 0.0 for v in nodes}
+        for s, ds in out.items():
+            share = ranks[s] / len(ds)
+            for d in ds:
+                contrib[d] += share
+        ranks = {
+            v: base + damping * (contrib[v] + dangling / n) for v in nodes
+        }
+    return ranks

@@ -1,0 +1,70 @@
+"""PageRank (operators/graph.py): equality vs the pure-Python reference,
+mass conservation, dangling handling, and hub detection on the near-dup
+graph query."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_kafka_spark.operators import graph
+
+EDGES = [
+    (1, 2), (2, 3), (3, 1),          # cycle
+    (4, 1), (4, 2),                  # feeder
+    (5, 4),                          # chain into feeder
+    # node 6: dangling (edge in, none out)
+    (3, 6),
+]
+
+
+@pytest.fixture(scope="module")
+def ranks(spark):
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    return {r.node: r.rank for r in graph.pagerank(e, iterations=5, loop_partitions=2).collect()}
+
+
+def test_matches_pure_python_reference(ranks):
+    expect = graph.pagerank_reference(EDGES, iterations=5)
+    assert set(ranks) == set(expect)
+    for v, r in expect.items():
+        assert ranks[v] == pytest.approx(r, abs=1e-9), v
+
+
+def test_mass_conserved(ranks):
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_cycle_members_outrank_feeder(ranks):
+    # the 1-2-3 cycle accumulates rank; the feeder 4 and chain 5 donate it
+    assert min(ranks[1], ranks[2], ranks[3]) > ranks[5]
+
+
+def test_empty_graph(spark):
+    e = spark.createDataFrame([], "src long, dst long")
+    assert graph.pagerank(e, iterations=3, loop_partitions=2).count() == 0
+
+
+def test_neardup_graph_query_ranks_template_hub(spark):
+    """A hub doc sharing spans with many others must out-rank the
+    periphery when ranking the near-dup graph."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [(0, base)]
+    # 5 near-copies of the hub (small unique suffix each)
+    for i in range(1, 6):
+        docs.append((i, base + f" variant {i}"))
+    # unrelated docs
+    docs += [(10 + i, f"completely different text number {i} with unique words {i * 7}") for i in range(4)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    from data_pipeline_with_spark_kafka_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.5)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    ranks = {r.node: r.rank for r in graph.pagerank(edges, iterations=3, loop_partitions=2).collect()}
+    assert ranks, "fixture must produce near-dup edges"
+    assert 0 in ranks, "hub doc must appear in the graph"
+    # the hub participates in every pair — top rank
+    assert ranks[0] == max(ranks.values())
