@@ -1,6 +1,7 @@
 """Query corpus: importing this package registers every named query."""
 
 from data_pipeline_with_spark_kafka_spark.queries import (  # noqa: F401
+    data_quality,
     events_analytics,
     flagship,
     functions_corpus,

@@ -30,6 +30,9 @@ EXCHANGE_BUDGET = {
     "agg_rollup_status_priority": 1,
     "dedup_keep_first_order": 1,
     "distinct_segment_nation": 1,
+    # one global-agg exchange pair for the whole column suite + the
+    # anti-join's two sides (AQE broadcasts the dim at runtime).
+    "dq_orders_constraints": 4,
     "events_daily_active_users": 2,
     "events_funnel_conversion": 2,
     "events_retention_cohorts": 4,
