@@ -110,3 +110,39 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+ZSCORE_ORACLE = """
+WITH stats AS (
+    SELECT event_type, AVG(value) AS m, STDDEV_SAMP(value) AS sd
+    FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND((e.value - s.m) / s.sd, 4) AS z
+FROM events e JOIN stats s ON s.event_type = e.event_type
+WHERE ABS(ROUND((e.value - s.m) / s.sd, 4)) >= 2.5
+"""
+
+
+@register("events_zscore_outliers", oracle=ZSCORE_ORACLE, tags=("events", "quality", "agg"))
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|z| >= 2.5): the numeric anomaly filter
+    a metrics/training-data pipeline runs before aggregation.
+
+    Shape: the per-type stats relation is GROUP-COUNT-sized (5 rows) —
+    groupBy + broadcast join back, NOT a window over the raw events (a
+    per-type window would shuffle the full fact table into 5 hot
+    partitions; the group-then-join form keeps the fact side narrow and
+    the skew on the tiny side). Comparison happens on the ROUNDED z so
+    both engines admit identical rows despite last-ulp aggregate
+    differences."""
+    events = load_table(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("sd")
+    )
+    z = round_to((F.col("value") - F.col("m")) / F.col("sd"), 4)
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) >= 2.5)
+    )

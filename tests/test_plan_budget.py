@@ -36,6 +36,7 @@ EXCHANGE_BUDGET = {
     "events_daily_active_users": 2,
     "events_funnel_conversion": 2,
     "events_retention_cohorts": 4,
+    "events_zscore_outliers": 2,
     "flagship_events_windowed_enrichment": 2,
     "func_array_family": 0,
     "func_cast_family": 0,
