@@ -130,19 +130,22 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     a metrics/training-data pipeline runs before aggregation.
 
     Shape: the per-type stats relation is GROUP-COUNT-sized (5 rows) —
-    groupBy + broadcast join back, NOT a window over the raw events (a
-    per-type window would shuffle the full fact table into 5 hot
-    partitions; the group-then-join form keeps the fact side narrow and
-    the skew on the tiny side). Comparison happens on the ROUNDED z so
-    both engines admit identical rows despite last-ulp aggregate
-    differences."""
+    groupBy + join back, NOT a window over the raw events (a per-type
+    window would shuffle the full fact table into 5 hot partitions; the
+    group-then-join form keeps the fact side narrow and the skew on the
+    tiny side). No explicit broadcast hint: the stats side is an
+    aggregate over the sf-proportional events scan, so the hint is left
+    to AQE, which measures the post-agg size and elects the broadcast at
+    runtime (the q22/q14 de-hinting discipline). Comparison happens on
+    the ROUNDED z so both engines admit identical rows despite last-ulp
+    aggregate differences."""
     events = load_table(spark, sf_dir, "events")
     stats = events.groupBy("event_type").agg(
         F.avg("value").alias("m"), F.stddev_samp("value").alias("sd")
     )
     z = round_to((F.col("value") - F.col("m")) / F.col("sd"), 4)
     return (
-        events.join(F.broadcast(stats), "event_type")
+        events.join(stats, "event_type")
         .select("event_id", "event_type", "value", z.alias("z"))
         .filter(F.abs(F.col("z")) >= 2.5)
     )

@@ -93,3 +93,24 @@ def test_jdbc_builders_construct_plan_only():
     from data_pipeline_with_spark_kafka_spark.sources import readers
 
     assert callable(readers.jdbc_source) and callable(readers.jdbc_sink)
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across parquet batches (a long-lived ingest dir
+    accretes columns): mergeSchema unions the fields, older files read
+    the new column as null, and filters on the new column still prune."""
+    base = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    v1.write.parquet(base + "/batch=1")
+    v2 = spark.createDataFrame(
+        [(3, "c", 0.5), (4, "d", 0.9)], "id long, name string, score double"
+    )
+    v2.write.parquet(base + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"id", "name", "score", "batch"}
+    rows = {r.id: (r.name, r.score) for r in merged.collect()}
+    assert rows[1] == ("a", None) and rows[3] == ("c", 0.5)
+    # new-column filter: old files contribute nothing, no error
+    import pyspark.sql.functions as F
+    assert merged.filter(F.col("score") > 0.6).count() == 1
