@@ -51,3 +51,31 @@ def nulls_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_to(F.max(F.col("price_nullable") + 0.0), 4).alias("max_arith"),
         F.sum(F.when(F.col("price_nullable").isNull(), 1).otherwise(0)).alias("n_null_priced"),
     )
+
+
+NULLSAFE_JOIN_ORACLE = """
+WITH a AS (
+    SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS k FROM orders WHERE o_orderkey % 5 = 0
+), b AS (
+    SELECT NULLIF(o_orderstatus, 'P') AS k, COUNT(*) AS n_side
+    FROM orders GROUP BY 1
+)
+SELECT a.o_orderkey, a.k, b.n_side
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+"""
+
+
+@register("join_null_safe_equality", oracle=NULLSAFE_JOIN_ORACLE, tags=("join", "nulls"))
+def join_null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of dropping — the semantics CDC reconciliation and
+    late-dimension joins need. Still a hash-shuffleable equi-join (the
+    null-safe comparator is a join key, not a residual filter)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("k")
+    )
+    b = orders.groupBy(F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("k")).agg(
+        F.count(F.lit(1)).alias("n_side")
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(a["o_orderkey"], a["k"], b["n_side"])

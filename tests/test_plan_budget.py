@@ -52,6 +52,7 @@ EXCHANGE_BUDGET = {
     "join_cross_small": 2,
     "join_full_outer_keys": 2,
     "join_inner_orders_customer": 1,
+    "join_null_safe_equality": 2,
     "join_left_customer_orders": 1,
     "join_range_bucketed": 2,
     "join_range_price_tier": 1,
