@@ -13,8 +13,10 @@ from data_pipeline_with_spark_kafka_spark.queries import (  # noqa: F401
     llm_scoring,
     nulls_semantics,
     relational,
+    scd_dimension,
     setops_extra,
     sql_surface,
+    stats_extra,
     text_extra,
     tpch,
     tpch_extra,

@@ -1,0 +1,82 @@
+"""Distribution-window and bivariate-statistics queries.
+
+Fills the last §2.6 analytic-window gaps (ntile / percent_rank /
+cume_dist) and adds the bivariate aggregate family (corr / covariance /
+least-squares regression) every analytics engine ships.
+
+Scale notes (100 TB design):
+- ``window_distribution_funcs`` is ONE window shuffle partitioned by
+  segment; the order key is (acctbal, custkey) so the total order — and
+  therefore ntile bucket assignment — is deterministic under ties on
+  both engines.
+- ``agg_corr_covar`` is a single map-side-combinable groupBy: corr /
+  covar / regr_* all reduce to the same six running sums
+  (n, Σx, Σy, Σxy, Σx², Σy²), so the shuffle carries O(groups) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
+from data_pipeline_with_spark_kafka_spark.queries.registry import register
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+
+WINDOW_DISTRIBUTION_ORACLE = """
+SELECT c_custkey,
+       c_mktsegment,
+       c_acctbal,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cum_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@register("window_distribution_funcs", oracle=WINDOW_DISTRIBUTION_ORACLE, tags=("window",))
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment account-balance distribution: quartile (ntile),
+    percent_rank and cume_dist. Order key includes the primary key so
+    tied balances still produce a deterministic bucket assignment."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        round_to(F.percent_rank().over(w), 6).alias("pct_rank"),
+        round_to(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+AGG_CORR_COVAR_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+       ROUND(COVAR_POP(l_quantity, l_extendedprice), 4) AS qty_price_covar_pop,
+       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS price_per_qty_slope,
+       ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS price_per_qty_intercept
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_corr_covar", oracle=AGG_CORR_COVAR_ORACLE, tags=("agg", "stats"))
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics of quantity vs extended price per return
+    flag: Pearson correlation, sample/population covariance, and the
+    least-squares fit (slope + intercept). One combinable aggregate."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        round_to(F.corr(q, p), 6).alias("qty_price_corr"),
+        round_to(F.covar_samp(q, p), 4).alias("qty_price_covar"),
+        round_to(F.covar_pop(q, p), 4).alias("qty_price_covar_pop"),
+        round_to(F.regr_slope(p, q), 4).alias("price_per_qty_slope"),
+        round_to(F.regr_intercept(p, q), 4).alias("price_per_qty_intercept"),
+    )

@@ -22,6 +22,8 @@ QUERIES = all_queries()
 EXCHANGE_BUDGET = {
     "agg_approx_count_distinct": 1,
     "agg_approx_percentile": 1,
+    # six running sums reduce map-side; one partial/final agg exchange.
+    "agg_corr_covar": 1,
     "agg_cube_flag_status": 1,
     "agg_global_stats": 2,
     "agg_group_count_distinct": 2,
@@ -119,6 +121,9 @@ EXCHANGE_BUDGET = {
     "nulls_semantics": 1,
     "orderby_limit_topk": 0,
     "pivot_status_by_priority": 2,
+    # one full-outer key join (exchange per side); hist/keep/close/open
+    # branches are projections of that single join, not re-joins.
+    "scd2_customer_batch": 2,
     "setop_except_all": 1,
     "setop_intersect": 2,
     "setop_intersect_all": 1,
@@ -154,6 +159,7 @@ EXCHANGE_BUDGET = {
     "tpch_q7_volume_shipping": 6,
     "tpch_q8_market_share": 7,
     "tpch_q9_product_profit": 5,
+    "window_distribution_funcs": 1,
     "window_lag_lead_orders": 1,
     "window_qualify_latest_order": 1,
     "window_range_frame_30d": 1,
