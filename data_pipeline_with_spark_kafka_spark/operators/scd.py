@@ -1,0 +1,102 @@
+"""Slowly-changing-dimension (type 2) merge as one declarative pass.
+
+The reference pipeline overwrite-appends dimension rows into MySQL
+(``spark_consumer_kafka.py:138-146``) and therefore keeps no history;
+this operator is the batch MERGE a warehouse actually needs: given the
+current versioned snapshot and an update batch, emit the next snapshot
+where changed rows are closed out (``valid_to`` = effective date),
+their replacements and brand-new keys are opened, and no-op updates
+(identical attribute values) leave the row untouched.
+
+Scale notes (100 TB design):
+- ONE shuffle: the full-outer key join between the open slice of the
+  snapshot and the batch. AQE broadcast-elects the batch side when it
+  is small — the common ingest shape (small batch vs huge dim).
+- The three MERGE verdicts (keep / close / open) are derived in a
+  single projection from that join: each joined row conditionally
+  yields 1-2 output structs (close + open can co-occur), which are
+  exploded map-side. No second pass, no per-branch re-join, no
+  driver-side diffing.
+- Closed history rows never enter the join at all — they are filtered
+  out before it and unioned back verbatim.
+
+Contract: ``updates`` must be key-unique (dedupe to latest-per-key
+upstream, e.g. with a QUALIFY row_number() = 1); ``snapshot`` rows with
+``is_current`` true must have a non-null ``valid_from``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_C_PRESENT = "__scd_c_present"
+_U_PRESENT = "__scd_u_present"
+
+
+def scd2_apply(
+    snapshot: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: Sequence[str],
+    effective: Column,
+    *,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """Merge ``updates`` (columns: key + attrs) into a type-2 versioned
+    ``snapshot`` (columns: key + attrs + validity columns), returning
+    the next snapshot. Null-safe attribute comparison: NULL -> NULL is
+    "unchanged", NULL -> value is a change."""
+    out_cols = [key, *attrs, valid_from, valid_to, is_current]
+    vf_type = dict(snapshot.dtypes)[valid_from]
+
+    cur = snapshot.filter(F.col(is_current)).withColumn(_C_PRESENT, F.lit(True))
+    hist = snapshot.filter(~F.col(is_current)).select(*out_cols)
+    upd = updates.select(
+        key, *[F.col(a).alias(f"__u_{a}") for a in attrs], F.lit(True).alias(_U_PRESENT)
+    )
+
+    joined = cur.join(upd, on=key, how="full_outer")
+    c_present = F.coalesce(F.col(_C_PRESENT), F.lit(False))
+    u_present = F.coalesce(F.col(_U_PRESENT), F.lit(False))
+    changed = c_present & u_present
+    attr_differs = F.lit(False)
+    for a in attrs:
+        attr_differs = attr_differs | ~F.col(a).eqNullSafe(F.col(f"__u_{a}"))
+    changed = changed & attr_differs
+
+    def row(cols: Sequence[Column]) -> Column:
+        return F.struct(*[c.alias(n) for c, n in zip(cols, out_cols)])
+
+    keep = F.when(
+        c_present & (~u_present | ~attr_differs),
+        row([F.col(key), *[F.col(a) for a in attrs], F.col(valid_from), F.col(valid_to), F.lit(True)]),
+    )
+    close = F.when(
+        changed,
+        row([F.col(key), *[F.col(a) for a in attrs], F.col(valid_from), effective, F.lit(False)]),
+    )
+    open_ = F.when(
+        u_present & (~c_present | attr_differs),
+        row(
+            [
+                F.col(key),
+                *[F.col(f"__u_{a}") for a in attrs],
+                effective,
+                F.lit(None).cast(vf_type),
+                F.lit(True),
+            ]
+        ),
+    )
+
+    merged = (
+        joined.select(
+            F.explode(F.filter(F.array(keep, close, open_), lambda x: x.isNotNull())).alias("r")
+        )
+        .select(*[F.col(f"r.{c}").alias(c) for c in out_cols])
+    )
+    return merged.unionByName(hist)

@@ -1,0 +1,83 @@
+"""SCD type-2 dimension maintenance as a registered query (operator:
+operators/scd.py).
+
+The update batch is derived deterministically from the customer table
+itself so both engines build the identical fixture:
+- keys % 10 == 0  -> account balance bumped by 100 (a real change);
+- keys % 10 == 5  -> resent unchanged (a no-op update the merge must
+  NOT version);
+- keys % 97 == 0  -> re-keyed +1_000_000 (brand-new inserts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_kafka_spark.operators.scd import scd2_apply
+from data_pipeline_with_spark_kafka_spark.queries.registry import register
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+
+SCD2_CUSTOMER_ORACLE = """
+WITH cur AS (
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+         TIMESTAMP '1992-01-01 00:00:00' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM customer
+), upd AS (
+  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 5
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 97 = 0
+), changed AS (
+  SELECT u.* FROM upd u JOIN cur c USING (c_custkey)
+  WHERE u.c_name IS DISTINCT FROM c.c_name
+     OR u.c_acctbal IS DISTINCT FROM c.c_acctbal
+     OR u.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+), inserted AS (
+  SELECT u.* FROM upd u
+  WHERE NOT EXISTS (SELECT 1 FROM cur c WHERE c.c_custkey = u.c_custkey)
+)
+SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment, c.valid_from,
+       CASE WHEN ch.c_custkey IS NOT NULL THEN TIMESTAMP '1998-01-01 00:00:00'
+            ELSE c.valid_to END AS valid_to,
+       ch.c_custkey IS NULL AS is_current
+FROM cur c LEFT JOIN changed ch USING (c_custkey)
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+       TIMESTAMP '1998-01-01 00:00:00' AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+FROM (SELECT * FROM changed UNION ALL SELECT * FROM inserted)
+"""
+
+
+@register("scd2_customer_batch", oracle=SCD2_CUSTOMER_ORACLE, tags=("merge", "dimension"))
+def scd2_customer_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 merge of a derived update batch into the customer
+    dimension: changed keys are closed + re-opened, no-op updates keep
+    their original row, unseen keys insert. One full-outer key join."""
+    customer = load_table(spark, sf_dir, "customer")
+    attrs = ["c_name", "c_acctbal", "c_mktsegment"]
+    snapshot = customer.select(
+        "c_custkey",
+        *attrs,
+        F.lit("1992-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    key = F.col("c_custkey")
+    updates = (
+        customer.filter(key % 10 == 0)
+        .select("c_custkey", "c_name", (F.col("c_acctbal") + 100.0).alias("c_acctbal"), "c_mktsegment")
+        .unionByName(customer.filter(key % 10 == 5).select("c_custkey", *attrs))
+        .unionByName(
+            customer.filter(key % 97 == 0)
+            .select((key + 1_000_000).alias("c_custkey"), *attrs)
+        )
+    )
+    return scd2_apply(
+        snapshot, updates, "c_custkey", attrs, F.lit("1998-01-01").cast("timestamp")
+    )
