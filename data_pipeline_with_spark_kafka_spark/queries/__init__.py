@@ -12,6 +12,7 @@ from data_pipeline_with_spark_kafka_spark.queries import (  # noqa: F401
     llm_sampling,
     llm_scoring,
     nulls_semantics,
+    record_linkage,
     relational,
     scd_dimension,
     setops_extra,
