@@ -1,0 +1,86 @@
+"""Time-series regularization: per-key resampling onto a fixed-step
+grid with linear interpolation of the gaps.
+
+The missing piece between event streams and model-ready feature tables:
+sensors / metrics emit irregularly, training wants a dense regular grid.
+
+Scale notes (100 TB design):
+- Stage 1 collapses the raw events to one row per (key, bucket) with a
+  map-side-combinable aggregate — the only corpus-sized shuffle.
+- The per-key grid is generated with ``sequence()`` from that already
+  aggregated relation (|keys| rows in, |keys × buckets| out) — the
+  spine never touches the raw events. The aggregated relation is
+  persisted: it is |keys × observed buckets| ≪ raw, and is consumed
+  twice (bounds + the grid join).
+- Interpolation is two window passes over the dense grid (forward
+  last-non-null carry, backward first-non-null carry) partitioned by
+  key — no self-join, no driver loop. Keys are independent; skewed
+  key histories can be range-split upstream if one key's span explodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
+
+
+def resample_linear(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    *,
+    step: str = "1 hour",
+    scale: int = 4,
+) -> DataFrame:
+    """Resample ``value`` per ``key`` onto a ``step`` grid (bucket =
+    date_trunc of the step unit), averaging observations within a
+    bucket and linearly interpolating empty buckets between the key's
+    first and last observation. Edge gaps carry the nearest value.
+
+    Returns (key, bucket, was_gap, value_filled)."""
+    unit = step.split()[-1].rstrip("s")  # "1 hour" -> "hour"
+    hourly = (
+        df.groupBy(F.col(key), F.date_trunc(unit, F.col(ts)).alias("bucket"))
+        .agg(F.avg(value).alias("v"))
+        .persist()
+    )
+    bounds = hourly.groupBy(key).agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+    spine = bounds.select(
+        key, F.explode(F.expr(f"sequence(mn, mx, interval {step})")).alias("bucket")
+    )
+    filled = spine.join(hourly, [key, "bucket"], "left")
+
+    w_back = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("v").isNotNull(), F.col("bucket"))
+    pv = F.last("v", ignorenulls=True).over(w_back)
+    ph = F.last(obs_bucket, ignorenulls=True).over(w_back)
+    nv = F.first("v", ignorenulls=True).over(w_fwd)
+    nh = F.first(obs_bucket, ignorenulls=True).over(w_fwd)
+
+    def secs(c: Column) -> Column:
+        return F.unix_timestamp(c).cast("double")
+
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(pv + (nv - pv) * (secs(F.col("bucket")) - secs(ph)) / (secs(nh) - secs(ph)))
+    )
+    return filled.select(
+        key,
+        "bucket",
+        F.col("v").isNull().alias("was_gap"),
+        round_to(interp, scale).alias("value_filled"),
+    )

@@ -19,6 +19,7 @@ from data_pipeline_with_spark_kafka_spark.queries import (  # noqa: F401
     sql_surface,
     stats_extra,
     text_extra,
+    timeseries_grid,
     tpch,
     tpch_extra,
     tpch_final,

@@ -139,6 +139,9 @@ EXCHANGE_BUDGET = {
     "sql_unpivot_metrics": 0,
     "subquery_having_active_customers": 1,
     "subquery_scalar_above_avg": 2,
+    # hourly agg + bounds agg + spine join (persisted hourly on both
+    # consumers) + the two interpolation windows share one partitioning.
+    "ts_gap_fill_interpolate": 6,
     "tpch_q10_returned_items": 4,
     "tpch_q11_important_stock": 8,
     "tpch_q12_shipmode_priority": 2,
