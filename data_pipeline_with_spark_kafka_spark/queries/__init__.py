@@ -6,6 +6,7 @@ from data_pipeline_with_spark_kafka_spark.queries import (  # noqa: F401
     flagship,
     functions_corpus,
     llm,
+    llm_classifier,
     llm_curation,
     llm_fast_paths,
     llm_repetition,

@@ -98,6 +98,9 @@ EXCHANGE_BUDGET = {
     "llm_multimodal_metadata": 0,
     "llm_perplexity_bigram": 8,
     "llm_pii_redaction": 0,
+    # vocab top-k agg + its single-partition limit + explicit broadcast
+    # + the per-doc agg; the token stream itself never shuffles.
+    "llm_quality_classifier": 4,
     "llm_quality_gopher": 0,
     "llm_quality_percentile_filter": 2,
     "llm_quality_weighted_sample": 0,
