@@ -12,6 +12,7 @@ from data_pipeline_with_spark_kafka_spark.queries import (  # noqa: F401
     llm_repetition,
     llm_sampling,
     llm_scoring,
+    llm_top_p,
     nulls_semantics,
     record_linkage,
     relational,

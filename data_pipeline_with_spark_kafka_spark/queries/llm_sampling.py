@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
 from data_pipeline_with_spark_kafka_spark.queries.registry import register
 from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
 
@@ -115,3 +116,54 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fractions = {"en": 0.5, "de": 0.5, "fr": 1.0, "es": 1.0, "zh": 1.0}
     return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+
+
+WEIGHTED_RESERVOIR_K = 200
+
+WEIGHTED_RESERVOIR_ORACLE = f"""
+SELECT doc_id, source, n_chars, ROUND(pri, 6) AS priority
+FROM (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+         POW(('0x' || substr(md5('wres1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0,
+             1.0 / n_chars) AS pri
+  FROM documents
+)
+ORDER BY pri DESC, doc_id
+LIMIT {WEIGHTED_RESERVOIR_K}
+"""
+
+
+@register("llm_weighted_reservoir", oracle=WEIGHTED_RESERVOIR_ORACLE, tags=("llm", "sampling"))
+def llm_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-Res):
+    each doc gets priority u^(1/w) with u a DETERMINISTIC md5-derived
+    uniform (cross-engine reproducible, unlike rand(seed)) and w its
+    char mass; the global top-k by priority IS the weighted sample.
+
+    Scale shape: one expression pass + TakeOrderedAndProject — each
+    partition keeps a local top-k heap, the driver merges k-sized
+    buffers. No global sort, no single-task window."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wres1:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    pri = F.pow(u, 1.0 / F.col("n_chars"))
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            pri.alias("pri"),
+        )
+        .orderBy(F.desc("pri"), "doc_id")
+        .limit(WEIGHTED_RESERVOIR_K)
+        .select("doc_id", "source", "n_chars", round_to("pri", 6).alias("priority"))
+    )

@@ -120,8 +120,13 @@ EXCHANGE_BUDGET = {
     "llm_tfidf_keywords": 7,
     "llm_token_count_regex": 0,
     "llm_top_bigrams": 1,
+    # both windows share the one `source` hash partitioning.
+    "llm_top_p_selection": 1,
     "llm_train_val_test_split": 0,
     "llm_vocab_stats": 2,
+    # TakeOrderedAndProject: per-partition heaps + driver merge, no sort
+    # exchange; 1 covers the limit's single-partition collect exchange.
+    "llm_weighted_reservoir": 1,
     "llm_weighted_quality_mean": 1,
     "nulls_semantics": 1,
     "orderby_limit_topk": 0,
