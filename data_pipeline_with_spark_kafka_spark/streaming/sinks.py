@@ -70,3 +70,31 @@ def append_parquet(target_dir: str):
         batch_df.write.mode("append").parquet(target_dir)
 
     return write
+
+
+def fanout_sink(*sinks):
+    """foreachBatch callback that dispatches ONE computed micro-batch to
+    several sinks (e.g. parquet archive + JDBC serving table + Kafka
+    downstream) without recomputing the upstream plan per sink.
+
+    Spark's writeStream supports one sink per query; the naive
+    alternative — N parallel queries over the same source — recomputes
+    the whole pipeline N times and triples source read traffic at
+    100 TB. Here the batch is persisted once (first sink's action
+    materializes it, the rest read the cache) and always unpersisted,
+    even when a sink raises: the epoch then fails and replays as a
+    whole, which is why each individual sink must stay idempotent
+    (keyed_upsert_parquet above is; blind appends are not).
+    """
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df.persist()
+        try:
+            for sink in sinks:
+                sink(batch_df, epoch_id)
+        finally:
+            batch_df.unpersist()
+
+    return write
