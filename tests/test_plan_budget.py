@@ -35,6 +35,9 @@ EXCHANGE_BUDGET = {
     # one global-agg exchange pair for the whole column suite + the
     # anti-join's two sides (AQE broadcasts the dim at runtime).
     "dq_orders_constraints": 4,
+    # (label,dim) agg -> label agg -> label join with the zero-shuffle
+    # per-vector norm branch (AQE broadcasts the 10-row centroid side).
+    "emb_label_centroid_norms": 5,
     "events_daily_active_users": 2,
     "events_funnel_conversion": 2,
     "events_retention_cohorts": 4,
