@@ -80,3 +80,41 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_to(F.regr_slope(p, q), 4).alias("price_per_qty_slope"),
         round_to(F.regr_intercept(p, q), 4).alias("price_per_qty_intercept"),
     )
+
+
+WINSORIZE_ORACLE = """
+WITH q AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.05) AS lo,
+         quantile_cont(o_totalprice, 0.95) AS hi
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderkey, o.o_orderpriority,
+       ROUND(LEAST(GREATEST(o.o_totalprice, q.lo), q.hi), 4) AS price_winsorized,
+       o.o_totalprice < q.lo OR o.o_totalprice > q.hi AS was_clipped
+FROM orders o JOIN q USING (o_orderpriority)
+"""
+
+
+@register("stats_winsorize_prices", oracle=WINSORIZE_ORACLE, tags=("stats", "quality"))
+def stats_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority winsorization: clip order totals to the group's
+    exact [p05, p95] (linear-interpolated percentile on both engines).
+    The percentile relation is |groups| rows and broadcast back — the
+    fact table shuffles only for the group aggregate, never for the
+    clip join."""
+    orders = load_table(spark, sf_dir, "orders")
+    q = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("hi"),
+    )
+    return orders.join(F.broadcast(q), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        round_to(
+            F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi")), 4
+        ).alias("price_winsorized"),
+        ((F.col("o_totalprice") < F.col("lo")) | (F.col("o_totalprice") > F.col("hi"))).alias(
+            "was_clipped"
+        ),
+    )

@@ -148,6 +148,8 @@ EXCHANGE_BUDGET = {
     "sql_lateral_posexplode": 0,
     "sql_right_join": 1,
     "sql_unpivot_metrics": 0,
+    # group percentile agg + explicit broadcast of the 5-row bounds.
+    "stats_winsorize_prices": 2,
     "subquery_having_active_customers": 1,
     "subquery_scalar_above_avg": 2,
     # hourly agg + bounds agg + spine join (persisted hourly on both
