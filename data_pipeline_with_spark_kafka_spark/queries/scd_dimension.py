@@ -81,3 +81,68 @@ def scd2_customer_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(
         snapshot, updates, "c_custkey", attrs, F.lit("1998-01-01").cast("timestamp")
     )
+
+
+CDC_APPLY_ORACLE = """
+WITH chg AS (
+  SELECT c_custkey, c_name, c_acctbal + 50.0 AS c_acctbal, c_mktsegment,
+         'U' AS op, 1 AS seq FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal + 100.0, c_mktsegment, 'U', 2
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+         CAST(NULL AS VARCHAR), 'D', 3
+  FROM customer WHERE c_custkey % 13 = 0
+  UNION ALL
+  SELECT c_custkey + 2000000, c_name, c_acctbal, c_mktsegment, 'I', 1
+  FROM customer WHERE c_custkey % 89 = 0
+), latest AS (
+  SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                              ORDER BY seq DESC) AS rn
+                 FROM chg)
+  WHERE rn = 1
+)
+SELECT COALESCE(l.c_custkey, s.c_custkey) AS c_custkey,
+       CASE WHEN l.op IS NOT NULL THEN l.c_name ELSE s.c_name END AS c_name,
+       CASE WHEN l.op IS NOT NULL THEN l.c_acctbal ELSE s.c_acctbal END AS c_acctbal,
+       CASE WHEN l.op IS NOT NULL THEN l.c_mktsegment ELSE s.c_mktsegment END AS c_mktsegment
+FROM customer s FULL OUTER JOIN latest l ON s.c_custkey = l.c_custkey
+WHERE l.op IS NULL OR l.op <> 'D'
+"""
+
+
+@register("cdc_apply_customer", oracle=CDC_APPLY_ORACLE, tags=("merge", "cdc"))
+def cdc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a derived I/U/D change feed (with per-key history that
+    must compact to the latest event: two stacked updates, a delete
+    that wins over earlier updates on overlap keys) to the customer
+    snapshot. One feed window + one full-outer key join."""
+    customer = load_table(spark, sf_dir, "customer")
+    attrs = ["c_name", "c_acctbal", "c_mktsegment"]
+    key = F.col("c_custkey")
+
+    def branch(pred, name, bal, seg, op, seq):
+        return customer.filter(pred).select(
+            (key + (2_000_000 if op == "I" else 0)).alias("c_custkey"),
+            name.alias("c_name"),
+            bal.alias("c_acctbal"),
+            seg.alias("c_mktsegment"),
+            F.lit(op).alias("op"),
+            F.lit(seq).alias("seq"),
+        )
+
+    name, bal, seg = F.col("c_name"), F.col("c_acctbal"), F.col("c_mktsegment")
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+    changes = (
+        branch(key % 10 == 0, name, bal + 50.0, seg, "U", 1)
+        .unionByName(branch(key % 10 == 0, name, bal + 100.0, seg, "U", 2))
+        .unionByName(branch(key % 13 == 0, null_s, null_d, null_s, "D", 3))
+        .unionByName(branch(key % 89 == 0, name, bal, seg, "I", 1))
+    )
+    from data_pipeline_with_spark_kafka_spark.operators.scd import cdc_apply
+
+    return cdc_apply(
+        customer.select("c_custkey", *attrs), changes, "c_custkey", attrs, seq_col="seq"
+    )

@@ -30,6 +30,8 @@ EXCHANGE_BUDGET = {
     "agg_hll_sketch_merge": 2,
     "agg_percentiles": 1,
     "agg_rollup_status_priority": 1,
+    # feed-compaction window + full-outer key join (exchange per side).
+    "cdc_apply_customer": 3,
     "dedup_keep_first_order": 1,
     "distinct_segment_nation": 1,
     # one global-agg exchange pair for the whole column suite + the

@@ -98,3 +98,36 @@ def test_scd2_single_shuffle_plan(spark):
     # full-outer SMJ = one exchange per side; anything above means a
     # branch re-joined the inputs.
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_cdc_apply_semantics(spark):
+    from data_pipeline_with_spark_kafka_spark.operators.scd import cdc_apply
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, attr string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a1", "U", 1),
+            (1, "a2", "U", 2),    # later seq wins
+            (2, None, "D", 1),    # delete
+            (4, "d", "I", 1),     # insert
+            (9, None, "D", 1),    # delete of unseen key: no-op
+            (5, "e", "U", 1),     # upsert of unseen key inserts
+        ],
+        "k int, attr string, op string, seq int",
+    )
+    out = {(r.k, r.attr) for r in cdc_apply(snap, changes, "k", ["attr"], seq_col="seq").collect()}
+    assert out == {(1, "a2"), (3, "c"), (4, "d"), (5, "e")}
+
+
+def test_cdc_apply_replay_converges(spark):
+    from data_pipeline_with_spark_kafka_spark.operators.scd import cdc_apply
+
+    snap = spark.createDataFrame([(1, "a")], "k int, attr string")
+    changes = spark.createDataFrame(
+        [(1, "a2", "U", 1), (2, "b", "I", 2)], "k int, attr string, op string, seq int"
+    )
+    once = cdc_apply(snap, changes, "k", ["attr"], seq_col="seq")
+    twice = cdc_apply(once, changes, "k", ["attr"], seq_col="seq")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
