@@ -5,7 +5,7 @@ the streaming surface)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
@@ -148,4 +148,61 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.join(stats, "event_type")
         .select("event_id", "event_type", "value", z.alias("z"))
         .filter(F.abs(F.col("z")) >= 2.5)
+    )
+
+
+MAX_CONCURRENCY_ORACLE = """
+WITH pts AS (
+  SELECT event_type, CAST(ts AS TIMESTAMP) AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE, -1 FROM events
+), run AS (
+  SELECT event_type,
+         SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                          ROWS UNBOUNDED PRECEDING) AS c
+  FROM pts
+)
+SELECT event_type, CAST(MAX(c) AS BIGINT) AS max_concurrent,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_events
+FROM run GROUP BY event_type
+"""
+
+
+@register("events_max_concurrency", oracle=MAX_CONCURRENCY_ORACLE, tags=("events", "window"))
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type via a sweep line: each event
+    holds a 10-minute interval; explode to +1/-1 endpoints, running-sum
+    per type ordered by (t, delta) — the half-open convention (ends
+    release before simultaneous starts count) — then max.
+
+    Scale notes: the sweep is ONE window shuffle over 2x the events
+    (endpoints), map-side agg for the final max — no interval self-join
+    (the naive overlap join is quadratic in the dense regions). Tie
+    groups only permute identical increments, so the running max is
+    deterministic without a per-row tiebreak."""
+    events = load_table(spark, sf_dir, "events")
+    pts = events.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(F.col("ts").alias("t"), F.lit(1).alias("delta")),
+                F.struct(
+                    (F.col("ts") + F.expr("interval 10 minutes")).alias("t"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("p"),
+    ).select("event_type", "p.t", "p.delta")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pts.withColumn("c", F.sum("delta").over(w))
+        .groupBy("event_type")
+        .agg(
+            F.max("c").cast("long").alias("max_concurrent"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_events"),
+        )
     )

@@ -42,6 +42,7 @@ EXCHANGE_BUDGET = {
     "emb_label_centroid_norms": 5,
     "events_daily_active_users": 2,
     "events_funnel_conversion": 2,
+    "events_max_concurrency": 2,
     "events_retention_cohorts": 4,
     "events_zscore_outliers": 2,
     "flagship_events_windowed_enrichment": 2,
