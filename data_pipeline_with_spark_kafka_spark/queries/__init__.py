@@ -6,6 +6,7 @@ from data_pipeline_with_spark_kafka_spark.queries import (  # noqa: F401
     events_analytics,
     flagship,
     functions_corpus,
+    governance,
     llm,
     llm_classifier,
     llm_curation,

@@ -66,8 +66,10 @@ EXCHANGE_BUDGET = {
     "join_range_price_tier": 1,
     "join_semi_customers_with_orders": 1,
     # word groupBy + occurrence/vocab join + doc_id reassembly agg.
-    # block equi-join (exchange per side) + best-match window shuffle.
-    "linkage_fuzzy_part_names": 3,
+    # distinct-name + min-key aggs, block equi-join over the distinct
+    # relations, best-match window, key/row join-backs (broadcast at
+    # runtime; the heavy levenshtein runs on |distinct names| pairs).
+    "linkage_fuzzy_part_names": 6,
     "llm_bpe_encode": 3,
     "llm_bpe_vocab": 0,
     "llm_chunk_documents": 0,
