@@ -37,6 +37,9 @@ EXCHANGE_BUDGET = {
     # one global-agg exchange pair for the whole column suite + the
     # anti-join's two sides (AQE broadcasts the dim at runtime).
     "dq_orders_constraints": 4,
+    # two label aggs + their single-partition total windows (label-sized
+    # relations, 10 rows) + the label join.
+    "drift_psi_labels": 5,
     # (label,dim) agg -> label agg -> label join with the zero-shuffle
     # per-vector norm branch (AQE broadcasts the 10-row centroid side).
     "emb_label_centroid_norms": 5,
@@ -139,6 +142,7 @@ EXCHANGE_BUDGET = {
     "nulls_semantics": 1,
     "orderby_limit_topk": 0,
     "pivot_status_by_priority": 2,
+    "privacy_k_anonymity": 1,
     # one full-outer key join (exchange per side); hist/keep/close/open
     # branches are projections of that single join, not re-joins.
     "scd2_customer_batch": 2,
