@@ -206,3 +206,52 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) / 2).cast("long").alias("n_events"),
         )
     )
+
+
+SESSION_IDS_ORACLE = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+), gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), ids AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM gaps
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM ids GROUP BY user_id, session_seq
+"""
+
+
+@register("events_session_ids", oracle=SESSION_IDS_ORACLE, tags=("events", "window"))
+def events_session_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit sessionization: a session starts at each >30-minute gap
+    (lag + running sum of gap flags per user), then per-session stats.
+    Unlike F.session_window this keeps row->session assignment
+    addressable (the session_seq id), which downstream joins need.
+    All three windows and the final aggregate share one user_id
+    partitioning; the order key includes event_id so ties are stable."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") - prev_ts > F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    ids = events.select("user_id", "ts", "event_id").withColumn(
+        "session_seq", F.sum(new_session).over(run)
+    )
+    return ids.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

@@ -118,3 +118,93 @@ def stats_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             "was_clipped"
         ),
     )
+
+
+MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+), fence AS (
+  SELECT m.event_type, m.med, d.mad,
+         m.med - 3 * 1.4826 * d.mad AS lo,
+         m.med + 3 * 1.4826 * d.mad AS hi
+  FROM med m JOIN mad d USING (event_type)
+)
+SELECT f.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(f.med, 4) AS med, ROUND(f.mad, 4) AS mad,
+       CAST(SUM(CASE WHEN e.value < f.lo OR e.value > f.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM events e JOIN fence f USING (event_type)
+GROUP BY f.event_type, f.med, f.mad
+"""
+
+
+@register("stats_mad_outliers", oracle=MAD_ORACLE, tags=("stats", "quality"))
+def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median absolute
+    deviation fences (med ± 3·1.4826·MAD — the robust z-score that a
+    35% contamination cannot drag, unlike mean/stddev). Three passes
+    over the fact table, but every intermediate relation (medians,
+    MADs, fences) is |groups| rows and broadcast — no fact-fact join."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
+        )
+    )
+    fence = med.join(mad, "event_type").select(
+        "event_type",
+        "med",
+        "mad",
+        (F.col("med") - 3 * 1.4826 * F.col("mad")).alias("lo"),
+        (F.col("med") + 3 * 1.4826 * F.col("mad")).alias("hi"),
+    )
+    out_flag = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return (
+        events.join(F.broadcast(fence), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(out_flag, 1).otherwise(0)).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            round_to("med", 4).alias("med"),
+            round_to("mad", 4).alias("mad"),
+            "n_outliers",
+        )
+    )
+
+
+KEY_SKEW_ORACLE = """
+WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id
+), t AS (SELECT SUM(n) AS tot FROM c)
+SELECT user_id, n, ROUND(n / tot, 6) AS share
+FROM c, t ORDER BY n DESC, user_id LIMIT 20
+"""
+
+
+@register("diag_key_skew", oracle=KEY_SKEW_ORACLE, tags=("diagnostics",))
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic: the 20 heaviest join/agg keys and their
+    share of all rows — the relation you read before deciding to salt
+    (operators/skew.py) or let AQE split. Key counts + a 1-row total
+    broadcast + TakeOrderedAndProject."""
+    events = load_table(spark, sf_dir, "events")
+    c = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("tot"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select("user_id", "n", round_to(F.col("n") / F.col("tot"), 6).alias("share"))
+        .orderBy(F.desc("n"), "user_id")
+        .limit(20)
+    )

@@ -45,7 +45,12 @@ EXCHANGE_BUDGET = {
     "emb_label_centroid_norms": 5,
     "events_daily_active_users": 2,
     "events_funnel_conversion": 2,
+    # key counts + 1-row total broadcast + TakeOrdered single-partition.
+    "diag_key_skew": 4,
     "events_max_concurrency": 2,
+    # lag/flag/running-sum windows and the session agg all share the one
+    # user_id partitioning.
+    "events_session_ids": 1,
     "events_retention_cohorts": 4,
     "events_zscore_outliers": 2,
     "flagship_events_windowed_enrichment": 2,
@@ -157,6 +162,9 @@ EXCHANGE_BUDGET = {
     "sql_lateral_posexplode": 0,
     "sql_right_join": 1,
     "sql_unpivot_metrics": 0,
+    # three percentile passes; every intermediate is groups-sized and
+    # broadcast (med, mad, fences) — no fact-fact join.
+    "stats_mad_outliers": 7,
     # group percentile agg + explicit broadcast of the 5-row bounds.
     "stats_winsorize_prices": 2,
     "subquery_having_active_customers": 1,
