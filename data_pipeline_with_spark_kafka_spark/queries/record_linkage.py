@@ -54,8 +54,11 @@ def linkage_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution of corrupted part names against the clean part
     catalog: distinct-name match space, suffix-blocked candidate join,
     bounded levenshtein(·,·,2), best name per dirty name (tie-break:
-    lev, then clean name, then min catalog key), decisions broadcast
-    back to the dirty rows. No cross join at any scale."""
+    lev, then clean name, then min catalog key), decisions joined back
+    to the dirty rows (AQE broadcast-elects the decision side when the
+    distinct-name relation is actually small — with mostly-unique names
+    it is sf-proportional, so no hard hint). No cross join at any
+    scale."""
     part = load_table(spark, sf_dir, "part")
     dirty = part.filter(F.col("p_partkey") % 7 == 0).select(
         F.col("p_partkey").alias("d_key"), F.expr("substr(p_name, 2)").alias("dirty_name")
@@ -80,6 +83,6 @@ def linkage_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     best_keyed = best.join(
         cn.select(F.col("p_name").alias("matched_p_name"), "min_key"), "matched_p_name"
     ).select("dirty_name", F.col("min_key").alias("matched_p_partkey"), "lev")
-    return dirty.join(F.broadcast(best_keyed), "dirty_name").select(
+    return dirty.join(best_keyed, "dirty_name").select(
         "d_key", "dirty_name", "matched_p_partkey", "lev"
     )

@@ -100,15 +100,16 @@ FROM orders o JOIN q USING (o_orderpriority)
 def stats_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-priority winsorization: clip order totals to the group's
     exact [p05, p95] (linear-interpolated percentile on both engines).
-    The percentile relation is |groups| rows and broadcast back — the
-    fact table shuffles only for the group aggregate, never for the
-    clip join."""
+    The percentile relation is |groups| rows; AQE elects the broadcast
+    at runtime (no hard hint — the lint treats hint-on-aggregate-of-fact
+    as a scale hazard), so the fact table shuffles only for the group
+    aggregate in practice."""
     orders = load_table(spark, sf_dir, "orders")
     q = orders.groupBy("o_orderpriority").agg(
         F.percentile("o_totalprice", F.lit(0.05)).alias("lo"),
         F.percentile("o_totalprice", F.lit(0.95)).alias("hi"),
     )
-    return orders.join(F.broadcast(q), "o_orderpriority").select(
+    return orders.join(q, "o_orderpriority").select(
         "o_orderkey",
         "o_orderpriority",
         round_to(
@@ -147,13 +148,14 @@ def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviation fences (med ± 3·1.4826·MAD — the robust z-score that a
     35% contamination cannot drag, unlike mean/stddev). Three passes
     over the fact table, but every intermediate relation (medians,
-    MADs, fences) is |groups| rows and broadcast — no fact-fact join."""
+    MADs, fences) is |groups| rows — AQE elects their broadcast at
+    runtime; no fact-fact join and no hard hints."""
     events = load_table(spark, sf_dir, "events")
     med = events.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("med")
     )
     mad = (
-        events.join(F.broadcast(med), "event_type")
+        events.join(med, "event_type")
         .groupBy("event_type")
         .agg(
             F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
@@ -168,7 +170,7 @@ def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_flag = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
     return (
-        events.join(F.broadcast(fence), "event_type")
+        events.join(fence, "event_type")
         .groupBy("event_type", "med", "mad")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -207,4 +209,31 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n", round_to(F.col("n") / F.col("tot"), 6).alias("share"))
         .orderBy(F.desc("n"), "user_id")
         .limit(20)
+    )
+
+
+MIN_BY_MAX_BY_ORACLE = """
+SELECT c_mktsegment,
+       arg_max(c_name, c_acctbal * 10000000 + c_custkey) AS richest_customer,
+       arg_min(c_name, c_acctbal * 10000000 + c_custkey) AS poorest_customer,
+       ROUND(MAX(c_acctbal), 4) AS max_bal,
+       ROUND(MIN(c_acctbal), 4) AS min_bal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+@register("agg_min_by_max_by", oracle=MIN_BY_MAX_BY_ORACLE, tags=("agg",))
+def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (arg_max / arg_min): which customer holds each
+    segment's extreme balance. The ordering key packs (acctbal,
+    custkey) into one double — exact below 2^53, so ties on balance
+    break deterministically by key on both engines — because neither
+    engine's arg_max takes a composite key portably."""
+    customer = load_table(spark, sf_dir, "customer")
+    ordkey = F.col("c_acctbal") * 10_000_000 + F.col("c_custkey")
+    return customer.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", ordkey).alias("richest_customer"),
+        F.min_by("c_name", ordkey).alias("poorest_customer"),
+        round_to(F.max("c_acctbal"), 4).alias("max_bal"),
+        round_to(F.min("c_acctbal"), 4).alias("min_bal"),
     )

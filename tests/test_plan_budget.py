@@ -28,6 +28,7 @@ EXCHANGE_BUDGET = {
     "agg_global_stats": 2,
     "agg_group_count_distinct": 2,
     "agg_hll_sketch_merge": 2,
+    "agg_min_by_max_by": 1,
     "agg_percentiles": 1,
     "agg_rollup_status_priority": 1,
     # feed-compaction window + full-outer key join (exchange per side).
@@ -63,6 +64,9 @@ EXCHANGE_BUDGET = {
     "func_math_family": 0,
     "func_string_family": 0,
     "func_struct_map_family": 0,
+    # snapshot agg + delta agg merged by a key join; the two aggregates
+    # share the ship_day partitioning with the join at runtime.
+    "ivm_rollup_maintenance": 2,
     "join_anti_customers_without_orders": 1,
     "join_asof_latest_view": 1,
     "join_cross_small": 2,
