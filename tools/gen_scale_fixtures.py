@@ -39,6 +39,9 @@ LANG_P = [0.41, 0.14, 0.15, 0.15, 0.15]
 
 DOCS_PER_SF = 50_000  # sf0.1 -> 5_000, matching the driver's testdata
 VECS_PER_SF = 20_000
+EVENTS_PER_SF = 1_000_000  # sf0.1 -> 100_000, matching the driver's testdata
+USERS_PER_SF = 15_000  # sf0.1 -> 1_500, matching the driver (users scale with sf)
+EVENT_TYPES = ["click", "view", "purchase", "search", "share"]
 DIM = 64
 N_LABELS = 10
 
@@ -92,6 +95,26 @@ def gen_embeddings(n: int, rng: np.random.Generator) -> pa.Table:
     )
 
 
+def gen_events(n: int, n_users: int, rng: np.random.Generator) -> pa.Table:
+    """Same shape as the driver's events table (30-day span, per-user
+    irregular arrivals) so the time-series/sessionization operators can
+    be scale-measured. Timestamps are microsecond (the loader's ns
+    normalization is a no-op on them)."""
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    span_us = 30 * 24 * 3600 * 1_000_000
+    ts = base + rng.integers(0, span_us, size=n).astype("timedelta64[us]")
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, n_users, size=n), type=pa.int64()),
+            "event_type": pa.array(rng.choice(EVENT_TYPES, size=n)),
+            "value": pa.array(rng.gamma(2.0, 10.0, size=n)),
+            "props": pa.array([None] * n, type=pa.string()),
+        }
+    )
+
+
 def main() -> None:
     sfs = [float(a) for a in sys.argv[1:]] or [0.5, 1.0]
     root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures", "scale")
@@ -102,7 +125,14 @@ def main() -> None:
         n_docs, n_vecs = int(DOCS_PER_SF * sf), int(VECS_PER_SF * sf)
         pq.write_table(gen_documents(n_docs, rng), os.path.join(out, "documents.parquet"))
         pq.write_table(gen_embeddings(n_vecs, rng), os.path.join(out, "embeddings.parquet"))
-        print(f"wrote {out}: {n_docs} documents, {n_vecs} embeddings")
+        n_events = int(EVENTS_PER_SF * sf)
+        n_users = int(USERS_PER_SF * sf)
+        pq.write_table(
+            gen_events(n_events, n_users, rng), os.path.join(out, "events.parquet")
+        )
+        print(
+            f"wrote {out}: {n_docs} documents, {n_vecs} embeddings, {n_events} events"
+        )
 
 
 if __name__ == "__main__":
