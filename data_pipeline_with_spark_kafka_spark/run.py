@@ -156,6 +156,34 @@ def cmd_curate(spark: SparkSession, args: argparse.Namespace) -> None:
     print(f"curated -> {args.target} (partitioned by lang/split)")
 
 
+def cmd_maintain(spark: SparkSession, args: argparse.Namespace) -> None:
+    """Dimension maintenance: apply an update batch (scd2 mode: versioned
+    type-2 history) or a CDC I/U/D feed (cdc mode) to a parquet snapshot,
+    writing the next snapshot two-phase (tmp dir + rename — the same
+    never-in-place discipline as the keyed-upsert sink)."""
+    import os
+    import shutil
+    import uuid
+
+    from data_pipeline_with_spark_kafka_spark.operators.scd import cdc_apply, scd2_apply
+
+    snapshot = spark.read.parquet(args.snapshot)
+    batch = spark.read.parquet(args.batch)
+    attrs = args.attrs.split(",")
+    if args.mode == "scd2":
+        from pyspark.sql import functions as F
+
+        out = scd2_apply(snapshot, batch, args.key, attrs, F.lit(args.effective).cast("timestamp"))
+    else:
+        out = cdc_apply(snapshot, batch, args.key, attrs, op_col=args.op_col, seq_col=args.seq_col)
+    tmp = f"{args.target}.tmp-{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(args.target):
+        shutil.rmtree(args.target)
+    os.rename(tmp, args.target)
+    print(f"{args.mode} maintain: {args.snapshot} + {args.batch} -> {args.target}")
+
+
 def cmd_e2e(spark: SparkSession, args: argparse.Namespace) -> None:
     args.kafka_servers = None  # e2e is the broker-less path by definition
     args.output_dir = args.stage_dir
@@ -271,6 +299,17 @@ def make_parser() -> argparse.ArgumentParser:
     cur.add_argument("--target", required=True, help="curated output dir")
     cur.add_argument("--min-quality", type=float, default=0.5)
 
+    mnt = sub.add_parser("maintain", help="apply an update batch / CDC feed to a parquet dimension snapshot")
+    mnt.add_argument("--mode", choices=["scd2", "cdc"], required=True)
+    mnt.add_argument("--snapshot", required=True, help="current snapshot parquet dir")
+    mnt.add_argument("--batch", required=True, help="update batch / change feed parquet dir")
+    mnt.add_argument("--target", required=True, help="next-snapshot output dir (two-phase swap)")
+    mnt.add_argument("--key", required=True)
+    mnt.add_argument("--attrs", required=True, help="comma-separated tracked attribute columns")
+    mnt.add_argument("--effective", help="scd2: effective timestamp, e.g. 2024-01-01")
+    mnt.add_argument("--op-col", default="op", help="cdc: I/U/D column name")
+    mnt.add_argument("--seq-col", help="cdc: per-key ordering column for feed compaction")
+
     e2e = sub.add_parser("e2e", help="produce -> consume, file-based, no broker")
     e2e.add_argument("--input", required=True)
     e2e.add_argument("--stage-dir", required=True, help="dir for the produced micro-batch files")
@@ -311,6 +350,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> No
         make_parser().error("produce needs --output-dir or --kafka-servers")
     if args.cmd == "consume" and not (args.input_dir or args.kafka_servers):
         make_parser().error("consume needs --input-dir or --kafka-servers")
+    if args.cmd == "maintain" and args.mode == "scd2" and not args.effective:
+        make_parser().error("maintain --mode scd2 needs --effective")
     if args.cmd == "dag":  # pure codegen — no SparkSession
         cmd_dag(args)
         return
@@ -319,6 +360,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> No
         "produce": cmd_produce,
         "consume": cmd_consume,
         "curate": cmd_curate,
+        "maintain": cmd_maintain,
         "e2e": cmd_e2e,
         "orchestrate": cmd_orchestrate,
     }[args.cmd](spark, args)

@@ -157,3 +157,47 @@ def test_curate_pipeline_end_to_end(spark, sf_dir, tmp_path):
     )
     again = spark.read.parquet(str(target2))
     assert sorted(out.collect()) == sorted(again.collect())
+
+
+def test_cli_maintain_scd2_and_cdc(spark, tmp_path):
+    """maintain subcommand: scd2 versioning then a cdc delete on the
+    scd2 output's OPEN slice — both via parquet in/out, two-phase swap."""
+    import datetime
+
+    from data_pipeline_with_spark_kafka_spark.run import main
+
+    snap = str(tmp_path / "snap")
+    batch = str(tmp_path / "batch")
+    out1 = str(tmp_path / "next1")
+    spark.createDataFrame(
+        [(1, "a", datetime.datetime(2020, 1, 1), None, True)],
+        "k int, attr string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    ).write.parquet(snap)
+    spark.createDataFrame([(1, "a2"), (2, "b")], "k int, attr string").write.parquet(batch)
+    main(
+        [
+            "maintain", "--mode", "scd2", "--snapshot", snap, "--batch", batch,
+            "--target", out1, "--key", "k", "--attrs", "attr",
+            "--effective", "2024-06-01",
+        ],
+        spark=spark,
+    )
+    rows = {(r.k, r.attr, r.is_current) for r in spark.read.parquet(out1).collect()}
+    assert rows == {(1, "a", False), (1, "a2", True), (2, "b", True)}
+
+    feed = str(tmp_path / "feed")
+    out2 = str(tmp_path / "next2")
+    spark.createDataFrame(
+        [(2, None, "D", 1)], "k int, attr string, op string, seq int"
+    ).write.parquet(feed)
+    # cdc over the open rows only (plain-table shape)
+    open_slice = str(tmp_path / "open")
+    spark.read.parquet(out1).filter("is_current").select("k", "attr").write.parquet(open_slice)
+    main(
+        [
+            "maintain", "--mode", "cdc", "--snapshot", open_slice, "--batch", feed,
+            "--target", out2, "--key", "k", "--attrs", "attr", "--seq-col", "seq",
+        ],
+        spark=spark,
+    )
+    assert {(r.k, r.attr) for r in spark.read.parquet(out2).collect()} == {(1, "a2")}
