@@ -1,0 +1,131 @@
+"""Property-based tests (hypothesis): the SCD2/CDC merges and the
+linear interpolator agree with direct pure-Python models on randomized
+inputs — key collisions, null attributes, empty batches, single-point
+series and all.
+
+Example counts are deliberately small (each example is a Spark job);
+the value is in the randomized STRUCTURE (which keys collide, where
+nulls land), not in volume.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_pipeline_with_spark_kafka_spark.operators.scd import cdc_apply, scd2_apply
+from data_pipeline_with_spark_kafka_spark.operators.timeseries import resample_linear
+
+KEYS = st.integers(min_value=0, max_value=5)
+ATTRS = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
+
+snapshot_rows = st.lists(
+    st.tuples(KEYS, ATTRS), max_size=6, unique_by=lambda t: t[0]
+)
+update_rows = st.lists(
+    st.tuples(KEYS, ATTRS), max_size=6, unique_by=lambda t: t[0]
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(snap=snapshot_rows, upd=update_rows)
+def test_scd2_matches_python_model(spark, snap, upd):
+    snap_full = [(k, a, 0, None, True) for k, a in snap]
+    sdf = spark.createDataFrame(
+        snap_full, "k int, attr string, valid_from long, valid_to long, is_current boolean"
+    )
+    udf_ = spark.createDataFrame(upd, "k int, attr string") if upd else spark.createDataFrame(
+        [], "k int, attr string"
+    )
+    got = {
+        (r.k, r.attr, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_apply(sdf, udf_, "k", ["attr"], F.lit(9)).collect()
+    }
+
+    cur = {k: a for k, a in snap}
+    up = dict(upd)
+    expect = set()
+    for k, a in cur.items():
+        if k not in up or up[k] == a:
+            expect.add((k, a, 0, None, True))
+        else:
+            expect.add((k, a, 0, 9, False))
+            expect.add((k, up[k], 9, None, True))
+    for k, a in up.items():
+        if k not in cur:
+            expect.add((k, a, 9, None, True))
+    assert got == expect
+
+
+cdc_rows = st.lists(
+    st.tuples(KEYS, ATTRS, st.sampled_from(["I", "U", "D"]), st.integers(0, 9)),
+    max_size=8,
+    unique_by=lambda t: (t[0], t[3]),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(snap=snapshot_rows, feed=cdc_rows)
+def test_cdc_matches_python_model(spark, snap, feed):
+    sdf = spark.createDataFrame(snap, "k int, attr string")
+    fdf = (
+        spark.createDataFrame(feed, "k int, attr string, op string, seq int")
+        if feed
+        else spark.createDataFrame([], "k int, attr string, op string, seq int")
+    )
+    got = {
+        (r.k, r.attr)
+        for r in cdc_apply(sdf, fdf, "k", ["attr"], seq_col="seq").collect()
+    }
+
+    state = dict(snap)
+    latest: dict[int, tuple] = {}
+    for k, a, op, seq in feed:
+        if k not in latest or seq > latest[k][2]:
+            latest[k] = (a, op, seq)
+    for k, (a, op, _seq) in latest.items():
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = a
+    assert got == set(state.items())
+
+
+series = st.lists(
+    st.tuples(st.integers(0, 30), st.floats(0, 100, allow_nan=False)),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(obs=series)
+def test_interpolation_matches_numpy(spark, obs):
+    import numpy as np
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("k", base + datetime.timedelta(hours=h, minutes=1), v) for h, v in obs
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = {
+        r.bucket: r.value_filled
+        for r in resample_linear(df, "k", "ts", "value", step="1 hour").collect()
+    }
+
+    # python model: average per hour bucket, dense grid, np.interp
+    buckets: dict[int, list[float]] = {}
+    for h, v in obs:
+        buckets.setdefault(h, []).append(v)
+    xs = sorted(buckets)
+    ys = [sum(buckets[h]) / len(buckets[h]) for h in xs]
+    grid = range(xs[0], xs[-1] + 1)
+    expect = {
+        base + datetime.timedelta(hours=h): float(np.interp(h, xs, ys)) for h in grid
+    }
+    assert set(out) == set(expect)
+    for b in expect:
+        assert abs(out[b] - round(expect[b] * 1e4) / 1e4) < 1e-9, (b, out[b], expect[b])
