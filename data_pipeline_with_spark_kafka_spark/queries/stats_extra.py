@@ -237,3 +237,91 @@ def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_to(F.max("c_acctbal"), 4).alias("max_bal"),
         round_to(F.min("c_acctbal"), 4).alias("min_bal"),
     )
+
+
+STRING_AGG_ORACLE = """
+SELECT n_name,
+       string_agg(c_mktsegment, '|' ORDER BY c_mktsegment) AS segments_sorted,
+       CAST(COUNT(*) AS BIGINT) AS n_segments
+FROM (SELECT DISTINCT n.n_name, c.c_mktsegment
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+GROUP BY n_name
+"""
+
+
+@register("agg_string_concat_per_group", oracle=STRING_AGG_ORACLE, tags=("agg", "string"))
+def agg_string_concat_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): the distinct
+    market segments present per nation, '|'-joined in sorted order —
+    deterministic because the order is explicit on both engines. Spark:
+    sort_array(collect_set) + array_join (one combinable aggregate)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    pairs = (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .select("n_name", "c_mktsegment")
+        .distinct()
+    )
+    return pairs.groupBy("n_name").agg(
+        F.array_join(F.sort_array(F.collect_set("c_mktsegment")), "|").alias(
+            "segments_sorted"
+        ),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+
+
+NTH_VALUE_ORACLE = """
+SELECT c_mktsegment,
+       c_custkey,
+       nth_value(c_name, 3) OVER w AS third_richest_name,
+       first_value(c_name) OVER w AS richest_name,
+       last_value(c_name) OVER w AS poorest_name
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register("window_nth_value", oracle=NTH_VALUE_ORACLE, tags=("window",))
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value navigation over an unbounded frame: each
+    customer row sees its segment's 1st/3rd/last names by balance
+    (unique compound order key -> deterministic on both engines)."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return customer.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.nth_value("c_name", 3).over(w).alias("third_richest_name"),
+        F.first("c_name").over(w).alias("richest_name"),
+        F.last("c_name").over(w).alias("poorest_name"),
+    )
+
+
+BOOLEAN_AGG_ORACLE = """
+SELECT c_mktsegment,
+       bool_and(c_acctbal > -1000) AS none_deeply_negative,
+       bool_or(c_acctbal > 9000) AS has_high_balance,
+       CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_negative,
+       CAST(any_value(c_nationkey >= 0) AS BOOLEAN) AS sanity_any
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+@register("agg_boolean_family", oracle=BOOLEAN_AGG_ORACLE, tags=("agg",))
+def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family: bool_and / bool_or / count_if (+ an
+    any_value over a constant-true predicate, deterministic by
+    construction). One combinable aggregate."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.bool_and(F.col("c_acctbal") > -1000).alias("none_deeply_negative"),
+        F.bool_or(F.col("c_acctbal") > 9000).alias("has_high_balance"),
+        F.count_if(F.col("c_acctbal") < 0).alias("n_negative"),
+        F.any_value(F.col("c_nationkey") >= 0).alias("sanity_any"),
+    )

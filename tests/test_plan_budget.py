@@ -24,6 +24,7 @@ EXCHANGE_BUDGET = {
     "agg_approx_percentile": 1,
     # six running sums reduce map-side; one partial/final agg exchange.
     "agg_corr_covar": 1,
+    "agg_boolean_family": 1,
     "agg_cube_flag_status": 1,
     "agg_global_stats": 2,
     "agg_group_count_distinct": 2,
@@ -31,6 +32,8 @@ EXCHANGE_BUDGET = {
     "agg_min_by_max_by": 1,
     "agg_percentiles": 1,
     "agg_rollup_status_priority": 1,
+    # dim join (AQE broadcast) + distinct + the set-collect aggregate.
+    "agg_string_concat_per_group": 3,
     # feed-compaction window + full-outer key join (exchange per side).
     "cdc_apply_customer": 3,
     "dedup_keep_first_order": 1,
@@ -200,6 +203,7 @@ EXCHANGE_BUDGET = {
     "tpch_q9_product_profit": 5,
     "window_distribution_funcs": 1,
     "window_lag_lead_orders": 1,
+    "window_nth_value": 1,
     "window_qualify_latest_order": 1,
     "window_range_frame_30d": 1,
     "window_rank_customers": 1,
