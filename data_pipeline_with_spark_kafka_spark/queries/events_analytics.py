@@ -255,3 +255,44 @@ def events_session_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+ROLLING_DAU_ORACLE = """
+WITH day_user AS (
+  SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, user_id FROM events
+), days AS (
+  SELECT DISTINCT d FROM day_user
+)
+SELECT days.d AS day,
+       CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS active_users_7d
+FROM days JOIN day_user du
+  ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+GROUP BY days.d
+"""
+
+
+@register("events_rolling_7d_active_users", oracle=ROLLING_DAU_ORACLE, tags=("events", "window"))
+def events_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day. Rolling DISTINCT
+    cannot ride a window frame (per-day distinct sets overlap), so the
+    scale shape is: dedup to (day, user) pairs FIRST — the only
+    corpus-sized shuffle — then fan each pair out to the ≤7 days whose
+    trailing window contains it (sequence explode, bounded x7) and
+    count distinct per day. The fan-out relation is |days x users|-
+    bounded, never raw events."""
+    events = load_table(spark, sf_dir, "events")
+    day_user = events.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).distinct()
+    fanned = day_user.select(
+        F.explode(
+            F.expr("sequence(d, d + interval 6 days, interval 1 day)")
+        ).alias("day"),
+        "user_id",
+    )
+    days = day_user.select(F.col("d").alias("day")).distinct()
+    return (
+        fanned.join(days, "day")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("active_users_7d"))
+    )

@@ -56,6 +56,9 @@ EXCHANGE_BUDGET = {
     # user_id partitioning.
     "events_session_ids": 1,
     "events_retention_cohorts": 4,
+    # (day,user) dedup (the only corpus shuffle) + x7 fan-out join to
+    # the day spine + the distinct-count agg pair.
+    "events_rolling_7d_active_users": 5,
     "events_zscore_outliers": 2,
     "flagship_events_windowed_enrichment": 2,
     "func_array_family": 0,
