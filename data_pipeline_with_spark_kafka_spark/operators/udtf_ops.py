@@ -6,7 +6,7 @@ module completes the triad with a user-defined TABLE function
 (Spark 3.5+ ``@udtf``): ``SentenceSpans`` explodes a document into
 sentences with character offsets, the row->rows shape that relational
 explode cannot express when the split positions must be computed
-stateleesly per row but emitted with derived columns.
+statelessly per row but emitted with derived columns.
 
 Scale notes: a Python UDTF is row-at-a-time across the Python boundary
 — STRICTLY the slow path. It exists to cover the API surface and for
