@@ -146,3 +146,79 @@ def cdc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_apply(
         customer.select("c_custkey", *attrs), changes, "c_custkey", attrs, seq_col="seq"
     )
+
+
+SCD2_TEMPORAL_JOIN_ORACLE = """
+WITH cur AS (
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+         TIMESTAMP '1992-01-01 00:00:00' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM customer
+), upd AS (
+  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+), changed AS (
+  SELECT u.* FROM upd u JOIN cur c USING (c_custkey)
+  WHERE u.c_acctbal IS DISTINCT FROM c.c_acctbal
+), dim AS (
+  SELECT c.c_custkey, c.c_acctbal, c.valid_from,
+         CASE WHEN ch.c_custkey IS NOT NULL THEN TIMESTAMP '1996-01-01 00:00:00'
+              ELSE c.valid_to END AS valid_to
+  FROM cur c LEFT JOIN changed ch USING (c_custkey)
+  UNION ALL
+  SELECT c_custkey, c_acctbal, TIMESTAMP '1996-01-01 00:00:00', CAST(NULL AS TIMESTAMP)
+  FROM changed
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+       d.c_acctbal AS acctbal_at_order_time,
+       d.valid_from AS version_valid_from
+FROM orders o JOIN dim d
+  ON o.o_custkey = d.c_custkey
+ AND CAST(o.o_orderdate AS TIMESTAMP) >= d.valid_from
+ AND (d.valid_to IS NULL OR CAST(o.o_orderdate AS TIMESTAMP) < d.valid_to)
+"""
+
+
+@register("scd2_temporal_join", oracle=SCD2_TEMPORAL_JOIN_ORACLE, tags=("merge", "join", "dimension"))
+def scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumption side of type-2 history: join each order to the
+    dimension VERSION that was valid on its order date (equi-join on
+    the key + validity-interval residual — per-key version counts are
+    tiny, so the residual filters a handful of rows per match; no range
+    explosion needed). The versioned dim is built in-query with the
+    same derivation the oracle uses (balance bump for keys % 10 == 0,
+    effective 1996-01-01), so each engine constructs an identical
+    2-version history for 10% of customers."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    attrs = ["c_name", "c_acctbal", "c_mktsegment"]
+    snapshot = customer.select(
+        "c_custkey",
+        *attrs,
+        F.lit("1992-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = customer.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    dim = scd2_apply(
+        snapshot, updates, "c_custkey", attrs, F.lit("1996-01-01").cast("timestamp")
+    ).select("c_custkey", "c_acctbal", "valid_from", "valid_to")
+    od = F.col("o_orderdate").cast("timestamp")
+    return (
+        orders.join(dim, orders.o_custkey == dim.c_custkey)
+        .filter(
+            (od >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (od < F.col("valid_to")))
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.col("c_acctbal").alias("acctbal_at_order_time"),
+            F.col("valid_from").alias("version_valid_from"),
+        )
+    )

@@ -161,6 +161,9 @@ EXCHANGE_BUDGET = {
     # one full-outer key join (exchange per side); hist/keep/close/open
     # branches are projections of that single join, not re-joins.
     "scd2_customer_batch": 2,
+    # the scd2 merge join + the orders equi-join with the interval
+    # residual as a post-join filter (per-key version count is tiny).
+    "scd2_temporal_join": 3,
     "setop_except_all": 1,
     "setop_intersect": 2,
     "setop_intersect_all": 1,
