@@ -241,3 +241,26 @@ def sql_lateral_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
     return spark.sql(LATERAL_TOPK_SQL.format(nation="nation_v", customer="customer_v"))
+
+
+FILTERED_AGG_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+       ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4) AS open_value,
+       ROUND(AVG(o_totalprice) FILTER (WHERE o_totalprice > 100000), 4) AS avg_large
+FROM {orders}
+GROUP BY o_orderpriority
+"""
+
+FILTERED_AGG_ORACLE = FILTERED_AGG_SQL.format(orders="orders")
+
+
+@register("sql_filtered_aggregates", oracle=FILTERED_AGG_ORACLE, tags=("sql", "agg"))
+def sql_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER clause on aggregates (the conditional-aggregation
+    surface; Spark compiles each FILTER into the aggregate's own
+    predicate — still ONE combinable pass, not one scan per filter).
+    Identical SQL text runs on both engines."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(FILTERED_AGG_SQL.format(orders="orders_v"))

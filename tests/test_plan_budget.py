@@ -169,6 +169,7 @@ EXCHANGE_BUDGET = {
     "setop_intersect_all": 1,
     "setop_union_all": 0,
     "setop_union_by_name_missing": 0,
+    "sql_filtered_aggregates": 1,
     "sql_grouping_sets": 1,
     "sql_lateral_topk_per_key": 3,
     "sql_recursive_month_spine": 2,
