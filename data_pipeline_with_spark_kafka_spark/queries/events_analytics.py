@@ -296,3 +296,62 @@ def events_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("day")
         .agg(F.count_distinct("user_id").alias("active_users_7d"))
     )
+
+
+ORDERED_FUNNEL_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+), s AS (
+  SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND e.ts > s.t1 GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_step1_signup,
+       CAST(COUNT(c.t2) AS BIGINT) AS n_step2_click_after,
+       CAST(COUNT(p.t3) AS BIGINT) AS n_step3_purchase_after
+FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
+@register("events_funnel_ordered_steps", oracle=ORDERED_FUNNEL_ORACLE, tags=("events", "analytics"))
+def events_funnel_ordered_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered 3-step funnel (signup -> first click AFTER the
+    signup -> first purchase AFTER that click). Unlike the 2-step
+    conditional-min funnel, each step's anchor depends on the previous
+    step's time, so the shape is chained per-user aggregates — all
+    partitioned on user_id, so the three joins reuse one hash
+    partitioning rather than reshuffling."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select("user_id", "event_type", "ts")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_step1_signup"),
+            F.count("t2").alias("n_step2_click_after"),
+            F.count("t3").alias("n_step3_purchase_after"),
+        )
+    )

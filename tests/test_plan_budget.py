@@ -49,6 +49,10 @@ EXCHANGE_BUDGET = {
     "emb_label_centroid_norms": 5,
     "events_daily_active_users": 2,
     "events_funnel_conversion": 2,
+    # chained per-user aggregates (signup -> click-after -> purchase-
+    # after) + the two final left joins; everything hashes on user_id
+    # and the final count is a 1-row global agg.
+    "events_funnel_ordered_steps": 11,
     # key counts + 1-row total broadcast + TakeOrdered single-partition.
     "diag_key_skew": 4,
     "events_max_concurrency": 2,
