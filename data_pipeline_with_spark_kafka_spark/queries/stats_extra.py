@@ -325,3 +325,63 @@ def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("c_acctbal") < 0).alias("n_negative"),
         F.any_value(F.col("c_nationkey") >= 0).alias("sanity_any"),
     )
+
+
+COLUMN_PROFILE_ORACLE = """
+SELECT 'o_totalprice' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(o_totalprice) AS BIGINT) AS n_non_null,
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+       ROUND(MIN(o_totalprice), 4) AS min_value,
+       ROUND(MAX(o_totalprice), 4) AS max_value,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50
+FROM orders
+UNION ALL
+SELECT 'o_custkey',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(o_custkey) AS BIGINT),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+       ROUND(MIN(o_custkey), 4), ROUND(MAX(o_custkey), 4),
+       ROUND(quantile_cont(o_custkey, 0.5), 4)
+FROM orders
+"""
+
+
+@register("diag_column_profile", oracle=COLUMN_PROFILE_ORACLE, tags=("diagnostics", "quality"))
+def diag_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator (the ANALYZE-style read a pipeline runs
+    on a new source before trusting it): per-column row/null/distinct
+    counts, min/max, exact median — ALL columns profiled in ONE
+    aggregate pass over the table, then unpivoted to long form
+    (column_name, stats). Distinct counts are exact here; swap in
+    approx_count_distinct when profiling 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    cols = ["o_totalprice", "o_custkey"]
+    aggs = []
+    for c in cols:
+        col = F.col(c).cast("double")
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n_rows"),
+            F.count(col).alias(f"{c}__n_non_null"),
+            F.countDistinct(col).alias(f"{c}__n_distinct"),
+            round_to(F.min(col), 4).alias(f"{c}__min_value"),
+            round_to(F.max(col), 4).alias(f"{c}__max_value"),
+            round_to(F.percentile(col, F.lit(0.5)), 4).alias(f"{c}__p50"),
+        ]
+    wide = orders.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__n_rows").alias("n_rows"),
+                F.col(f"{c}__n_non_null").alias("n_non_null"),
+                F.col(f"{c}__n_distinct").alias("n_distinct"),
+                F.col(f"{c}__min_value").alias("min_value"),
+                F.col(f"{c}__max_value").alias("max_value"),
+                F.col(f"{c}__p50").alias("p50"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
