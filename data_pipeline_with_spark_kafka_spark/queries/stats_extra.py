@@ -385,3 +385,43 @@ def diag_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+AFFINITY_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(COUNT(*) AS BIGINT) AS n_orders_together
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+ORDER BY n_orders_together DESC, part_a, part_b
+LIMIT 25
+"""
+
+
+@register("affinity_part_pairs", oracle=AFFINITY_ORACLE, tags=("analytics", "join"))
+def affinity_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the 25 part pairs most often ordered
+    together. The self-join is keyed on l_orderkey, whose group size is
+    bounded by the lines-per-order cap (7 in TPC-H) — so the pair
+    expansion is <= C(7,2) per order, a bounded blow-up, not a
+    cartesian. Top-k via TakeOrderedAndProject with a full tiebreak."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders_together"))
+        .orderBy(F.desc("n_orders_together"), "part_a", "part_b")
+        .limit(25)
+    )

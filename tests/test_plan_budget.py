@@ -24,6 +24,9 @@ EXCHANGE_BUDGET = {
     "agg_approx_percentile": 1,
     # six running sums reduce map-side; one partial/final agg exchange.
     "agg_corr_covar": 1,
+    # distinct pass + the order-keyed self-join (equi on l_orderkey,
+    # pair inequality as residual) + pair agg; top-k is TakeOrdered.
+    "affinity_part_pairs": 4,
     "agg_boolean_family": 1,
     "agg_cube_flag_status": 1,
     "agg_global_stats": 2,
