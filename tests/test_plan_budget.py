@@ -56,9 +56,10 @@ EXCHANGE_BUDGET = {
     # after) + the two final left joins; everything hashes on user_id
     # and the final count is a 1-row global agg.
     "events_funnel_ordered_steps": 11,
-    # one global aggregate (multi-distinct expands it to an Expand +
-    # two exchange hops) then a driver-free explode to long form.
-    "diag_column_profile": 2,
+    # one single-distinct aggregate pair per profiled column (the
+    # multi-distinct single-pass form Expand-duplicates every row per
+    # distinct column — slower despite fewer exchanges).
+    "diag_column_profile": 4,
     # key counts + 1-row total broadcast + TakeOrdered single-partition.
     "diag_key_skew": 4,
     "events_max_concurrency": 2,
