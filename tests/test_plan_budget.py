@@ -94,11 +94,11 @@ EXCHANGE_BUDGET = {
     "join_range_bucketed": 2,
     "join_range_price_tier": 1,
     "join_semi_customers_with_orders": 1,
-    # word groupBy + occurrence/vocab join + doc_id reassembly agg.
     # distinct-name + min-key aggs, block equi-join over the distinct
     # relations, best-match window, key/row join-backs (broadcast at
     # runtime; the heavy levenshtein runs on |distinct names| pairs).
     "linkage_fuzzy_part_names": 6,
+    # word groupBy + occurrence/vocab join + doc_id reassembly agg.
     "llm_bpe_encode": 3,
     "llm_bpe_vocab": 0,
     "llm_chunk_documents": 0,
