@@ -415,3 +415,108 @@ def affinity_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders_together"), "part_a", "part_b")
         .limit(25)
     )
+
+
+AB_TEST_ORACLE = """
+WITH arms AS (
+  SELECT user_id % 2 AS variant,
+         CAST(COUNT(*) AS BIGINT) AS n_trials,
+         CAST(SUM(CASE WHEN value > 70 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id % 2
+), wide AS (
+  SELECT MAX(CASE WHEN variant = 0 THEN n_trials END) AS n0,
+         MAX(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+         MAX(CASE WHEN variant = 1 THEN n_trials END) AS n1,
+         MAX(CASE WHEN variant = 1 THEN n_converted END) AS c1
+  FROM arms
+)
+SELECT n0, c0, n1, c1,
+       ROUND(CAST(c0 AS DOUBLE) / n0, 6) AS rate_a,
+       ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS rate_b,
+       ROUND((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+             / SQRT((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 4) AS z_stat
+FROM wide
+"""
+
+
+@register("stats_ab_test_ztest", oracle=AB_TEST_ORACLE, tags=("stats", "analytics"))
+def stats_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over a deterministic A/B assignment
+    (user_id parity): each purchase event is a trial, success = order
+    value above 70; per-arm counts -> pooled-variance z statistic. The
+    inference math runs on the 2-row arms relation; only the trial
+    collapse touches the corpus (filter pushed to the scan)."""
+    events = load_table(spark, sf_dir, "events")
+    arms = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy((F.col("user_id") % 2).alias("variant"))
+        .agg(
+            F.count(F.lit(1)).alias("n_trials"),
+            F.sum(F.when(F.col("value") > 70, 1).otherwise(0)).alias("n_converted"),
+        )
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_trials"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_trials"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    r0 = F.col("c0").cast("double") / F.col("n0")
+    r1 = F.col("c1").cast("double") / F.col("n1")
+    pooled = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = (r1 - r0) / F.sqrt(pooled * (1 - pooled) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    return wide.select(
+        "n0", "c0", "n1", "c1",
+        round_to(r0, 6).alias("rate_a"),
+        round_to(r1, 6).alias("rate_b"),
+        round_to(z, 4).alias("z_stat"),
+    )
+
+
+GINI_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, SUM(o_totalprice) AS revenue
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT revenue,
+         ROW_NUMBER() OVER (ORDER BY revenue, o_custkey) AS i,
+         COUNT(*) OVER () AS n,
+         SUM(revenue) OVER () AS total
+  FROM spend
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+       ROUND(MAX(total), 4) AS total_revenue,
+       ROUND(2.0 * SUM(i * revenue) / (MAX(n) * MAX(total))
+             - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+FROM ranked
+"""
+
+
+@register("stats_gini_revenue", oracle=GINI_ORACLE, tags=("stats", "analytics"))
+def stats_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of customer revenue (the inequality metric a
+    curation pipeline also runs on per-domain token mass): rank-weighted
+    sum formula G = 2*Σ(i·x_i)/(n·Σx) − (n+1)/n over revenue ranked
+    ascending with a key tiebreak. The global rank runs over the
+    |customers| aggregate, not raw orders; at 100 TB swap row_number
+    for the range-partitioned rank in llm_deterministic_shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("revenue", "o_custkey")
+    ranked = spend.select(
+        "revenue",
+        F.row_number().over(w).alias("i"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        round_to(F.sum("revenue"), 4).alias("total_revenue"),
+        round_to(
+            2.0 * F.sum(F.col("i") * F.col("revenue"))
+            / (F.count(F.lit(1)) * F.sum("revenue"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )

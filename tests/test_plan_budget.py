@@ -187,6 +187,11 @@ EXCHANGE_BUDGET = {
     "sql_lateral_posexplode": 0,
     "sql_right_join": 1,
     "sql_unpivot_metrics": 0,
+    # per-arm trial agg + the 1-row widen; z math runs on 2 rows.
+    "stats_ab_test_ztest": 2,
+    # per-customer revenue agg + the global rank over the aggregate
+    # (customers-sized) feeding a 1-row reduction.
+    "stats_gini_revenue": 2,
     # three percentile passes; every intermediate is groups-sized and
     # broadcast (med, mad, fences) — no fact-fact join.
     "stats_mad_outliers": 7,
