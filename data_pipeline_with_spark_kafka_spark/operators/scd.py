@@ -120,6 +120,10 @@ def cdc_apply(
     - when ``seq_col`` is given the feed is first compacted to the
       LATEST change per key (row_number window over seq desc), so a
       batch carrying a key's whole history applies like its last event.
+      (key, seq) pairs must be unique — Debezium LSNs/offsets are; two
+      DIFFERENT changes sharing a key's seq would compact
+      nondeterministically, so the contract rejects that shape rather
+      than inventing a payload-ordering tiebreak.
 
     Scale notes: compaction and the apply join both hash on the key —
     one window shuffle over the (small) feed plus one full-outer join

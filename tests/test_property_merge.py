@@ -129,3 +129,54 @@ def test_interpolation_matches_numpy(spark, obs):
     assert set(out) == set(expect)
     for b in expect:
         assert abs(out[b] - round(expect[b] * 1e4) / 1e4) < 1e-9, (b, out[b], expect[b])
+
+
+words = st.sampled_from(["cat", "car", "cart", "dog", "dot", "fish", "fig", "ca"])
+dirty_set = st.lists(st.tuples(st.integers(0, 20), words), min_size=1, max_size=6,
+                     unique_by=lambda t: t[0])
+clean_set = st.lists(st.tuples(st.integers(100, 120), words), min_size=1, max_size=6,
+                     unique_by=lambda t: t[0])
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=8, deadline=None)
+@given(dirty=dirty_set, clean=clean_set)
+def test_blocked_fuzzy_match_matches_python_model(spark, dirty, clean):
+    """Spark result == brute-force python model restricted to the same
+    blocking key (first character) and distance bound."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_with_spark_kafka_spark.operators.linkage import (
+        blocked_fuzzy_match,
+    )
+
+    ddf = spark.createDataFrame(dirty, "did int, name string")
+    cdf = spark.createDataFrame(clean, "cid int, name string")
+    got = {
+        r.d_key: (r.matched_cid, r.lev)
+        for r in blocked_fuzzy_match(
+            ddf, cdf, "did", "name", "cid", "name",
+            F.expr("substr(name, 1, 1)"), F.expr("substr(name, 1, 1)"), max_dist=2,
+        ).collect()
+    }
+
+    expect = {}
+    for did, dname in dirty:
+        cands = [
+            (_lev(dname, cname), cid)
+            for cid, cname in clean
+            if cname[0] == dname[0] and _lev(dname, cname) <= 2
+        ]
+        if cands:
+            lev, cid = min(cands)
+            expect[did] = (cid, lev)
+    assert got == expect
