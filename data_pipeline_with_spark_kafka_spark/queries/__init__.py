@@ -7,6 +7,7 @@ from data_pipeline_with_spark_kafka_spark.queries import (  # noqa: F401
     flagship,
     functions_corpus,
     governance,
+    graph_analytics,
     ivm_rollup,
     llm,
     llm_classifier,

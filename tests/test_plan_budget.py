@@ -81,6 +81,10 @@ EXCHANGE_BUDGET = {
     "func_math_family": 0,
     "func_string_family": 0,
     "func_struct_map_family": 0,
+    # the persisted edge relation feeds five consumers (three triangle
+    # arms, degrees, count); the static plan string repeats that subtree
+    # per consumer, so this is far above the ~6 shuffles that run.
+    "graph_triangle_count": 34,
     # snapshot agg + delta agg merged by a key join; the two aggregates
     # share the ship_day partitioning with the join at runtime.
     "ivm_rollup_maintenance": 2,
