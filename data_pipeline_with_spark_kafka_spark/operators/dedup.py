@@ -280,7 +280,7 @@ def connected_components(
         .unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .persist()
     )
-    labels = ids.select(F.col(id_col).alias("doc"), F.col(id_col).alias("label")).persist()
+    labels = ids.select(F.col(id_col).alias("doc"), F.col(id_col).alias("label")).localCheckpoint()
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iterations):
         msgs = (
@@ -294,10 +294,17 @@ def connected_components(
                 "doc",
                 F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"),
             )
-            .persist()
+            # localCheckpoint (eager), not persist: each generation
+            # references the previous one TWICE (message source + join
+            # base), so without lineage truncation the logical plan
+            # doubles per round — the same exponential-analysis trap
+            # fixed in graph.py's pagerank/bfs loops. Checkpointing also
+            # collapses the query's static plan (the Exchange-ledger
+            # entry for llm_dedup_clusters was 394 plan-string hits of
+            # repeated subtrees before this).
+            .localCheckpoint()
         )
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             break

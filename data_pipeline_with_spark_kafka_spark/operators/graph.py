@@ -76,11 +76,9 @@ def _pagerank_loop(edges: DataFrame, *, damping: float, iterations: int) -> Data
         return nodes.select("node", F.lit(0.0).alias("rank"))
 
     outdeg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg")).persist()
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank")).persist()
-    ranks.count()
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank")).localCheckpoint()
 
     base = (1.0 - damping) / n_nodes
-    prev = ranks
     for _ in range(iterations):
         with_deg = ranks.join(outdeg, "node", "left")
         # dangling mass: rank held by nodes with no out-edges (1-row scalar)
@@ -108,13 +106,16 @@ def _pagerank_loop(edges: DataFrame, *, damping: float, iterations: int) -> Data
                     * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dm") / n_nodes)
                 ).alias("rank"),
             )
-            .persist()
+            # localCheckpoint (eager), NOT persist+count: the new ranks
+            # reference the previous generation TWICE (dangling scalar +
+            # contributions), so without lineage truncation the LOGICAL
+            # plan doubles per iteration and Catalyst analysis goes
+            # exponential even with warm caches — measured 18 s for 5
+            # iterations, minutes for 10, vs ~1 s/iteration after the
+            # cut. Old generations' checkpoint blocks are freed by the
+            # ContextCleaner once unreferenced.
+            .localCheckpoint()
         )
-        # Materialize eagerly: otherwise each generation's plan chains the
-        # full lineage of every previous iteration (k-means discipline).
-        ranks.count()
-        prev.unpersist()
-        prev = ranks
 
     e.unpersist()
     outdeg.unpersist()
@@ -148,3 +149,92 @@ def pagerank_reference(
             v: base + damping * (contrib[v] + dangling / n) for v in nodes
         }
     return ranks
+
+
+def bfs_levels(
+    edges: DataFrame,
+    source,
+    *,
+    directed: bool = True,
+    max_iterations: int = 30,
+    loop_partitions: int | None = None,
+) -> DataFrame:
+    """(node, level) single-source shortest-path levels by frontier BFS.
+
+    Each generation expands the frontier one hop (edge join), drops
+    already-visited nodes (anti-join against the accumulated levels),
+    and stops when the frontier empties — the per-round driver scalar
+    is a 1-row count, the same bounded-convergence contract as the
+    connected-components loop in operators/dedup.py. Unreachable nodes
+    are absent from the result (callers outer-join if they want nulls).
+
+    ``loop_partitions`` follows pagerank's discipline above: BFS cost
+    on small graphs is stage latency, not data volume.
+    """
+    spark = edges.sparkSession
+    old_width = spark.conf.get("spark.sql.shuffle.partitions")
+    if loop_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+    try:
+        return _bfs_loop(edges, source, directed=directed, max_iterations=max_iterations)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_width)
+
+
+def _bfs_loop(edges: DataFrame, source, *, directed: bool, max_iterations: int) -> DataFrame:
+    spark = edges.sparkSession
+    hops = edges.select(F.col("src"), F.col("dst"))
+    if not directed:
+        hops = hops.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    hops = hops.persist()
+
+    # Each generation is localCheckpoint-ed (eager): persist() alone is
+    # NOT enough here, because nxt's LOGICAL plan embeds the previous
+    # generation twice (as the frontier join arm and inside the visited
+    # union), so plan size doubles per level and Catalyst analysis time
+    # goes exponential even with every cache warm (measured: level 6 of
+    # a 30-node toy graph took minutes). Checkpointing truncates each
+    # generation to a leaf; the visited union then grows by ONE leaf per
+    # level — linear plans, constant per-level cost.
+    visited = spark.createDataFrame([(source, 0)], ["node", "level"]).localCheckpoint()
+    frontier = visited
+    for level in range(1, max_iterations + 1):
+        nxt = (
+            frontier.join(hops, frontier.node == hops.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("level", F.lit(level))
+            .localCheckpoint()  # eager: materializes and cuts lineage
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    else:
+        raise RuntimeError(
+            f"BFS did not exhaust its frontier within {max_iterations} hops — "
+            "raise max_iterations for deeper graphs"
+        )
+    hops.unpersist()
+    return visited
+
+
+def bfs_reference(edge_list, source, *, directed: bool = True):
+    """Pure-python BFS for test oracles: {node: level}."""
+    from collections import deque
+
+    adj: dict = {}
+    for s, d in edge_list:
+        adj.setdefault(s, []).append(d)
+        if not directed:
+            adj.setdefault(d, []).append(s)
+    seen = {source: 0}
+    q = deque([source])
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, []):
+            if v not in seen:
+                seen[v] = seen[u] + 1
+                q.append(v)
+    return seen

@@ -68,3 +68,45 @@ def test_neardup_graph_query_ranks_template_hub(spark):
     assert 0 in ranks, "hub doc must appear in the graph"
     # the hub participates in every pair — top rank
     assert ranks[0] == max(ranks.values())
+
+
+def test_bfs_line_cycle_and_unreachable(spark):
+    """One run covers level assignment, cycle termination and
+    unreachable-node absence (each BFS invocation pays per-level
+    codegen, so scenarios share a graph)."""
+    from data_pipeline_with_spark_kafka_spark.operators.graph import bfs_levels
+
+    edges = spark.createDataFrame(
+        # line 1-2-3-4, a back-edge closing a cycle, and an island.
+        [(1, 2), (2, 3), (3, 4), (4, 1), (9, 10)], ["src", "dst"]
+    )
+    got = {r.node: r.level for r in bfs_levels(edges, 1, loop_partitions=1).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # cycle terminates; 9/10 absent
+
+
+def test_bfs_undirected_reaches_backwards(spark):
+    from data_pipeline_with_spark_kafka_spark.operators.graph import bfs_levels
+
+    edges = spark.createDataFrame([(2, 1), (2, 3)], ["src", "dst"])
+    directed = {r.node: r.level for r in bfs_levels(edges, 1, loop_partitions=1).collect()}
+    undirected = {
+        r.node: r.level
+        for r in bfs_levels(edges, 1, directed=False, loop_partitions=1).collect()
+    }
+    assert directed == {1: 0}
+    assert undirected == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_matches_python_reference_on_random_graph(spark):
+    import random
+
+    from data_pipeline_with_spark_kafka_spark.operators.graph import (
+        bfs_levels,
+        bfs_reference,
+    )
+
+    rng = random.Random(7)
+    edge_list = [(rng.randrange(30), rng.randrange(30)) for _ in range(80)]
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {r.node: r.level for r in bfs_levels(edges, 0, loop_partitions=1).collect()}
+    assert got == bfs_reference(edge_list, 0)

@@ -108,7 +108,10 @@ EXCHANGE_BUDGET = {
     "llm_chunk_documents": 0,
     "llm_contamination_overlap": 4,
     "llm_curated_corpus": 2,
-    "llm_dedup_clusters": 394,
+    # the CC loop materializes per-round via localCheckpoint during
+    # construction, so the FINAL plan is leaf scans + the keeper join
+    # (394 before the lineage cut collapsed the repeated subtrees).
+    "llm_dedup_clusters": 4,
     "llm_dedup_corpus_segments": 4,
     "llm_dedup_embedding_cosine": 1,
     "llm_dedup_embedding_cosine_fast": 1,
