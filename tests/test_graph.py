@@ -110,3 +110,32 @@ def test_bfs_matches_python_reference_on_random_graph(spark):
     edges = spark.createDataFrame(edge_list, ["src", "dst"])
     got = {r.node: r.level for r in bfs_levels(edges, 0, loop_partitions=1).collect()}
     assert got == bfs_reference(edge_list, 0)
+
+
+def test_iterative_generations_keep_linear_plans(spark):
+    """Lineage-discipline guard: after N iterations the result's LOGICAL
+    plan must stay small (each generation is checkpointed to a leaf).
+    Without the cut, a twice-referenced previous generation doubles the
+    plan per iteration — ~2^N subtrees — and this assertion explodes
+    long before wall-clock does."""
+    from data_pipeline_with_spark_kafka_spark.operators.dedup import (
+        connected_components,
+    )
+    from data_pipeline_with_spark_kafka_spark.operators.graph import (
+        bfs_levels,
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7)], ["src", "dst"]
+    )
+    pr = pagerank(edges, iterations=8, loop_partitions=2)
+    assert len(pr._jdf.queryExecution().logical().toString()) < 20_000
+
+    bfs = bfs_levels(edges, 1, loop_partitions=2)
+    assert len(bfs._jdf.queryExecution().logical().toString()) < 20_000
+
+    pair_edges = edges.selectExpr("src as doc_a", "dst as doc_b")
+    ids = spark.range(1, 8).selectExpr("id as doc")
+    cc = connected_components(pair_edges, ids, "doc")
+    assert len(cc._jdf.queryExecution().logical().toString()) < 20_000
