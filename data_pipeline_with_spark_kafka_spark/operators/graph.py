@@ -198,25 +198,29 @@ def _bfs_loop(edges: DataFrame, source, *, directed: bool, max_iterations: int) 
     # level — linear plans, constant per-level cost.
     visited = spark.createDataFrame([(source, 0)], ["node", "level"]).localCheckpoint()
     frontier = visited
-    for level in range(1, max_iterations + 1):
-        nxt = (
-            frontier.join(hops, frontier.node == hops.src)
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(visited, "node", "left_anti")
-            .withColumn("level", F.lit(level))
-            .localCheckpoint()  # eager: materializes and cuts lineage
-        )
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(nxt)
-        frontier = nxt
-    else:
-        raise RuntimeError(
-            f"BFS did not exhaust its frontier within {max_iterations} hops — "
-            "raise max_iterations for deeper graphs"
-        )
-    hops.unpersist()
+    try:
+        for level in range(1, max_iterations + 1):
+            nxt = (
+                frontier.join(hops, frontier.node == hops.src)
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(visited, "node", "left_anti")
+                .withColumn("level", F.lit(level))
+                .localCheckpoint()  # eager: materializes and cuts lineage
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt)
+            frontier = nxt
+        else:
+            raise RuntimeError(
+                f"BFS did not exhaust its frontier within {max_iterations} hops — "
+                "raise max_iterations for deeper graphs"
+            )
+    finally:
+        # unpersist on the error path too — visited is checkpointed, so
+        # dropping the edge cache never invalidates the returned result
+        hops.unpersist()
     return visited
 
 

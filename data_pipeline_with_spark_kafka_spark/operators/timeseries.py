@@ -25,6 +25,25 @@ from pyspark.sql import functions as F
 
 from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
 
+_UNIT_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+
+
+def _step_seconds(step: str) -> int:
+    """Parse ``"N unit"`` (e.g. "15 minutes", "2 hours") into seconds.
+
+    Bucketing floors epoch seconds onto multiples of this, so ANY step
+    lands observations on the same grid the ``sequence()`` spine walks —
+    a ``date_trunc(unit)`` bucket would put "2 hours" / "15 minutes"
+    observations off-grid and silently drop them in the spine join.
+    """
+    parts = step.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"step must be 'N unit', got {step!r}")
+    n, unit = int(parts[0]), parts[1].rstrip("s").lower()
+    if unit not in _UNIT_SECONDS or n <= 0:
+        raise ValueError(f"unsupported resample step {step!r}")
+    return n * _UNIT_SECONDS[unit]
+
 
 def resample_linear(
     df: DataFrame,
@@ -36,14 +55,23 @@ def resample_linear(
     scale: int = 4,
 ) -> DataFrame:
     """Resample ``value`` per ``key`` onto a ``step`` grid (bucket =
-    date_trunc of the step unit), averaging observations within a
-    bucket and linearly interpolating empty buckets between the key's
-    first and last observation. Edge gaps carry the nearest value.
+    epoch floor onto step-second multiples — the same grid the spine
+    walks, for any step), averaging observations within a bucket and
+    linearly interpolating empty buckets between the key's first and
+    last observation. Edge gaps carry the nearest value.
+
+    The per-(key, bucket) aggregate stays persisted after return — an
+    intentional cache handoff: it is consumed twice lazily (bounds +
+    the grid join) and the caller materializes the result; Spark's
+    LRU/ContextCleaner reclaims it once the plan is dropped.
 
     Returns (key, bucket, was_gap, value_filled)."""
-    unit = step.split()[-1].rstrip("s")  # "1 hour" -> "hour"
+    step_secs = _step_seconds(step)
+    bucket_expr = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.col(ts)) / step_secs) * step_secs
+    )
     hourly = (
-        df.groupBy(F.col(key), F.date_trunc(unit, F.col(ts)).alias("bucket"))
+        df.groupBy(F.col(key), bucket_expr.alias("bucket"))
         .agg(F.avg(value).alias("v"))
         .persist()
     )

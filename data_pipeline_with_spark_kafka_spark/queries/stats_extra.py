@@ -214,8 +214,8 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MIN_BY_MAX_BY_ORACLE = """
 SELECT c_mktsegment,
-       arg_max(c_name, c_acctbal * 10000000 + c_custkey) AS richest_customer,
-       arg_min(c_name, c_acctbal * 10000000 + c_custkey) AS poorest_customer,
+       arg_max(c_name, ROUND(c_acctbal * 100) * 1000000000 + c_custkey) AS richest_customer,
+       arg_min(c_name, ROUND(c_acctbal * 100) * 1000000000 + c_custkey) AS poorest_customer,
        ROUND(MAX(c_acctbal), 4) AS max_bal,
        ROUND(MIN(c_acctbal), 4) AS min_bal
 FROM customer GROUP BY c_mktsegment
@@ -226,11 +226,14 @@ FROM customer GROUP BY c_mktsegment
 def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_by / min_by (arg_max / arg_min): which customer holds each
     segment's extreme balance. The ordering key packs (acctbal,
-    custkey) into one double — exact below 2^53, so ties on balance
-    break deterministically by key on both engines — because neither
-    engine's arg_max takes a composite key portably."""
+    custkey) into one double because neither engine's arg_max takes a
+    composite key portably: round(acctbal*100) is the exact integer
+    cent value (TPC-H acctbal has 2 decimals), scaled by 1e9 so the
+    smallest balance gap (1 cent) dominates any custkey < 1e9 (TPC-H
+    sf ~6600; the packed value stays < 1e15 < 2^53, so the double is
+    exact and ties on balance break deterministically by key)."""
     customer = load_table(spark, sf_dir, "customer")
-    ordkey = F.col("c_acctbal") * 10_000_000 + F.col("c_custkey")
+    ordkey = F.round(F.col("c_acctbal") * 100, 0) * 1_000_000_000 + F.col("c_custkey")
     return customer.groupBy("c_mktsegment").agg(
         F.max_by("c_name", ordkey).alias("richest_customer"),
         F.min_by("c_name", ordkey).alias("poorest_customer"),

@@ -176,11 +176,25 @@ def cmd_maintain(spark: SparkSession, args: argparse.Namespace) -> None:
         out = scd2_apply(snapshot, batch, args.key, attrs, F.lit(args.effective).cast("timestamp"))
     else:
         out = cdc_apply(snapshot, batch, args.key, attrs, op_col=args.op_col, seq_col=args.seq_col)
-    tmp = f"{args.target}.tmp-{uuid.uuid4().hex[:8]}"
+    tag = uuid.uuid4().hex[:8]
+    tmp = f"{args.target}.tmp-{tag}"
     out.write.mode("overwrite").parquet(tmp)
-    if os.path.isdir(args.target):
-        shutil.rmtree(args.target)
-    os.rename(tmp, args.target)
+    # Swap without a destroy-first window: move the old snapshot ASIDE,
+    # rename tmp into place, and only then delete the backup. If the
+    # second rename fails (cross-mount, permissions), the old snapshot
+    # is restored — the target is never left missing.
+    backup = f"{args.target}.old-{tag}"
+    had_old = os.path.isdir(args.target)
+    if had_old:
+        os.rename(args.target, backup)
+    try:
+        os.rename(tmp, args.target)
+    except OSError:
+        if had_old:
+            os.rename(backup, args.target)
+        raise
+    if had_old:
+        shutil.rmtree(backup)
     print(f"{args.mode} maintain: {args.snapshot} + {args.batch} -> {args.target}")
 
 
