@@ -124,6 +124,36 @@ def kmeans_centroids_cached(
 _CENTROID_CACHE: dict = {}
 
 
+def fixture_centroid_rows(name: str):
+    """Load a committed offline quantizer artifact (``fixtures/<name>.parquet``,
+    columns cid/centroid) as ``[(cid, [float, ...]), ...]`` — or None if the
+    fixture is absent (callers fall back to in-session training).
+
+    This is the deployment shape: the coarse quantizer is trained once on
+    a sample (tools/gen_centroid_fixture.py), versioned next to the code,
+    and read driver-side (k x dim doubles — bytes, not data). Because the
+    artifact is a plain parquet file, the DuckDB oracles read the SAME
+    relation via read_parquet() and can mirror cell assignment + exact
+    rerank in SQL — turning the IVF queries from rows-only into fully
+    oracled (round-5 verdict task #3)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "fixtures",
+        f"{name}.parquet",
+    )
+    if not os.path.exists(path):
+        return None
+    t = pq.read_table(path)
+    return [
+        (int(c), [float(x) for x in v])
+        for c, v in zip(t.column("cid").to_pylist(), t.column("centroid").to_pylist())
+    ]
+
+
 def cell_multi_assign(
     df: DataFrame,
     vec_col: str,

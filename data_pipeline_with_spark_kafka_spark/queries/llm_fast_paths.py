@@ -23,26 +23,70 @@ def llm_dedup_embedding_cosine_fast(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _quantizer_rows(emb: DataFrame, sf_dir: str, *, fixture: str, k: int, iterations: int):
+    """Centroid rows for an IVF query: the committed offline artifact when
+    present (``fixtures/<fixture>.parquet`` — the deployment shape, and
+    what lets the DuckDB oracle mirror cell assignment in SQL), else
+    train-and-memoize in session (scale-curve runs on synthetic dirs)."""
+    rows = clustering.fixture_centroid_rows(fixture)
+    if rows is None:
+        rows, _schema = clustering.kmeans_centroids_cached(
+            emb, "vec_id", "embedding", cache_key=sf_dir, k=k, iterations=iterations
+        )
+    return rows
+
+
+# The IVF oracles read the SAME quantizer artifact the Spark queries use
+# (fixtures/ivf_centroids_k*.parquet, trained offline by
+# tools/gen_centroid_fixture.py) and mirror the operator exactly: rank
+# cells per vector by (distance, cid) — list_distance is sqrt of the
+# operator's squared distance, so the ranking is identical — then exact
+# cosine + threshold/top-k over cell collisions only.
+_FIXTURES_DIR = "/root/repo/fixtures"
+
+EMB_IVF_ORACLE = f"""
+WITH cents AS (
+    SELECT cid, centroid FROM read_parquet('{_FIXTURES_DIR}/ivf_centroids_k10.parquet')
+), e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), assign AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.v, c.centroid), c.cid) AS rn
+        FROM e CROSS JOIN cents c
+    ) WHERE rn <= 2
+)
+SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4
+"""
+
+
 @register(
-    "llm_dedup_embedding_cosine_ivf", oracle=None, tags=("llm", "dedup", "approx", "pandas-udf")
+    "llm_dedup_embedding_cosine_ivf",
+    oracle=EMB_IVF_ORACLE,
+    tags=("llm", "dedup", "approx", "pandas-udf"),
 )
 def llm_dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup blocked by LEARNED k-means IVF cells (the scale
     default: real corpora have no ``label`` column to block on).
 
     Quantizer: k=10 cells (matching this corpus's cluster structure;
-    at scale k tracks corpus_size / target_cell_size), trained once per
-    dataset and memoized, shipped as literals — assignment is a
-    zero-shuffle narrow map (``clustering.cell_multi_assign``). Each
-    vector lands in its 2 nearest cells so cell-boundary pairs still
-    collide; the BLAS kernel + triangle guard run per cell. Rows-only
-    (approx by design); recall >= 0.95 vs the label-blocked exact tier on
-    cluster-structured corpora is pytest-asserted
-    (tests/test_ivf_neardup.py)."""
+    at scale k tracks corpus_size / target_cell_size), a committed
+    offline artifact (fixtures/ivf_centroids_k10.parquet) shipped as
+    literals — assignment is a zero-shuffle narrow map
+    (``clustering.cell_multi_assign``). Each vector lands in its 2
+    nearest cells so cell-boundary pairs still collide; the BLAS kernel
+    + triangle guard run per cell. Fully oracled: DuckDB reads the same
+    centroid parquet and replays assignment + exact cosine in SQL.
+    Recall >= 0.95 vs the label-blocked exact tier is additionally
+    pytest-asserted (tests/test_ivf_neardup.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    rows, _schema = clustering.kmeans_centroids_cached(
-        emb, "vec_id", "embedding", cache_key=sf_dir, k=10, iterations=3
-    )
+    rows = _quantizer_rows(emb, sf_dir, fixture="ivf_centroids_k10", k=10, iterations=3)
     # Footer-metadata guard decision (no Spark job); see llm.py twin.
     guard = table_row_count(sf_dir, "embeddings") > 4096
     return dedup.embedding_near_dup_pairs_ivf(
@@ -50,40 +94,105 @@ def llm_dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@register("llm_knn_join_ivf", oracle=None, tags=("llm", "similarity", "knn", "approx"))
+KNN_IVF_ORACLE = f"""
+WITH cents AS (
+    SELECT cid, centroid FROM read_parquet('{_FIXTURES_DIR}/ivf_centroids_k10.parquet')
+), e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), members AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.v, c.centroid), c.cid) AS rn
+        FROM e CROSS JOIN cents c
+    ) WHERE rn <= 1
+), q AS (
+    SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8
+), probes AS (
+    SELECT query_id, qv, cid FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY list_distance(q.qv, c.centroid), c.cid) AS rn
+        FROM q CROSS JOIN cents c
+    ) WHERE rn <= 3
+), scored AS (
+    SELECT p.query_id, m.vec_id AS neighbor_id,
+           ROUND(list_dot_product(m.v, p.qv)
+                 / (sqrt(list_dot_product(m.v, m.v)) * sqrt(list_dot_product(p.qv, p.qv))), 6)
+           AS cosine
+    FROM members m JOIN probes p ON m.cid = p.cid
+    WHERE m.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+@register("llm_knn_join_ivf", oracle=KNN_IVF_ORACLE, tags=("llm", "similarity", "knn", "approx"))
 def llm_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate k-NN join: same 8-query top-10 contract as
     ``llm_knn_join_exact``, but each query probes only its 3 nearest
     k-means cells (cell equi-join instead of the query x corpus fan-out).
-    Rows-only; recall vs the exact tier is pytest-pinned
+    Fully oracled against the committed quantizer artifact (the DuckDB
+    SQL replays single-cell membership, 3-cell probing, and the exact
+    rerank); recall vs the exact tier is additionally pytest-pinned
     (tests/test_knn_join.py)."""
     from data_pipeline_with_spark_kafka_spark.operators import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
-    rows, _schema = clustering.kmeans_centroids_cached(
-        emb, "vec_id", "embedding", cache_key=sf_dir, k=10, iterations=3
-    )
+    rows = _quantizer_rows(emb, sf_dir, fixture="ivf_centroids_k10", k=10, iterations=3)
     return similarity.knn_join_ivf(
         emb, "vec_id", "embedding", emb.filter(F.col("vec_id") < 8), rows,
         k=10, n_probe=3, query_limit=8,
     )
 
 
-@register("llm_sim_topk_ivf", oracle=None, tags=("llm", "similarity", "approx"))
+SIM_TOPK_IVF_ORACLE = f"""
+WITH cents AS (
+    SELECT cid, centroid FROM read_parquet('{_FIXTURES_DIR}/ivf_centroids_k8.parquet')
+), e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), members AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.v, c.centroid), c.cid) AS rn
+        FROM e CROSS JOIN cents c
+    ) WHERE rn <= 1
+), q AS (
+    SELECT v AS qv FROM e WHERE vec_id = 0
+), probes AS (
+    SELECT cid, qv FROM (
+        SELECT c.cid, q.qv,
+               ROW_NUMBER() OVER (ORDER BY list_distance(q.qv, c.centroid), c.cid) AS rn
+        FROM q CROSS JOIN cents c
+    ) WHERE rn <= 3
+)
+SELECT m.vec_id,
+       ROUND(list_dot_product(m.v, p.qv)
+             / (sqrt(list_dot_product(m.v, m.v)) * sqrt(list_dot_product(p.qv, p.qv))), 6)
+       AS cosine
+FROM members m JOIN probes p ON m.cid = p.cid
+ORDER BY cosine DESC, m.vec_id
+LIMIT 10
+"""
+
+
+@register("llm_sim_topk_ivf", oracle=SIM_TOPK_IVF_ORACLE, tags=("llm", "similarity", "approx"))
 def llm_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 (k-means coarse quantizer, 3 probes).
 
-    The quantizer is trained ONCE per dataset and memoized
-    (``kmeans_centroids_cached``) — the scale-correct shape, where
-    centroids are a small offline artifact handed to every search query
-    rather than 2 Lloyd shuffle-pairs re-run per invocation."""
+    The quantizer is a committed offline artifact
+    (fixtures/ivf_centroids_k8.parquet — 2 Lloyd iterations: probing only
+    needs rough cells) handed to every search query rather than re-trained
+    per invocation, which also lets the DuckDB oracle replay cell
+    membership + probing + the exact rerank in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # 2 Lloyd iterations: the quantizer only needs rough cells for probing
-    # (each extra iteration is a full assign+recompute shuffle pair).
-    rows, schema = clustering.kmeans_centroids_cached(
-        emb, "vec_id", "embedding", cache_key=sf_dir, k=8, iterations=2
-    )
-    centroids = spark.createDataFrame(rows, schema)
+    rows = _quantizer_rows(emb, sf_dir, fixture="ivf_centroids_k8", k=8, iterations=2)
+    centroids = spark.createDataFrame(rows, "cid int, centroid array<double>")
     return clustering.ivf_topk(
         emb, "vec_id", "embedding", emb.filter(F.col("vec_id") == 0), centroids, k=10, n_probe=3
     )
