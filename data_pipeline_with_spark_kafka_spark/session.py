@@ -28,13 +28,45 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def state_store_conf(backend: str = "rocksdb") -> dict[str, str]:
+    """Streaming state-store configuration by backend name.
+
+    ``rocksdb`` is the at-scale default: state lives off-heap in RocksDB
+    with changelog checkpointing, so executor heap is not the ceiling on
+    per-partition state (the HDFS-backed default keeps every state row as
+    JVM objects — fine for small windows, an OOM risk for wide watermark
+    horizons or high-cardinality keys). ``memory`` returns {} (Spark's
+    default provider). Applied at query start via session conf — set
+    before ``writeStream.start()``; tests/test_state_store.py proves the
+    pipeline is provider-agnostic and that watermark eviction bounds
+    state under either backend.
+    """
+    if backend == "rocksdb":
+        return {
+            "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+            # changelog checkpointing ships deltas, not full snapshots
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+        }
+    if backend == "memory":
+        return {}
+    raise ValueError(f"unknown state-store backend {backend!r}")
+
+
 def get_spark(
     app_name: str = "data-pipeline-with-spark-kafka-spark",
     *,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    """Build (or fetch) the configured SparkSession."""
+    """Build (or fetch) the configured SparkSession.
+
+    ``SPARK_GRAFT_STATE_STORE=rocksdb`` opts streaming queries into the
+    RocksDB state store (see ``state_store_conf``)."""
     cpus = default_parallelism()
     if shuffle_partitions is None:
         # Local mode: one shuffle partition per core avoids task-scheduling
@@ -57,6 +89,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
+    backend = os.environ.get("SPARK_GRAFT_STATE_STORE")
+    if backend:
+        for key, value in state_store_conf(backend).items():
+            builder = builder.config(key, value)
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
 

@@ -1,0 +1,112 @@
+"""sf0.1 oracle sweep of the heavyweight query tiers.
+
+The driver's official correctness gate compares Spark vs DuckDB at
+sf0.01 only; every oracle proof in rounds 1-5 is therefore small-scale.
+Value-range / threshold-edge bugs that only materialize with 10x data
+(bigger id ranges, denser dedup buckets, longer histories) would be
+invisible there. This tool runs the SAME driver-strict comparator
+(tests/oracle_compare.normalize) at sf0.1 over the ~30 heaviest oracled
+queries — the dedup/linkage/span tiers, SCD2/CDC, time-series
+interpolation, graph/affinity, the stats family, and the TPC-H deep
+joins — and writes CORRECTNESS_SF01.json next to the official artifacts.
+
+    python tools/correctness_sf01.py          # ~5 min on local[8]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+SF_DIR = "/root/testdata/sf0.1"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+# The heavyweight set from the round-5 verdict (task #1): everything with
+# non-trivial shuffle/join structure whose semantics could drift with
+# value ranges. All are oracled queries — rows-only tiers have no oracle
+# to scale up (their pytest pins already run on generated corpora).
+HEAVY = [
+    # dedup tiers
+    "llm_dedup_exact", "llm_dedup_ngram_jaccard", "llm_dedup_embedding_cosine",
+    "llm_dedup_embedding_cosine_ivf", "llm_dedup_clusters",
+    "llm_dedup_corpus_segments", "llm_dedup_incremental",
+    "llm_dedup_incremental_near",
+    # linkage / spans / fingerprints
+    "linkage_fuzzy_part_names", "llm_remove_repeated_spans",
+    "llm_shared_span_fraction", "llm_fingerprint_winnowing",
+    # dimension maintenance
+    "scd2_customer_batch", "scd2_temporal_join", "cdc_apply_customer",
+    # time series / events
+    "ts_gap_fill_interpolate", "events_session_ids", "events_max_concurrency",
+    "events_rolling_7d_active_users", "events_retention_cohorts",
+    # graph / affinity
+    "graph_triangle_count", "affinity_part_pairs",
+    # stats family
+    "agg_corr_covar", "stats_winsorize_prices", "stats_mad_outliers",
+    "agg_min_by_max_by", "privacy_k_anonymity", "ivm_rollup_maintenance",
+    # similarity
+    "llm_knn_join_exact", "llm_knn_join_ivf",
+    # deep TPC-H joins (value-heavy aggregates)
+    "tpch_q9_product_profit", "tpch_q21_waiting_supplier",
+]
+
+
+def main() -> None:
+    import duckdb
+
+    from data_pipeline_with_spark_kafka_spark.queries import all_queries
+    from data_pipeline_with_spark_kafka_spark.session import get_spark
+    from oracle_compare import normalize
+
+    spark = get_spark("correctness-sf01")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    qs = all_queries()
+    out: dict = {}
+    t_start = time.time()
+    for name in HEAVY:
+        q = qs[name]
+        assert q.oracle is not None, f"{name} has no oracle"
+        rec: dict = {"rows_match": None, "schema_match": None, "hash_match": None, "err": None}
+        try:
+            sr = normalize(q.builder(spark, SF_DIR).toPandas())
+            orr = normalize(con.execute(q.oracle).df())
+            rec["spark_rows"], rec["oracle_rows"] = len(sr), len(orr)
+            rec["rows_match"] = len(sr) == len(orr)
+            rec["schema_match"] = rec["hash_match"] = sr == orr
+        except Exception as exc:  # noqa: BLE001
+            rec["err"] = str(exc)[:300]
+        out[name] = rec
+        spark.catalog.clearCache()
+        status = "MATCH" if rec["hash_match"] else ("ERR" if rec["err"] else "MISMATCH")
+        print(f"{name}: {status} ({rec.get('spark_rows')} rows)", flush=True)
+    payload = {
+        "sf": 0.1,
+        "comparator": "tests/oracle_compare.normalize (driver-strict)",
+        "elapsed_sec": round(time.time() - t_start, 1),
+        "n_queries": len(out),
+        "n_match": sum(1 for r in out.values() if r["hash_match"]),
+        "results": out,
+    }
+    with open(os.path.join(REPO, "CORRECTNESS_SF01.json"), "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"total: {payload['n_match']}/{payload['n_queries']} match "
+          f"in {payload['elapsed_sec']}s -> CORRECTNESS_SF01.json")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

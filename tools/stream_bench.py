@@ -79,6 +79,20 @@ def measure(spark, rate: int = 200_000, run_seconds: int = 90) -> dict:
     total_in = sum(p["numInputRows"] for p in data_batches.values())
     total_ms = sum(p["durationMs"]["triggerExecution"] for p in data_batches.values())
     rows_per_sec = round(total_in / (total_ms / 1000.0), 1) if total_ms else 0.0
+    # State-store health from the last data batch: rows held and bytes
+    # used by the windowed aggregation. With the 10-minute watermark the
+    # row count is bounded (~windows-in-horizon x keys) no matter how
+    # long the stream runs — tests/test_state_store.py proves the
+    # plateau; this records the measured steady-state size per round.
+    state: dict = {}
+    if data_batches:
+        last = data_batches[max(data_batches)]
+        ops = last.get("stateOperators") or []
+        if ops:
+            state = {
+                "state_rows": int(ops[0].get("numRowsTotal", 0)),
+                "state_memory_bytes": int(ops[0].get("memoryUsedBytes", 0)),
+            }
     return {
         "metric": "stream_rows_per_sec",
         "value": rows_per_sec,
@@ -87,6 +101,7 @@ def measure(spark, rate: int = 200_000, run_seconds: int = 90) -> dict:
         "run_seconds": run_seconds,
         "n_batches": len(data_batches),
         "total_rows": int(total_in),
+        **state,
     }
 
 
