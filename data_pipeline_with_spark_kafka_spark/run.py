@@ -156,15 +156,38 @@ def cmd_curate(spark: SparkSession, args: argparse.Namespace) -> None:
     print(f"curated -> {args.target} (partitioned by lang/split)")
 
 
+def _two_phase_swap(out, target: str) -> None:
+    """Materialize ``out`` to a tmp dir, then swap it into ``target``
+    without a destroy-first window: move the old snapshot ASIDE, rename
+    tmp into place, and only then delete the backup. If the second
+    rename fails (cross-mount, permissions), the old snapshot is
+    restored — the target is never left missing."""
+    import os
+    import shutil
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    tmp = f"{target}.tmp-{tag}"
+    out.write.mode("overwrite").parquet(tmp)
+    backup = f"{target}.old-{tag}"
+    had_old = os.path.isdir(target)
+    if had_old:
+        os.rename(target, backup)
+    try:
+        os.rename(tmp, target)
+    except OSError:
+        if had_old:
+            os.rename(backup, target)
+        raise
+    if had_old:
+        shutil.rmtree(backup)
+
+
 def cmd_maintain(spark: SparkSession, args: argparse.Namespace) -> None:
     """Dimension maintenance: apply an update batch (scd2 mode: versioned
     type-2 history) or a CDC I/U/D feed (cdc mode) to a parquet snapshot,
     writing the next snapshot two-phase (tmp dir + rename — the same
     never-in-place discipline as the keyed-upsert sink)."""
-    import os
-    import shutil
-    import uuid
-
     from data_pipeline_with_spark_kafka_spark.operators.scd import cdc_apply, scd2_apply
 
     snapshot = spark.read.parquet(args.snapshot)
@@ -176,26 +199,66 @@ def cmd_maintain(spark: SparkSession, args: argparse.Namespace) -> None:
         out = scd2_apply(snapshot, batch, args.key, attrs, F.lit(args.effective).cast("timestamp"))
     else:
         out = cdc_apply(snapshot, batch, args.key, attrs, op_col=args.op_col, seq_col=args.seq_col)
-    tag = uuid.uuid4().hex[:8]
-    tmp = f"{args.target}.tmp-{tag}"
-    out.write.mode("overwrite").parquet(tmp)
-    # Swap without a destroy-first window: move the old snapshot ASIDE,
-    # rename tmp into place, and only then delete the backup. If the
-    # second rename fails (cross-mount, permissions), the old snapshot
-    # is restored — the target is never left missing.
-    backup = f"{args.target}.old-{tag}"
-    had_old = os.path.isdir(args.target)
-    if had_old:
-        os.rename(args.target, backup)
-    try:
-        os.rename(tmp, args.target)
-    except OSError:
-        if had_old:
-            os.rename(backup, args.target)
-        raise
-    if had_old:
-        shutil.rmtree(backup)
+    _two_phase_swap(out, args.target)
     print(f"{args.mode} maintain: {args.snapshot} + {args.batch} -> {args.target}")
+
+
+def cmd_maintain_incremental(spark: SparkSession, args: argparse.Namespace) -> None:
+    """Ledger-driven dimension maintenance — the deployment loop, one CLI
+    invocation per schedule tick (the role the reference delegates to its
+    Airflow DAG, ``spark_consumer_dag.py``, done batch-side):
+
+    1. Diff the change feed's partition listing (``--partition-col``,
+       e.g. dt) against the ledger — only NEW partitions are even listed
+       (``orchestration/incremental_runner.run_incremental``).
+    2. Apply them to the current snapshot: cdc mode applies the whole
+       pruned feed at once (``--seq-col`` orders within keys); scd2 mode
+       applies partitions in order, each partition's value as its
+       effective timestamp (a day's updates become versions effective
+       that day).
+    3. Two-phase swap the snapshot (rename-aside, never destroy-first).
+    4. Append the ledger ONLY after the swap — so every crash window
+       replays, and replay CONVERGES: scd2_apply/cdc_apply are
+       idempotent under re-application (tested), and a crash between
+       swap and ledger append just re-applies the same changes to the
+       already-updated snapshot.
+
+    No new partitions -> clean no-op (exit without touching anything).
+    """
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_spark_kafka_spark.operators.scd import cdc_apply, scd2_apply
+    from data_pipeline_with_spark_kafka_spark.orchestration.incremental_runner import (
+        run_incremental,
+    )
+
+    attrs = args.attrs.split(",")
+
+    def process(feed, partitions) -> None:
+        snapshot = spark.read.parquet(args.snapshot)
+        if args.mode == "cdc":
+            out = cdc_apply(
+                snapshot, feed.drop(args.partition_col), args.key, attrs,
+                op_col=args.op_col, seq_col=args.seq_col,
+            )
+        else:
+            out = snapshot
+            pcol = F.col(args.partition_col).cast("string")
+            for p in sorted(partitions):
+                batch = feed.filter(pcol == p).drop(args.partition_col)
+                out = scd2_apply(out, batch, args.key, attrs, F.lit(p).cast("timestamp"))
+        _two_phase_swap(out, args.snapshot)
+        if getattr(args, "crash_after_swap", False):
+            raise RuntimeError("injected crash between swap and ledger append")
+
+    handled = run_incremental(
+        spark, args.changes, args.partition_col, args.ledger, process
+    )
+    if handled:
+        print(f"{args.mode} maintain-incremental: applied {len(handled)} "
+              f"partition(s) {handled} -> {args.snapshot}")
+    else:
+        print("maintain-incremental: no new partitions — no-op")
 
 
 def cmd_e2e(spark: SparkSession, args: argparse.Namespace) -> None:
@@ -324,6 +387,23 @@ def make_parser() -> argparse.ArgumentParser:
     mnt.add_argument("--op-col", default="op", help="cdc: I/U/D column name")
     mnt.add_argument("--seq-col", help="cdc: per-key ordering column for feed compaction")
 
+    mni = sub.add_parser(
+        "maintain-incremental",
+        help="ledger-driven maintain: apply only NEW change-feed partitions, swap, then ledger",
+    )
+    mni.add_argument("--mode", choices=["scd2", "cdc"], required=True)
+    mni.add_argument("--snapshot", required=True, help="snapshot parquet dir (swapped in place)")
+    mni.add_argument("--changes", required=True, help="partitioned change-feed parquet dir")
+    mni.add_argument("--partition-col", default="dt", help="feed partition column (ledger key)")
+    mni.add_argument("--ledger", required=True, help="processed-partition ledger parquet dir")
+    mni.add_argument("--key", required=True)
+    mni.add_argument("--attrs", required=True, help="comma-separated tracked attribute columns")
+    mni.add_argument("--op-col", default="op", help="cdc: I/U/D column name")
+    mni.add_argument("--seq-col", help="cdc: per-key ordering column for feed compaction")
+    mni.add_argument(
+        "--crash-after-swap", action="store_true", help=argparse.SUPPRESS
+    )  # test hook: die in the swap-done/ledger-pending window
+
     e2e = sub.add_parser("e2e", help="produce -> consume, file-based, no broker")
     e2e.add_argument("--input", required=True)
     e2e.add_argument("--stage-dir", required=True, help="dir for the produced micro-batch files")
@@ -375,6 +455,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> No
         "consume": cmd_consume,
         "curate": cmd_curate,
         "maintain": cmd_maintain,
+        "maintain-incremental": cmd_maintain_incremental,
         "e2e": cmd_e2e,
         "orchestrate": cmd_orchestrate,
     }[args.cmd](spark, args)
