@@ -11,6 +11,13 @@ interpolation, graph/affinity, the stats family, and the TPC-H deep
 joins — and writes CORRECTNESS_SF01.json next to the official artifacts.
 
     python tools/correctness_sf01.py          # ~5 min on local[8]
+
+Round-6 stretch (#8): the same comparator also runs against the
+GENERATED sf0.5 fixture set (documents/embeddings/events only — the
+tables tools/gen_scale_fixtures.py produces), at a scale the driver
+never touches:
+
+    python tools/correctness_sf01.py /root/repo/fixtures/scale/sf0.5 CORRECTNESS_SF05.json
 """
 
 from __future__ import annotations
@@ -59,6 +66,18 @@ HEAVY = [
     "tpch_q9_product_profit", "tpch_q21_waiting_supplier",
 ]
 
+# Value-sensitive oracled queries runnable on the GENERATED scale
+# fixtures (documents/embeddings/events only) — the stretch-#8 set.
+SCALE_FIXTURE_SET = [
+    "llm_dedup_exact", "llm_dedup_ngram_jaccard", "llm_dedup_clusters",
+    "llm_dedup_incremental", "llm_dedup_incremental_near",
+    "llm_remove_repeated_spans", "llm_shared_span_fraction",
+    "llm_fingerprint_winnowing", "llm_dedup_embedding_cosine",
+    "llm_dedup_embedding_cosine_ivf", "llm_knn_join_exact",
+    "events_session_ids", "events_max_concurrency",
+    "ts_gap_fill_interpolate",
+]
+
 
 def main() -> None:
     import duckdb
@@ -67,21 +86,27 @@ def main() -> None:
     from data_pipeline_with_spark_kafka_spark.session import get_spark
     from oracle_compare import normalize
 
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else SF_DIR
+    out_name = sys.argv[2] if len(sys.argv) > 2 else "CORRECTNESS_SF01.json"
+    tables = [t for t in TABLES if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))]
     spark = get_spark("correctness-sf01")
     con = duckdb.connect()
-    for t in TABLES:
+    for t in tables:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     qs = all_queries()
+    # on the generated scale fixtures (documents/embeddings/events only)
+    # restrict to the value-sensitive queries over those tables
+    heavy = HEAVY if len(tables) == len(TABLES) else SCALE_FIXTURE_SET
     out: dict = {}
     t_start = time.time()
-    for name in HEAVY:
+    for name in heavy:
         q = qs[name]
         assert q.oracle is not None, f"{name} has no oracle"
         rec: dict = {"rows_match": None, "schema_match": None, "hash_match": None, "err": None}
         try:
-            sr = normalize(q.builder(spark, SF_DIR).toPandas())
+            sr = normalize(q.builder(spark, sf_dir).toPandas())
             orr = normalize(con.execute(q.oracle).df())
             rec["spark_rows"], rec["oracle_rows"] = len(sr), len(orr)
             rec["rows_match"] = len(sr) == len(orr)
@@ -93,18 +118,18 @@ def main() -> None:
         status = "MATCH" if rec["hash_match"] else ("ERR" if rec["err"] else "MISMATCH")
         print(f"{name}: {status} ({rec.get('spark_rows')} rows)", flush=True)
     payload = {
-        "sf": 0.1,
+        "sf_dir": sf_dir,
         "comparator": "tests/oracle_compare.normalize (driver-strict)",
         "elapsed_sec": round(time.time() - t_start, 1),
         "n_queries": len(out),
         "n_match": sum(1 for r in out.values() if r["hash_match"]),
         "results": out,
     }
-    with open(os.path.join(REPO, "CORRECTNESS_SF01.json"), "w") as f:
+    with open(os.path.join(REPO, out_name), "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
         f.write("\n")
     print(f"total: {payload['n_match']}/{payload['n_queries']} match "
-          f"in {payload['elapsed_sec']}s -> CORRECTNESS_SF01.json")
+          f"in {payload['elapsed_sec']}s -> {out_name}")
     spark.stop()
 
 
