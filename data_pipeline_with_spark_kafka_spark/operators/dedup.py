@@ -154,6 +154,83 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """EXACT n-gram CONTAINMENT pairs: ordered (contained, container)
+    pairs with C(a->b) = |Sa ∩ Sb| / |Sa| >= threshold.
+
+    Containment is the asymmetric complement to Jaccard near-dup: a short
+    document quoted wholesale inside a much longer one has low Jaccard
+    (the union is dominated by the container) but containment ~1 — the
+    copied-fragment / quote-expansion case every corpus dedup eventually
+    needs and symmetric tiers can't see.
+
+    Prefix filter (one-sided): C(a->b) >= t requires a and b to share a
+    shingle among the CONTAINED doc's first ``|Sa| - ceil(t*|Sa|) + 1``
+    shingles in rarest-first order — the container side has no such bound
+    (any superset qualifies), so a's prefix joins b's FULL index.
+    Candidate fan-out is bounded by the document frequency of a's rarest
+    shingles, the same hub-avoidance as ``ngram_jaccard_pairs``; the
+    verification join uses the full hashed shingle arrays, so results are
+    identical to the naive ordered all-pairs definition
+    (tests/test_dedup_adversarial.py pins this).
+
+    Returns (doc_contained, doc_container, containment).
+    """
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_sort(
+            F.transform(shingles(tokens(F.col(text_col)), k), lambda s: F.xxhash64(s))
+        ).alias("sh"),
+    ).filter(F.size("sh") > 0).persist()
+
+    sh = base.select("doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
+
+    from pyspark.sql import Window
+
+    rarity = Window.partitionBy("doc").orderBy("df_count", "shingle")
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = (
+        sh.join(freq, "shingle")
+        .withColumn("rn", F.row_number().over(rarity))
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc", "shingle")
+    )
+
+    full_index = sh.select("doc", "shingle")
+    candidates = (
+        prefix.alias("a")
+        .join(full_index.alias("b"),
+              (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") != F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_contained"), F.col("b.doc").alias("doc_container"))
+        .dropDuplicates(["doc_contained", "doc_container"])
+    )
+
+    sets = base.select("doc", "sh")
+    pairs = (
+        candidates.join(
+            sets.withColumnRenamed("doc", "doc_contained").withColumnRenamed("sh", "sh_a"),
+            "doc_contained",
+        ).join(
+            sets.withColumnRenamed("doc", "doc_container").withColumnRenamed("sh", "sh_b"),
+            "doc_container",
+        )
+    )
+    containment = F.size(F.array_intersect("sh_a", "sh_b")) / F.size("sh_a")
+    return (
+        pairs.withColumn("containment", round_to(containment, 4))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_contained", "doc_container", "containment")
+    )
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *, k: int = 3) -> DataFrame:
     """Per-doc minhash signature: NUM_HASHES seeded xxhash64 minima over the
     shingle set. Pure expression tree — evaluated in codegen, no UDF.
@@ -649,3 +726,41 @@ def embedding_near_dup_pairs_ivf(
         threshold=threshold, max_block=max_block, guard=guard,
     )
     return pairs.select("vec_a", "vec_b", "cosine").distinct()
+
+
+def semantic_prune(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    centroid_rows: list,
+    threshold: float = 0.95,
+    max_block: int = 4096,
+    guard: bool | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning: cluster the corpus with the
+    offline coarse quantizer, then within each cluster KEEP only vectors
+    that have no lower-id neighbor at cosine >= ``threshold``.
+
+    This is the curation shape from the SemDeDup line of work (prune
+    semantically redundant examples cluster-locally so the pair cost is
+    ~n^2/k, never corpus-quadratic). The keep policy here is the
+    join-expressible one-pass rule "drop any vector with a lower-id
+    in-cluster neighbor above threshold" — deterministic and
+    oracle-mirrorable as NOT EXISTS; it can prune slightly more than
+    sequential greedy SemDeDup (a dropped vector still disqualifies its
+    own neighbors), which is the conservative direction for dedup.
+
+    Plumbing is the IVF near-dup tier with ``n_assign=1`` (single-cell
+    membership — SemDeDup semantics): zero-shuffle literal-centroid
+    assignment, BLAS pair kernel + triangle guard per cell, then one
+    anti-join. Returns the KEPT rows (all original columns).
+    """
+    pairs = embedding_near_dup_pairs_ivf(
+        df, id_col, vec_col,
+        centroid_rows=centroid_rows, n_assign=1,
+        threshold=threshold, max_block=max_block, guard=guard,
+    )
+    # vec_a < vec_b always, so the doomed set is exactly the b side.
+    doomed = pairs.select(F.col("vec_b").alias(id_col)).distinct()
+    return df.join(doomed, id_col, "left_anti")

@@ -77,6 +77,39 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
 
 
+CONTAINMENT_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id AS doc,
+           t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
+    FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+), sizes AS (
+    SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc
+), inter AS (
+    SELECT a.doc AS doc_contained, b.doc AS doc_container, COUNT(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc <> b.doc
+    GROUP BY 1, 2
+)
+SELECT doc_contained, doc_container,
+       ROUND(n_inter * 1.0 / sa.n_sh, 4) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc = inter.doc_contained
+WHERE ROUND(n_inter * 1.0 / sa.n_sh, 4) >= 0.9
+"""
+
+
+@register("llm_dedup_containment", oracle=CONTAINMENT_ORACLE, tags=("llm", "dedup"))
+def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram CONTAINMENT pairs (C(a->b) = |Sa∩Sb|/|Sa| >= 0.9):
+    the asymmetric dedup relation Jaccard can't see — a short document
+    quoted inside a much longer one has low Jaccard (union dominated by
+    the container) but containment ~1. One-sided prefix filter on the
+    contained side (rarest-first), exact verification; ordered pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, "doc_id", "text", k=3, threshold=0.9)
+
+
 CLUSTERS_ORACLE = """
 WITH RECURSIVE toks AS (
     SELECT doc_id, string_split(text, ' ') AS t FROM documents

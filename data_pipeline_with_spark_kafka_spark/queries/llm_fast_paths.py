@@ -12,7 +12,29 @@ from data_pipeline_with_spark_kafka_spark.queries.registry import register
 from data_pipeline_with_spark_kafka_spark.sources.tables import load_table, table_row_count
 
 
-@register("llm_dedup_embedding_cosine_fast", oracle=None, tags=("llm", "dedup", "pandas-udf"))
+# Same oracle as the exact expression tier (queries/llm.py): the BLAS
+# kernel's float64 matmul agrees with DuckDB's list arithmetic to ~1e-15
+# before the shared round-to-4 — proven in practice by the IVF BLAS tier
+# hash-matching this same SQL shape at sf0.001/0.01/0.1/0.5.
+EMB_FAST_ORACLE = """
+WITH e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS vec_a,
+       b.vec_id AS vec_b,
+       a.label AS block,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+FROM e a
+JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4
+"""
+
+
+@register(
+    "llm_dedup_embedding_cosine_fast", oracle=EMB_FAST_ORACLE, tags=("llm", "dedup", "pandas-udf")
+)
 def llm_dedup_embedding_cosine_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numpy-matmul-per-block embedding near-dup (applyInPandas fast path)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -196,6 +218,53 @@ def llm_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.ivf_topk(
         emb, "vec_id", "embedding", emb.filter(F.col("vec_id") == 0), centroids, k=10, n_probe=3
     )
+
+
+SEMDEDUP_ORACLE = f"""
+WITH cents AS (
+    SELECT cid, centroid FROM read_parquet('{_FIXTURES_DIR}/ivf_centroids_k10.parquet')
+), e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), members AS (
+    SELECT vec_id, label, v, cid FROM (
+        SELECT e.vec_id, e.label, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.v, c.centroid), c.cid) AS rn
+        FROM e CROSS JOIN cents c
+    ) WHERE rn <= 1
+)
+SELECT m.vec_id, m.label
+FROM members m
+WHERE NOT EXISTS (
+    SELECT 1 FROM members o
+    WHERE o.cid = m.cid AND o.vec_id < m.vec_id
+      AND ROUND(list_dot_product(m.v, o.v)
+                / (sqrt(list_dot_product(m.v, m.v)) * sqrt(list_dot_product(o.v, o.v))), 4)
+          >= 0.4
+)
+"""
+
+
+@register(
+    "llm_semdedup_prune", oracle=SEMDEDUP_ORACLE, tags=("llm", "dedup", "curation", "pandas-udf")
+)
+def llm_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning of the embedding corpus: cluster
+    with the committed coarse quantizer (single-cell membership), drop
+    every vector with a lower-id in-cluster neighbor at cosine >= 0.4
+    (the similarity boundary this synthetic corpus uses everywhere; the
+    operator default is 0.95 for real embedding spaces),
+    keep the rest — the curation pass that removes semantically redundant
+    training examples at ~n^2/k pair cost instead of corpus-quadratic.
+    Fully oracled: DuckDB replays membership + the NOT EXISTS keep rule
+    from the same centroid parquet."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = _quantizer_rows(emb, sf_dir, fixture="ivf_centroids_k10", k=10, iterations=3)
+    guard = table_row_count(sf_dir, "embeddings") > 4096
+    kept = dedup.semantic_prune(
+        emb, "vec_id", "embedding", centroid_rows=rows, threshold=0.4, guard=guard
+    )
+    return kept.select("vec_id", "label")
 
 
 INCREMENTAL_ORACLE = """

@@ -133,3 +133,97 @@ def test_minhash_output_is_subset_of_exact(spark, rows):
     """The LSH tier verifies candidates with exact jaccard, so its output
     can only MISS pairs (banding), never invent or mis-score them."""
     assert spark_minhash(spark, rows) <= naive_pairs(rows)
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs (round 6): asymmetric near-containment
+# ---------------------------------------------------------------------------
+
+C_THRESHOLD = 0.9
+
+
+def naive_containment(rows: list[tuple[int, str]]) -> set:
+    out = set()
+    sets = [(i, _shingle_set(t)) for i, t in rows]
+    sets = [(i, s) for i, s in sets if s]
+    for ia, sa in sets:
+        for ib, sb in sets:
+            if ia == ib:
+                continue
+            c = _round_half_up(len(sa & sb) / len(sa))
+            if c >= C_THRESHOLD:
+                out.add((ia, ib, c))
+    return out
+
+
+def spark_containment(spark, rows):
+    from data_pipeline_with_spark_kafka_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = containment_pairs(df, "doc_id", "text", k=K, threshold=C_THRESHOLD)
+    return {(r.doc_contained, r.doc_container, r.containment) for r in got.collect()}
+
+
+def test_containment_finds_quote_inside_long_doc(spark):
+    # doc 0 is fully quoted inside doc 1: containment(0->1) = 1.0 while
+    # jaccard is far below 0.8 — the case the symmetric tier cannot see.
+    quote = "alpha beta gamma delta"
+    rows = [
+        (0, quote),
+        (1, f"intro words here {quote} and a very long tail of extra tokens t1 t2 t3 t4 t5 t6"),
+    ]
+    assert naive_pairs(rows) == set()          # invisible to jaccard
+    got = spark_containment(spark, rows)
+    assert (0, 1, 1.0) in got
+    assert all(p[0] == 0 for p in got)          # the long doc is NOT contained
+
+
+def test_containment_equals_naive_with_hub_shingle(spark):
+    rows = [(i, f"hub one two tail{i} t{i}a t{i}b") for i in range(6)]
+    rows.append((100, "hub one two tail0 t0a t0b extra1 extra2 extra3 extra4 extra5"))
+    assert spark_containment(spark, rows) == naive_containment(rows)
+
+
+@settings(max_examples=10, deadline=None)
+@given(corpora())
+def test_containment_equals_naive_on_random_corpora(spark, rows):
+    assert spark_containment(spark, rows) == naive_containment(rows)
+
+
+# ---------------------------------------------------------------------------
+# semantic_prune (round 6): SemDeDup keep policy
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_prune_keeps_lowest_id_per_redundancy_group(spark):
+    from data_pipeline_with_spark_kafka_spark.operators.dedup import semantic_prune
+
+    # two well-separated clusters; within each, ids 0/1 (resp. 10/11) are
+    # near-identical (cos ~1) and one distant member survives alongside.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),      # pruned (neighbor 0)
+        (2, [0.0, 0.0, 1.0, 0.1]),         # same cell A? no - distinct direction
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.01, 0.999, 0.0, 0.0]),     # pruned (neighbor 10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])]
+    kept = semantic_prune(
+        df, "vec_id", "embedding", centroid_rows=cents, threshold=0.95, guard=False
+    )
+    assert {r.vec_id for r in kept.collect()} == {0, 2, 10}
+
+
+def test_semantic_prune_cross_cell_pairs_survive(spark):
+    from data_pipeline_with_spark_kafka_spark.operators.dedup import semantic_prune
+
+    # near-identical pair split across two cells: single-cell membership
+    # (SemDeDup semantics) does NOT prune across cells — both kept.
+    rows = [(0, [1.0, 1.0]), (1, [1.0, 1.001])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(1, [1.0, 0.9]), (2, [1.0, 1.1])]
+    kept = semantic_prune(
+        df, "vec_id", "embedding", centroid_rows=cents, threshold=0.95, guard=False
+    )
+    assert {r.vec_id for r in kept.collect()} == {0, 1}

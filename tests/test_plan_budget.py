@@ -231,6 +231,12 @@ EXCHANGE_BUDGET = {
     "tpch_q7_volume_shipping": 6,
     "tpch_q8_market_share": 7,
     "tpch_q9_product_profit": 5,
+    # prefix index (freq join + window) + one-sided candidate join +
+    # the two verification joins on doc ids (round 6).
+    "llm_dedup_containment": 6,
+    # single-cell assignment is zero-shuffle (literal centroids); the
+    # pair kernel's groupBy + the keep anti-join's two sides (round 6).
+    "llm_semdedup_prune": 3,
     "window_distribution_funcs": 1,
     "window_lag_lead_orders": 1,
     "window_nth_value": 1,

@@ -62,6 +62,9 @@ HEAVY = [
     "agg_min_by_max_by", "privacy_k_anonymity", "ivm_rollup_maintenance",
     # similarity
     "llm_knn_join_exact", "llm_knn_join_ivf",
+    # round-6 additions
+    "llm_dedup_containment", "llm_semdedup_prune",
+    "llm_dedup_embedding_cosine_fast",
     # deep TPC-H joins (value-heavy aggregates)
     "tpch_q9_product_profit", "tpch_q21_waiting_supplier",
 ]
@@ -76,6 +79,8 @@ SCALE_FIXTURE_SET = [
     "llm_dedup_embedding_cosine_ivf", "llm_knn_join_exact",
     "events_session_ids", "events_max_concurrency",
     "ts_gap_fill_interpolate",
+    "llm_dedup_containment", "llm_semdedup_prune",
+    "llm_dedup_embedding_cosine_fast",
 ]
 
 
