@@ -201,14 +201,20 @@ def containment_pairs(
         sh.join(freq, "shingle")
         .withColumn("rn", F.row_number().over(rarity))
         .filter(F.col("rn") <= prefix_len)
-        .select("doc", "shingle")
+        .select("doc", "n_sh", "shingle")
     )
 
-    full_index = sh.select("doc", "shingle")
+    # Size filter fused into candidate generation: n_inter <= |Sb|, so
+    # C(a->b) >= t forces |Sb| >= t*|Sa| — a container can't be (much)
+    # smaller than what it contains. On size-varied corpora this halves
+    # the candidate set before any array is shuffled.
+    full_index = sh.select("doc", "n_sh", "shingle")
     candidates = (
         prefix.alias("a")
         .join(full_index.alias("b"),
-              (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") != F.col("b.doc")))
+              (F.col("a.shingle") == F.col("b.shingle"))
+              & (F.col("a.doc") != F.col("b.doc"))
+              & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh")))
         .select(F.col("a.doc").alias("doc_contained"), F.col("b.doc").alias("doc_container"))
         .dropDuplicates(["doc_contained", "doc_container"])
     )
