@@ -307,3 +307,36 @@ def test_cli_maintain_incremental_scd2_partition_order(spark, tmp_path):
         ("a2", "2024-06-01", False),
         ("a3", "2024-06-02", True),
     }
+
+
+def test_two_phase_swap_restores_old_snapshot_on_rename_failure(spark, tmp_path, monkeypatch):
+    """The swap must never leave the target missing: if renaming the new
+    snapshot into place fails (cross-mount, permissions), the old
+    snapshot is moved back — the destroy-first window of the previous
+    implementation is gone."""
+    import os
+
+    from data_pipeline_with_spark_kafka_spark.run import _two_phase_swap
+
+    target = str(tmp_path / "snap")
+    spark.createDataFrame([(1, "v1")], "k int, attr string").write.parquet(target)
+    out = spark.createDataFrame([(1, "v2")], "k int, attr string")
+
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        if dst == target and ".tmp-" in src:
+            raise OSError("injected cross-device rename failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    import pytest
+
+    with pytest.raises(OSError, match="injected"):
+        _two_phase_swap(out, target)
+    # old snapshot restored, still readable
+    assert [(r.k, r.attr) for r in spark.read.parquet(target).collect()] == [(1, "v1")]
+    monkeypatch.undo()
+    # and a clean retry succeeds
+    _two_phase_swap(out, target)
+    assert [(r.k, r.attr) for r in spark.read.parquet(target).collect()] == [(1, "v2")]
