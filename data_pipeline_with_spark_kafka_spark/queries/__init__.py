@@ -3,6 +3,7 @@
 from data_pipeline_with_spark_kafka_spark.queries import (  # noqa: F401
     data_quality,
     emb_analytics,
+    emb_pca,
     events_analytics,
     flagship,
     functions_corpus,

@@ -214,6 +214,35 @@ def llm_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# phi chosen to split the fixture distribution (top ~18 of 31 tokens pass;
+# 'key' at 0.0330 fails, 'value' at 0.0330+ passes — strict > on exact
+# counts, deterministic on both engines).
+_HH_PHI = 0.033
+
+HEAVY_HITTERS_ORACLE = f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(COUNT(*) / (SELECT n FROM tot), 6) AS freq
+FROM toks GROUP BY token
+HAVING COUNT(*) > {_HH_PHI} * (SELECT n FROM tot)
+"""
+
+
+@register("text_heavy_hitters", oracle=HEAVY_HITTERS_ORACLE, tags=("llm", "text", "sketch"))
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi-heavy-hitter tokens via bounded-memory Misra-Gries sketch
+    + exact recount of the (broadcast-sized) candidate set — the shuffle
+    never carries the full token domain (operators/sketches.py). The
+    two-pass result is exact, so the DuckDB oracle is a plain frequency
+    aggregate with the same strict > phi*n cut."""
+    from data_pipeline_with_spark_kafka_spark.operators.sketches import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    return heavy_hitters(toks, "token", phi=_HH_PHI).withColumnRenamed("item", "token")
+
+
 TOP_BIGRAMS_ORACLE = """
 SELECT bg AS bigram, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM (

@@ -231,12 +231,21 @@ EXCHANGE_BUDGET = {
     "tpch_q7_volume_shipping": 6,
     "tpch_q8_market_share": 7,
     "tpch_q9_product_profit": 5,
+    # sketch groupBy (printed twice: the persisted summary's InMemoryRelation
+    # subtree appears under both the total and candidate branches), the two
+    # broadcast exchanges, and the candidate-only recount groupBy (round 6).
+    "text_heavy_hitters": 6,
     # prefix index (freq join + window) + one-sided candidate join +
     # the two verification joins on doc ids (round 6).
     "llm_dedup_containment": 6,
     # single-cell assignment is zero-shuffle (literal centroids); the
     # pair kernel's groupBy + the keep anti-join's two sides (round 6).
     "llm_semdedup_prune": 3,
+    # literal component weights: pure per-row expression tree (round 6).
+    "emb_pca_project": 0,
+    # 8-group score aggregate, the 64-row dims aggregate pair, and the two
+    # broadcast scalar relations (round 6).
+    "emb_pca_explained_variance": 6,
     "window_distribution_funcs": 1,
     "window_lag_lead_orders": 1,
     "window_nth_value": 1,
