@@ -21,6 +21,15 @@ shuffle no matter the cardinality:
    items — deterministic and DuckDB-oracle-able — while the full domain is
    never aggregated.
 
+When to use which (measured, tools/hh_payoff.py + BASELINE.md): on a
+single box the naive ``groupBy(item).count()`` WINS on wall time even at
+16M distinct items — local shuffle is nearly free and the sketch pays an
+Arrow round-trip per row. Reach for the sketch when its bounds bind:
+per-task aggregation memory O(k) instead of O(distinct-per-task), and
+shuffle rows O(partitions x k) instead of O(domain) — the network-bound
+cluster regime where a billions-wide singleton domain blows hash-agg
+spill.
+
 No counterpart in the 319-LoC reference (which has no frequency analysis);
 this is part of the [EXT] training-data-pipeline surface.
 """
@@ -56,7 +65,10 @@ def misra_gries_partials(items: DataFrame, item_col: str, k: int) -> DataFrame:
     Returns ``(item, lb)`` rows — at most ``k-1`` per partition — plus one
     ``(NULL, n_p)`` row per partition carrying the partition's item count
     (so the caller gets the global ``n`` from the same single pass).
-    Memory per task is O(k) whatever the domain cardinality.
+    Persistent memory per task is O(k + arrow_batch) whatever the domain
+    cardinality: each Arrow batch (bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``) is value_counts'd,
+    merged, and immediately shrunk back to ``k-1`` counters.
     """
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

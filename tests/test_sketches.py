@@ -7,6 +7,8 @@ import collections
 import math
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from data_pipeline_with_spark_kafka_spark.operators import sketches
@@ -78,6 +80,22 @@ def test_heavy_hitters_small_k_still_exact(spark):
 
     got = {r.item for r in sketches.heavy_hitters(items, "item", phi=phi, k=k).collect()}
     want = {i for i, c in true.items() if c > phi * n}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.sampled_from([f"w{i}" for i in range(40)]), min_size=1, max_size=400),
+    st.sampled_from([0.02, 0.05, 0.2]),
+)
+def test_heavy_hitters_property_exact(spark, stream, phi):
+    """Arbitrary streams (skewed by construction of sampled_from): the
+    two-pass result is EXACTLY the > phi*n set, whatever the partitioning."""
+    true = collections.Counter(stream)
+    n = len(stream)
+    items = spark.createDataFrame([(x,) for x in stream], "item string").repartition(4)
+    got = {r.item: r.cnt for r in sketches.heavy_hitters(items, "item", phi=phi).collect()}
+    want = {i: c for i, c in true.items() if c > phi * n}
     assert got == want
 
 
