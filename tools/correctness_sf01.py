@@ -65,6 +65,7 @@ HEAVY = [
     # round-6 additions
     "llm_dedup_containment", "llm_semdedup_prune",
     "llm_dedup_embedding_cosine_fast",
+    "text_heavy_hitters", "emb_pca_project", "emb_pca_explained_variance",
     # deep TPC-H joins (value-heavy aggregates)
     "tpch_q9_product_profit", "tpch_q21_waiting_supplier",
 ]
@@ -81,6 +82,7 @@ SCALE_FIXTURE_SET = [
     "ts_gap_fill_interpolate",
     "llm_dedup_containment", "llm_semdedup_prune",
     "llm_dedup_embedding_cosine_fast",
+    "text_heavy_hitters", "emb_pca_project", "emb_pca_explained_variance",
 ]
 
 
