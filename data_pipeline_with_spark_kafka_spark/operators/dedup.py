@@ -332,6 +332,96 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH near-dup with a CROSS-ENGINE hash family — the fully
+    DuckDB-oracled twin of ``minhash_lsh_pairs``.
+
+    The xxhash64 tier is faster but engine-specific (seeds differ between
+    engines), so it can only be rows-only + pytest-pinned. This tier
+    derives the NUM_HASHES hash family from md5 — the one string hash
+    both engines compute identically — via Kirsch-Mitzenmacher double
+    hashing: h1/h2 are the first two 32-bit words of md5(shingle) and
+    ``h_i = (h1 + i*h2) mod 2^32`` (Kirsch & Mitzenmacher, ESA 2006:
+    two hashes generate a family with the same asymptotics). One md5 per
+    distinct shingle, then NUM_HASHES cheap integer ops — same cost
+    structure as the xxhash64 tier (one string hash + cheap rehashes).
+    ``(h1 + 31*h2) < 2^37`` so the arithmetic is overflow-exact in both
+    engines' 64-bit integers.
+
+    Banding/verification mirror ``minhash_lsh_pairs``: BANDS buckets per
+    doc (bucket = the band's minima joined as a string — identical
+    decimal rendering on both engines), candidates from bucket
+    collisions only, exact-Jaccard verification over the string shingle
+    sets. On corpora where the S-curve saturates (J >= threshold =>
+    P(candidate) ~ 1), both tiers return the same verified pair set —
+    pinned in tests/test_llm_ops.py.
+    """
+    sh = shingles(tokens(F.col(text_col)), k)
+    base = (
+        df.select(F.col(id_col).alias("doc"), sh.alias("sh"))
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    hs = F.transform(
+        "sh",
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long").alias("h2"),
+        ),
+    )
+    mod = F.lit(4294967296)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(NUM_HASHES - 1)),
+        lambda seed: F.array_min(
+            F.transform(hs, lambda h: (h["h1"] + seed * h["h2"]) % mod)
+        ),
+    )
+    sigs = base.select("doc", sig.alias("sig"))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ":",
+                *[F.element_at("sig", b * ROWS_PER_BAND + r + 1) for r in range(ROWS_PER_BAND)],
+            ).alias("bucket"),
+        )
+        for b in range(BANDS)
+    ]
+    banded = sigs.select("doc", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sets = base.select("doc", "sh")
+    pairs = (
+        candidates.join(sets.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sets.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.withColumn("jaccard", round_to(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     ids: DataFrame,

@@ -175,6 +175,61 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
 
 
+MINHASH_MD5_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id AS doc,
+           t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
+    FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+), hs AS (
+    SELECT doc,
+           shingle,
+           CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h1,
+           CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS h2
+    FROM sh
+), mins AS (
+    SELECT doc, s.seed, MIN((h1 + s.seed * h2) % 4294967296) AS mh
+    FROM hs, (SELECT unnest(range(0, 32)) AS seed) s
+    GROUP BY doc, s.seed
+), banded AS (
+    SELECT doc, CAST(seed // 2 AS INT) AS band,
+           STRING_AGG(CAST(mh AS VARCHAR), ':' ORDER BY seed) AS bucket
+    FROM mins GROUP BY doc, CAST(seed // 2 AS INT)
+), cands AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+), sizes AS (
+    SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc
+), inter AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+    FROM cands c
+    JOIN sh a ON a.doc = c.doc_a
+    JOIN sh b ON b.doc = c.doc_b AND b.shingle = a.shingle
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = inter.doc_a
+JOIN sizes sb ON sb.doc = inter.doc_b
+WHERE ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.8
+"""
+
+
+@register("llm_dedup_minhash_lsh_md5", oracle=MINHASH_MD5_ORACLE, tags=("llm", "dedup"))
+def llm_dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with a cross-engine md5-derived hash family
+    (Kirsch-Mitzenmacher double hashing) — the fully-oracled twin of the
+    xxhash64 tier: DuckDB mirrors signature minima, band buckets,
+    candidate collisions, AND the exact-Jaccard verification, end to
+    end. Proves the LSH pipeline itself cross-engine, not just its
+    verified output."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs_md5(docs, "doc_id", "text", k=3, threshold=0.8)
+
+
 @register("llm_dedup_simhash", oracle=None, tags=("llm", "dedup", "approx"))
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints (expression-only, no UDF)."""

@@ -40,6 +40,23 @@ def test_minhash_lsh_recall_vs_exact(docs):
     assert recall >= 0.9, f"LSH recall too low: {recall} ({len(lsh)}/{len(exact)})"
 
 
+def test_minhash_md5_twin_matches_xxhash_tier(docs):
+    """The md5/Kirsch-Mitzenmacher tier (cross-engine oracled) and the
+    xxhash64 tier verify candidates with the same exact Jaccard, so on a
+    corpus where the S-curve saturates both return the SAME pair set —
+    this binds the rows-only tier to the oracled one."""
+    xx = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=3, threshold=0.8).collect()
+    }
+    md = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs_md5(docs, "doc_id", "text", k=3, threshold=0.8).collect()
+    }
+    assert xx == md
+    assert md, "fixture should contain planted near-duplicates"
+
+
 def test_simhash_identical_text_same_fingerprint(spark, docs):
     """A duplicated corpus (ids offset) yields pairwise-identical simhashes."""
     dup = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")

@@ -130,6 +130,8 @@ EXCHANGE_BUDGET = {
     # so this is far above the ~8 distinct shuffles that actually run.
     "llm_dedup_incremental_near": 88,
     "llm_dedup_minhash_lsh": 4,
+    # same band-join shape as the xxhash64 tier (round 6).
+    "llm_dedup_minhash_lsh_md5": 4,
     "llm_dedup_ngram_jaccard": 9,
     "llm_dedup_simhash": 0,
     "llm_deterministic_shuffle": 6,
