@@ -122,9 +122,13 @@ def heavy_hitters(
 
     exact = (
         items.select(F.col(item_col).alias("item"))
-        # Broadcast semi-join BEFORE the aggregate: the count shuffle
-        # carries only candidate items, never the full domain.
-        .join(F.broadcast(candidates), "item")
+        # Candidate semi-join BEFORE the aggregate: the count shuffle
+        # carries only candidate items, never the full domain. No explicit
+        # broadcast hint — the candidate relation is runtime-bounded
+        # (<= partitions x k rows) but Catalyst cannot prove that at plan
+        # time, so per the de-hinting discipline AQE elects the broadcast
+        # from the measured size (asserted in tests/test_sketches.py).
+        .join(candidates, "item")
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

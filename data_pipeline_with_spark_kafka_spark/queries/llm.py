@@ -236,6 +236,41 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+SIMHASH_MD5_ORACLE = """
+WITH toks AS (
+    SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS t FROM documents
+), th AS (
+    SELECT doc, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM toks
+), bits AS (
+    SELECT doc, s.i AS i,
+           SUM(CASE WHEN (h >> s.i) & 1 = 1 THEN 1 ELSE -1 END) AS c
+    FROM th, (SELECT unnest(range(0, 60)) AS i) s
+    GROUP BY doc, s.i
+), fp AS (
+    SELECT doc,
+           SUM(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << (59 - i)) ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc
+), blocked AS (
+    SELECT doc, simhash, simhash >> 44 AS block FROM fp
+)
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM blocked a
+JOIN blocked b ON a.block = b.block AND a.doc < b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+
+@register("llm_dedup_simhash_md5", oracle=SIMHASH_MD5_ORACLE, tags=("llm", "dedup"))
+def llm_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with a cross-engine md5-derived 60-bit
+    fingerprint — the fully-oracled twin of the xxhash64 tier: DuckDB
+    mirrors the sign-aggregated fingerprint bit-for-bit, the top-16-bit
+    blocking, and the Hamming filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs_md5(docs, "doc_id", "text", max_hamming=6)
+
+
 EMB_NEARDUP_ORACLE = """
 WITH e AS (
     SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

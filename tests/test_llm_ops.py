@@ -57,6 +57,44 @@ def test_minhash_md5_twin_matches_xxhash_tier(docs):
     assert md, "fixture should contain planted near-duplicates"
 
 
+def test_simhash_md5_matches_pure_python(spark):
+    """The md5/60-bit fingerprint (cross-engine oracled tier) equals a
+    direct hashlib reference, including the bit-i -> position-(59-i)
+    fold mapping the DuckDB oracle mirrors."""
+    import hashlib
+
+    texts = ["spark row batch spark", "a", "join join join hash"]
+
+    def ref(text):
+        counts = [0] * 60
+        for t in text.split(" "):
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for i in range(60):
+                counts[i] += 1 if (h >> i) & 1 else -1
+        fp = 0
+        for i in range(60):  # element i folds to significance 59-i
+            fp = (fp << 1) | (1 if counts[i] > 0 else 0)
+        return fp
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r.doc: r.simhash for r in dedup.simhash_md5(df, "doc_id", "text").collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), t
+
+
+def test_simhash_md5_pairs_dup_invariance(docs):
+    """A duplicated corpus yields hamming-0 pairs for every doc id."""
+    dup = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    both = docs.select("doc_id", "text").unionAll(dup)
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash_pairs_md5(both, "doc_id", "text", max_hamming=0).collect()
+    }
+    n = docs.count()
+    assert all((i, i + 1_000_000) in pairs for i in {r.doc_id for r in docs.select("doc_id").collect()})
+    assert len(pairs) >= n
+
+
 def test_simhash_identical_text_same_fingerprint(spark, docs):
     """A duplicated corpus (ids offset) yields pairwise-identical simhashes."""
     dup = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")

@@ -134,6 +134,8 @@ EXCHANGE_BUDGET = {
     "llm_dedup_minhash_lsh_md5": 4,
     "llm_dedup_ngram_jaccard": 9,
     "llm_dedup_simhash": 0,
+    # block self-join over the persisted fingerprint relation (round 6).
+    "llm_dedup_simhash_md5": 1,
     "llm_deterministic_shuffle": 6,
     "llm_domain_mixture": 5,
     "llm_fingerprint_winnowing": 0,

@@ -109,17 +109,18 @@ def test_heavy_hitters_phi_validation(spark):
 
 def test_heavy_hitters_plan_broadcasts_candidates(spark, sf_dir):
     """The recount pass must broadcast the candidate set (never shuffle the
-    full token stream against it) and the scalar total must broadcast."""
+    full token stream against it). The candidate relation carries no
+    explicit hint (its <= P*k bound is runtime knowledge, per the
+    de-hinting discipline), so the broadcast is AQE-elected — assert it
+    on the FINAL adaptive plan after execution."""
     from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
-    plan = (
-        sketches.heavy_hitters(toks, "token", phi=0.033)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    df = sketches.heavy_hitters(toks, "token", phi=0.033)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
