@@ -364,26 +364,40 @@ def minhash_lsh_pairs_md5(
     pinned in tests/test_llm_ops.py.
     """
     sh = shingles(tokens(F.col(text_col)), k)
-    base = (
-        df.select(F.col(id_col).alias("doc"), sh.alias("sh"))
-        .filter(F.size("sh") > 0)
+    base = df.select(F.col(id_col).alias("doc"), sh.alias("sh")).filter(F.size("sh") > 0)
+    # The (h1, h2) relation is PERSISTED before the NUM_HASHES seed
+    # lambdas consume it. A lambda over sequence() re-evaluates its body
+    # per element with no CSE across the lambda boundary, and staged
+    # projections alone don't survive Catalyst's collapsing here — so
+    # without the materialization boundary every seed re-ran the whole
+    # md5-per-shingle pipeline: measured 21-27 s for the sf0.1 corpus vs
+    # ~2 s persisted. (The xxhash64 tier tolerates the same re-inlining
+    # because re-hashing a long is nearly free; md5-per-string is not.)
+    # The persisted relation also feeds the verification joins, like the
+    # signature persist in ``minhash_lsh_pairs``.
+    staged = (
+        base.select("doc", "sh", F.transform("sh", lambda s: F.md5(s)).alias("_dg"))
+        .select(
+            "doc",
+            "sh",
+            F.transform(
+                "_dg",
+                lambda d: F.struct(
+                    F.conv(F.substring(d, 1, 8), 16, 10).cast("long").alias("h1"),
+                    F.conv(F.substring(d, 9, 8), 16, 10).cast("long").alias("h2"),
+                ),
+            ).alias("_hs"),
+        )
         .persist()
-    )
-    hs = F.transform(
-        "sh",
-        lambda s: F.struct(
-            F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long").alias("h1"),
-            F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long").alias("h2"),
-        ),
     )
     mod = F.lit(4294967296)
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(NUM_HASHES - 1)),
         lambda seed: F.array_min(
-            F.transform(hs, lambda h: (h["h1"] + seed * h["h2"]) % mod)
+            F.transform("_hs", lambda h: (h["h1"] + seed * h["h2"]) % mod)
         ),
     )
-    sigs = base.select("doc", sig.alias("sig"))
+    sigs = staged.select("doc", sig.alias("sig"))
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -408,7 +422,7 @@ def minhash_lsh_pairs_md5(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sets = base.select("doc", "sh")
+    sets = staged.select("doc", "sh")
     pairs = (
         candidates.join(sets.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sets.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
