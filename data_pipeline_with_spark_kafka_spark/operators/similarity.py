@@ -88,6 +88,25 @@ def make_planes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:
     return rng.choice([-1.0, 1.0], size=(n_planes, dim))
 
 
+def make_planes_md5(dim: int, n_planes: int) -> np.ndarray:
+    """CROSS-ENGINE Rademacher hyperplanes: sign(p, d) from the parity of
+    the first hex digit of md5('hp{p}:{d}') — the same derivation DuckDB
+    reproduces in SQL (substr(md5(...), 1, 1) parity), which makes the
+    whole LSH pipeline oracle-able. Hash-derived Rademacher entries have
+    the same JL/angle-preservation guarantees as seeded-RNG ones."""
+    import hashlib
+
+    return np.array(
+        [
+            [
+                1.0 if int(hashlib.md5(f"hp{p}:{d}".encode()).hexdigest()[0], 16) % 2 else -1.0
+                for d in range(dim)
+            ]
+            for p in range(n_planes)
+        ]
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     id_col: str,
@@ -99,11 +118,14 @@ def lsh_topk(
     dim: int = 64,
     seed: int = 42,
     probe_radius: int = 1,
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact rerank restricted to buckets within
     ``probe_radius`` sign-bit flips of the query's bucket (multi-probe LSH —
-    recall/candidate tradeoff is the probe radius, not a rebuild)."""
-    planes = make_planes(dim, n_planes, seed)
+    recall/candidate tradeoff is the probe radius, not a rebuild).
+    ``planes`` overrides the seeded-RNG family (e.g. ``make_planes_md5``
+    for the cross-engine-oracled variant)."""
+    planes = planes if planes is not None else make_planes(dim, n_planes, seed)
     bucketed = df.withColumn("bucket", hyperplane_signs(F.col(vec_col), planes))
     q = query_df.select(
         as_double(F.col(vec_col)).alias("qvec"),

@@ -481,6 +481,57 @@ def llm_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIM_LSH_MD5_ORACLE = """
+WITH planes AS (
+    SELECT p.p,
+           list(CASE WHEN CAST(('0x' || substr(md5('hp' || p.p || ':' || d.d), 1, 1)) AS INT) % 2 = 1
+                     THEN 1.0 ELSE -1.0 END ORDER BY d.d) AS w
+    FROM (SELECT unnest(range(0, 6)) AS p) p,
+         (SELECT unnest(range(0, 64)) AS d) d
+    GROUP BY p.p
+), e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), proj AS (
+    SELECT e.vec_id, pl.p, list_dot_product(e.v, pl.w) AS s
+    FROM e CROSS JOIN planes pl
+), buck AS (
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN s >= 0 THEN (1 << (5 - p)) ELSE 0 END) AS BIGINT) AS bucket
+    FROM proj GROUP BY vec_id
+), q AS (
+    SELECT e.v AS qv, b.bucket AS qbucket
+    FROM e JOIN buck b USING (vec_id) WHERE e.vec_id = 0
+)
+SELECT e.vec_id,
+       ROUND(list_dot_product(e.v, q.qv)
+             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+FROM e JOIN buck b ON b.vec_id = e.vec_id, q
+WHERE bit_count(xor(b.bucket, q.qbucket)) <= 1
+ORDER BY cosine DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@register("llm_sim_topk_lsh_md5", oracle=SIM_LSH_MD5_ORACLE, tags=("llm", "similarity"))
+def llm_sim_topk_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane-LSH top-10 with a cross-engine md5-derived
+    Rademacher family (`similarity.make_planes_md5`) — the fully-oracled
+    twin of `llm_sim_topk_lsh`: DuckDB mirrors the sign projections, the
+    bucket fold (plane 0 = MSB), the radius-1 probe, and the exact
+    cosine rerank. Completes the cross-engine proof set for every
+    hash-based pipeline (MinHash, SimHash, hyperplane LSH)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        emb.filter(F.col("vec_id") == 0),
+        k=10,
+        n_planes=6,
+        planes=similarity.make_planes_md5(64, 6),
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------

@@ -140,6 +140,32 @@ def test_lsh_topk_recall_vs_brute_force(emb):
     assert recall >= 0.1, f"ANN recall collapsed: {recall} (brute={brute}, approx={approx})"
 
 
+def test_lsh_topk_md5_planes_and_recall(emb):
+    """The md5 plane family (cross-engine oracled tier): entries are
+    exactly +-1 from md5 hex-digit parity, and the tier keeps the same
+    self-retrieval + recall-floor contract as the seeded family."""
+    import hashlib
+
+    planes = similarity.make_planes_md5(64, 6)
+    assert planes.shape == (6, 64)
+    assert set(planes.ravel().tolist()) <= {-1.0, 1.0}
+    assert planes[2][5] == (
+        1.0 if int(hashlib.md5(b"hp2:5").hexdigest()[0], 16) % 2 else -1.0
+    )
+
+    query = emb.filter(F.col("vec_id") == 0)
+    brute = [r.vec_id for r in similarity.brute_force_topk(emb, "vec_id", "embedding", query, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in similarity.lsh_topk(
+            emb, "vec_id", "embedding", query, k=10, n_planes=6, planes=planes
+        ).collect()
+    ]
+    assert 0 in approx
+    recall = len(set(brute) & set(approx)) / 10
+    assert recall >= 0.1, f"md5-plane ANN recall collapsed: {recall}"
+
+
 def test_multimodal_decode_features_contract(docs):
     with_media = multimodal.attach_blob(docs, "doc_id", "text")
     feats = multimodal.fake_decode_features(with_media, "doc_id")

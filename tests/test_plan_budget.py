@@ -160,6 +160,8 @@ EXCHANGE_BUDGET = {
     "llm_sim_topk_bruteforce": 2,
     "llm_sim_topk_ivf": 5,
     "llm_sim_topk_lsh": 2,
+    # same 1-row broadcast + TakeOrdered shape as the seeded tier (round 6).
+    "llm_sim_topk_lsh_md5": 2,
     "llm_stratified_sample": 0,
     "llm_text_fingerprint": 0,
     "llm_text_langid": 0,

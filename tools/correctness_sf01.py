@@ -67,6 +67,7 @@ HEAVY = [
     "llm_dedup_embedding_cosine_fast",
     "text_heavy_hitters", "emb_pca_project", "emb_pca_explained_variance",
     "llm_dedup_minhash_lsh_md5", "llm_dedup_simhash_md5",
+    "llm_sim_topk_lsh_md5",
     # deep TPC-H joins (value-heavy aggregates)
     "tpch_q9_product_profit", "tpch_q21_waiting_supplier",
 ]
@@ -85,6 +86,7 @@ SCALE_FIXTURE_SET = [
     "llm_dedup_embedding_cosine_fast",
     "text_heavy_hitters", "emb_pca_project", "emb_pca_explained_variance",
     "llm_dedup_minhash_lsh_md5", "llm_dedup_simhash_md5",
+    "llm_sim_topk_lsh_md5",
 ]
 
 
