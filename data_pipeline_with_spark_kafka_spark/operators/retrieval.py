@@ -1,0 +1,163 @@
+"""Full-text retrieval over the document corpus: distributed inverted
+index and BM25 ranking for an explicit query workload.
+
+These are the index-build + scoring stages of a training-data / RAG
+pipeline (find the corpus documents most relevant to a probe set —
+eval-set leakage hunting, targeted corpus slicing, nearest-text
+retrieval). The reference repo has no retrieval surface; this extends the
+[EXT] LLM-pipeline family alongside TF-IDF keyword extraction
+(queries/llm_scoring.py) and contamination screening
+(queries/llm_curation.py).
+
+Scale design (the 100-TB shape):
+
+- **Postings build is one shuffle.** ``explode`` + ``groupBy(doc, term)``
+  partially aggregates map-side (term frequencies combine before the
+  exchange), so the shuffle carries one row per *distinct* (doc, term),
+  not one per token occurrence.
+- **The query workload never scans the corpus.** Query terms are a tiny
+  literal relation; postings are semi-joined down to query terms BEFORE
+  any per-term statistics are computed, so document frequency and scoring
+  touch only the terms the workload asks about. AQE elects the broadcast
+  for the query side (no hint — plan-lint discipline).
+- **Corpus statistics are 1-row relations.** ``N`` (doc count) and
+  ``avgdl`` come from a global aggregate — structurally bounded, safe to
+  cross-join under the repo's no-unbounded-broadcast lint.
+- **Top-k is rank-limited per query.** ``row_number`` over
+  (query_id, score) compiles to WindowGroupLimit partial top-k: each
+  shuffle side keeps only k candidates per query before the final sort.
+
+All arithmetic is JVM codegen (ln / multiply / divide on doubles); no
+Python UDFs. Cross-engine determinism: scores are ranked on the
+6-decimal rounded value with doc_id as tie-break (raw double sums differ
+in the last ulp across engines' partial-agg orders), and emitted rounded
+via ``round_to`` — the repo's standard float-boundary contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
+from data_pipeline_with_spark_kafka_spark.operators.text import tokens
+
+
+def term_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Inverted-index postings: one row per (doc, term) with the term
+    frequency and the document length (in tokens).
+
+    ``dl`` is functionally dependent on ``doc`` and rides through the
+    grouping key — no second pass over the text and no extra join to
+    recover document lengths for BM25's length normalization.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.size(tokens(F.col(text_col))).alias("dl"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    return toks.groupBy("doc", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    postings_head: int = 16,
+) -> DataFrame:
+    """Per-term index summary: document frequency, total term frequency,
+    and the first ``postings_head`` doc ids (ascending) as a CSV string.
+
+    The head-slice keeps output rows bounded regardless of corpus size —
+    full posting lists at 100 TB live in the (doc, term, tf) relation
+    from :func:`term_postings`, partitioned by term; this summary is the
+    catalog-sized view you'd actually collect.
+    """
+    post = term_postings(docs, id_col, text_col)
+    return post.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc")), 1, postings_head), ","
+        ).alias("postings_head"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents per query under BM25 (Robertson/Okapi, the
+    Lucene ``ln(1 + (N - df + 0.5) / (df + 0.5))`` idf variant — always
+    positive, no negative-idf clamp needed).
+
+    ``query_terms`` is a (query_id, term) relation — typically a literal
+    handful of probe queries. Document frequency is computed over the
+    full corpus but only for the terms the workload references (the
+    semi-join prunes postings first; restriction commutes with the
+    per-term count).
+    """
+    post = term_postings(docs, id_col, text_col)
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(tokens(F.col(text_col)))).alias("avgdl"),
+    )
+
+    qterms = query_terms.select("query_id", "term")
+    # Document frequency via aggregate + re-join, NOT a count window over
+    # the term partition: a window would pin a hub term's entire postings
+    # onto one task (df can be ~N at 100 TB), while the aggregate
+    # partial-counts map-side and the resulting df relation is bounded by
+    # the workload's term count (AQE broadcasts it back). The shared
+    # postings shuffle dedupes via ReusedExchange (plan-asserted in
+    # tests/test_retrieval.py).
+    hit = post.join(qterms.select("term").distinct(), "term")
+    dfreq = hit.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+
+    scored = (
+        hit.join(dfreq, "term")
+        .join(qterms, "term")
+        .crossJoin(stats)
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+                / (F.col("df_t") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "tf_norm",
+            F.col("tf")
+            * (F.lit(k1) + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("query_id", "doc")
+        .agg(F.sum(F.col("idf") * F.col("tf_norm")).alias("score"))
+    )
+
+    w = Window.partitionBy("query_id").orderBy(
+        round_to("score", 6).desc(), F.col("doc").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            F.col("doc").alias("doc_id"),
+            round_to("score", 4).alias("score_bm25"),
+        )
+    )

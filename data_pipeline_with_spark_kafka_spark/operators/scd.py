@@ -155,3 +155,56 @@ def cdc_apply(
             ],
         )
     )
+
+
+def derive_changes(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    attrs: Sequence[str],
+    *,
+    op_col: str = "op",
+) -> DataFrame:
+    """Derive the CDC change feed that turns snapshot ``old`` into
+    snapshot ``new`` — the inverse of :func:`cdc_apply` (snapshot
+    differencing, for upstreams that republish full dumps instead of
+    emitting change events).
+
+    One full-outer join on the key classifies every row:
+
+    - key only in ``new``            -> I (payload = new attrs)
+    - key only in ``old``            -> D (payload = nulls)
+    - key in both, any attr differs  -> U (null-safe comparison —
+      NULL->value and value->NULL are real updates)
+    - key in both, payload identical -> no row (unchanged keys leave
+      the feed, which is what makes dump-diffing cheap downstream)
+
+    Round-trip law (property-tested): ``cdc_apply(old,
+    derive_changes(old, new)) == new``. Scale: the join hashes both
+    snapshots on the key once; the attr comparison is a projection.
+    """
+    # Side presence is judged on explicit markers, not attr nullness —
+    # an all-NULL payload row is still PRESENT on its side.
+    o = old.select(key, F.lit(True).alias("__in_old"), *[F.col(a).alias(f"__o_{a}") for a in attrs])
+    n = new.select(key, F.lit(True).alias("__in_new"), *[F.col(a).alias(f"__n_{a}") for a in attrs])
+    j = o.join(n, on=key, how="full_outer")
+    differs = F.lit(False)
+    for a in attrs:
+        differs = differs | ~F.col(f"__o_{a}").eqNullSafe(F.col(f"__n_{a}"))
+    op = (
+        F.when(F.col("__in_old").isNull(), F.lit("I"))
+        .when(F.col("__in_new").isNull(), F.lit("D"))
+        .when(differs, F.lit("U"))
+    )
+    return (
+        j.withColumn(op_col, op)
+        .filter(F.col(op_col).isNotNull())
+        .select(
+            F.col(key),
+            F.col(op_col),
+            *[
+                F.when(F.col(op_col) != "D", F.col(f"__n_{a}")).alias(a)
+                for a in attrs
+            ],
+        )
+    )

@@ -222,3 +222,62 @@ def scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("valid_from").alias("version_valid_from"),
         )
     )
+
+
+CDC_DERIVE_ORACLE = """
+WITH olds AS (
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+), news AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 50.0 ELSE c_acctbal END
+             AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 13 <> 0
+  UNION ALL
+  SELECT c_custkey + 2000000, c_name, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 89 = 0
+)
+SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'I'
+            WHEN n.c_custkey IS NULL THEN 'D'
+            ELSE 'U' END AS op,
+       n.c_name, n.c_acctbal, n.c_mktsegment
+FROM olds o FULL JOIN news n ON o.c_custkey = n.c_custkey
+WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+   OR o.c_name IS DISTINCT FROM n.c_name
+   OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+   OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+"""
+
+
+@register("cdc_derive_changes", oracle=CDC_DERIVE_ORACLE, tags=("merge", "dimension", "cdc"))
+def cdc_derive_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot differencing — derive the I/U/D change feed that turns
+    one full dimension dump into the next (operators/scd.derive_changes,
+    the inverse of cdc_apply; round-trip law property-tested in
+    tests/test_scd.py). The new snapshot is built deterministically from
+    customer: keys % 13 == 0 dropped (deletes), % 10 == 3 rebalanced
+    (updates), % 89 == 0 re-keyed +2M (inserts). One full-outer key
+    join; unchanged keys leave the feed."""
+    from data_pipeline_with_spark_kafka_spark.operators.scd import derive_changes
+
+    customer = load_table(spark, sf_dir, "customer")
+    attrs = ["c_name", "c_acctbal", "c_mktsegment"]
+    old = customer.select("c_custkey", *attrs)
+    new = (
+        customer.filter(F.col("c_custkey") % 13 != 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(F.col("c_custkey") % 10 == 3, F.col("c_acctbal") + 50.0)
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .unionByName(
+            customer.filter(F.col("c_custkey") % 89 == 0).select(
+                (F.col("c_custkey") + 2000000).alias("c_custkey"), *attrs
+            )
+        )
+    )
+    return derive_changes(old, new, "c_custkey", attrs)

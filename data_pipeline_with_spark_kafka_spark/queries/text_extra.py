@@ -272,3 +272,44 @@ def llm_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "bigram")
         .limit(50)
     )
+
+
+TOKEN_ENTROPY_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), post AS (
+    SELECT doc_id, len(t) AS dl, u.term, COUNT(*) AS tf
+    FROM toks, UNNEST(t) AS u(term)
+    GROUP BY 1, 2, 3
+)
+SELECT doc_id,
+       ROUND(-SUM((tf * 1.0 / dl) * LN(tf * 1.0 / dl)), 4) AS token_entropy,
+       ROUND(COUNT(*) * 1.0 / dl, 4) AS type_token_ratio
+FROM post GROUP BY doc_id, dl
+"""
+
+
+@register("llm_token_entropy", oracle=TOKEN_ENTROPY_ORACLE, tags=("llm", "text"))
+def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution entropy + type-token ratio — the
+    classic repetitiveness/diversity quality signals (low entropy = the
+    doc keeps repeating the same tokens; complements the Gopher
+    surface-shape rules). Reuses the inverted-index postings relation
+    (operators/retrieval.term_postings): one map-side-combined
+    (doc, term) shuffle, then a per-doc aggregate — H = -sum(p ln p)
+    over within-doc term frequencies, all JVM codegen."""
+    from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
+    from data_pipeline_with_spark_kafka_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    post = retrieval.term_postings(docs, "doc_id", "text")
+    p = F.col("tf") / F.col("dl")
+    agg = post.groupBy("doc", "dl").agg(
+        (-F.sum(p * F.log(p))).alias("h"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    return agg.select(
+        F.col("doc").alias("doc_id"),
+        round_to("h", 4).alias("token_entropy"),
+        round_to(F.col("n_types") / F.col("dl"), 4).alias("type_token_ratio"),
+    )

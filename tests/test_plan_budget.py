@@ -39,6 +39,8 @@ EXCHANGE_BUDGET = {
     "agg_string_concat_per_group": 3,
     # feed-compaction window + full-outer key join (exchange per side).
     "cdc_apply_customer": 3,
+    # full-outer snapshot join (exchange per side) + the two union legs.
+    "cdc_derive_changes": 4,
     "dedup_keep_first_order": 1,
     "distinct_segment_nation": 1,
     # one global-agg exchange pair for the whole column suite + the
@@ -103,6 +105,10 @@ EXCHANGE_BUDGET = {
     # runtime; the heavy levenshtein runs on |distinct names| pairs).
     "linkage_fuzzy_part_names": 6,
     # word groupBy + occurrence/vocab join + doc_id reassembly agg.
+    # postings shuffle (reused across the df-count and scoring branches)
+    # + workload/df/stats side exchanges; the string count includes AQE's
+    # initial+final plan duplication, like every entry here.
+    "llm_bm25_topk": 24,
     "llm_bpe_encode": 3,
     "llm_bpe_vocab": 0,
     "llm_chunk_documents": 0,
@@ -139,6 +145,9 @@ EXCHANGE_BUDGET = {
     "llm_deterministic_shuffle": 6,
     "llm_domain_mixture": 5,
     "llm_fingerprint_winnowing": 0,
+    # postings build + term summary agg + the top-50 rank cap's single
+    # partition.
+    "llm_inverted_index": 4,
     "llm_length_histogram": 1,
     "llm_multimodal_audio_features": 1,
     "llm_multimodal_decode_features": 0,
@@ -168,6 +177,8 @@ EXCHANGE_BUDGET = {
     "llm_text_quality": 0,
     "llm_text_stats": 0,
     "llm_tfidf_keywords": 7,
+    # postings shuffle + the per-doc entropy aggregate.
+    "llm_token_entropy": 4,
     "llm_token_count_regex": 0,
     "llm_top_bigrams": 1,
     # both windows share the one `source` hash partitioning.

@@ -68,6 +68,8 @@ HEAVY = [
     "text_heavy_hitters", "emb_pca_project", "emb_pca_explained_variance",
     "llm_dedup_minhash_lsh_md5", "llm_dedup_simhash_md5",
     "llm_sim_topk_lsh_md5",
+    "llm_bm25_topk", "llm_inverted_index",
+    "llm_token_entropy", "cdc_derive_changes",
     # deep TPC-H joins (value-heavy aggregates)
     "tpch_q9_product_profit", "tpch_q21_waiting_supplier",
 ]
@@ -87,6 +89,8 @@ SCALE_FIXTURE_SET = [
     "text_heavy_hitters", "emb_pca_project", "emb_pca_explained_variance",
     "llm_dedup_minhash_lsh_md5", "llm_dedup_simhash_md5",
     "llm_sim_topk_lsh_md5",
+    "llm_bm25_topk", "llm_inverted_index",
+    "llm_token_entropy",
 ]
 
 
