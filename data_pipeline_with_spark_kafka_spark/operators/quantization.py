@@ -1,0 +1,268 @@
+"""Scalar (int8) embedding quantization + asymmetric-distance search.
+
+The 100-TB problem this solves: an embedding corpus at scale is dominated
+by vector bytes (64-dim float32 = 256 B/row; 100 TB of text easily carries
+tens of TB of vectors). Uniform per-dimension 8-bit quantization — the
+"SQ8" codec popularized by FAISS's ``ScalarQuantizer`` (public: Johnson,
+Douze, Jégou, *Billion-scale similarity search with GPUs*, 2017) — stores
+each dimension as one byte (4x smaller than float32, 8x smaller than the
+double it decodes to), and **asymmetric distance computation (ADC)** keeps
+the query in full precision so only the corpus side pays quantization
+error.
+
+Spark-first design:
+
+- **Stats pass** — one global aggregate computing per-dimension min/max
+  (2*dim agg expressions, constant combiner state; a single scan, no
+  shuffle beyond the 1-row final agg). The resulting ``dim``-sized codebook
+  is collected driver-side (bytes, not data — same bounded-scalar
+  discipline as the IVF centroid cache in ``clustering.py``) and memoized
+  per (cache key, dim), so every SQ8 query after the first reuses it, and
+  at deployment scale it is computed once offline like the IVF quantizer.
+- **Encode / decode** are pure ``transform`` expressions over the array
+  column with the codebook shipped as TWO array literals (single Literal
+  nodes — see ``similarity.hyperplane_signs`` for why not per-element
+  lists): map-only, whole-stage codegen, zero shuffle, so encoding 100 TB
+  is an embarrassingly parallel scan.
+- **Search** — ADC cosine of the full-precision query against the DECODED
+  corpus vector, global top-``pool`` via orderBy+limit
+  (TakeOrderedAndProject: per-partition heaps, no full sort), then an
+  exact re-rank of the tiny candidate pool with the true vectors. This is
+  the standard quantized-scan + rerank shape; composing it with the IVF
+  cell filter (``clustering.assign_cells``) gives IVF-SQ8.
+
+Cross-engine determinism (what makes the oracle exact): codes are
+``clamp(floor((x - mn)/scale + 0.5), 0, 255)`` — floor arithmetic on
+doubles, identical in Spark and DuckDB; decode is ``mn + code*scale``;
+dot products fold the arrays in order on both engines, so even the
+floating-point sums agree bitwise before the final 1e-6 rounding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
+from data_pipeline_with_spark_kafka_spark.operators import similarity as sim
+
+_SQ8_CACHE: dict = {}
+
+
+def sq8_train(df: DataFrame, vec_col: str, dim: int, *, cache_key: str | None = None):
+    """Per-dimension (min, scale) codebook from one aggregate pass.
+
+    Returns ``(mins, scales)`` as float64 ndarrays with
+    ``scale_d = (max_d - min_d)/255``. Collects exactly one row of
+    ``2*dim`` doubles — bounded by the embedding dimensionality, never by
+    corpus size. ``cache_key`` memoizes across queries in a session (the
+    deployment shape trains once offline, like the IVF quantizer)."""
+    key = (cache_key, dim)
+    if cache_key is not None and key in _SQ8_CACHE:
+        return _SQ8_CACHE[key]
+    v = sim.as_double(F.col(vec_col))
+    aggs = []
+    for d in range(dim):
+        aggs.append(F.min(F.element_at(v, d + 1)).alias(f"mn{d}"))
+        aggs.append(F.max(F.element_at(v, d + 1)).alias(f"mx{d}"))
+    row = df.agg(*aggs).collect()[0]
+    mins = np.array([row[f"mn{d}"] for d in range(dim)], dtype=np.float64)
+    maxs = np.array([row[f"mx{d}"] for d in range(dim)], dtype=np.float64)
+    out = (mins, (maxs - mins) / 255.0)
+    if cache_key is not None:
+        _SQ8_CACHE[key] = out
+    return out
+
+
+def _codebook_lits(mins: np.ndarray, scales: np.ndarray) -> tuple[Column, Column]:
+    return F.lit(np.asarray(mins, dtype=np.float64)), F.lit(
+        np.asarray(scales, dtype=np.float64)
+    )
+
+
+def sq8_encode(vec: Column, mins: np.ndarray, scales: np.ndarray) -> Column:
+    """array<double> -> array<smallint> of codes in [0, 255] (stored
+    small; 255 fits a byte — smallint is the narrowest Spark array
+    element type with headroom for the unsigned range)."""
+    mn_lit, sc_lit = _codebook_lits(mins, scales)
+
+    def code(x, i):
+        mn = F.element_at(mn_lit, (i + 1).cast("int"))
+        sc = F.element_at(sc_lit, (i + 1).cast("int"))
+        c = F.least(F.greatest(F.floor((x - mn) / sc + F.lit(0.5)), F.lit(0)), F.lit(255))
+        return F.when(sc == 0, F.lit(0)).otherwise(c).cast("smallint")
+
+    return F.transform(vec, code)
+
+
+def sq8_decode(codes: Column, mins: np.ndarray, scales: np.ndarray) -> Column:
+    """array<smallint> codes -> reconstructed array<double>."""
+    mn_lit, sc_lit = _codebook_lits(mins, scales)
+    return F.transform(
+        codes,
+        lambda c, i: F.element_at(mn_lit, (i + 1).cast("int"))
+        + c.cast("double") * F.element_at(sc_lit, (i + 1).cast("int")),
+    )
+
+
+def sq8_reconstruct(vec: Column, mins: np.ndarray, scales: np.ndarray) -> Column:
+    """Fused encode+decode (what the ADC scan actually evaluates — one
+    transform, no intermediate code array materialized)."""
+    mn_lit, sc_lit = _codebook_lits(mins, scales)
+
+    def rec(x, i):
+        mn = F.element_at(mn_lit, (i + 1).cast("int"))
+        sc = F.element_at(sc_lit, (i + 1).cast("int"))
+        c = F.least(F.greatest(F.floor((x - mn) / sc + F.lit(0.5)), F.lit(0)), F.lit(255))
+        return F.when(sc == 0, mn).otherwise(mn + c.cast("double") * sc)
+
+    return F.transform(vec, rec)
+
+
+def sq8_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    *,
+    k: int = 10,
+    pool: int = 50,
+    dim: int = 64,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """ADC top-``pool`` over the quantized corpus, exact rerank to top-``k``.
+
+    Output columns: (id, adc_cosine, cosine) — the quantized score is kept
+    so recall/error audits read straight off the result. The broadcast is
+    the structurally-1-row query (``limit(1)`` => GlobalLimit, provably
+    bounded); the corpus side never shuffles — scan, per-partition heap,
+    ``pool``-row rerank."""
+    mins, scales = sq8_train(df, vec_col, dim, cache_key=cache_key)
+    v = sim.as_double(F.col(vec_col))
+    q = query_df.select(sim.as_double(F.col(vec_col)).alias("qv")).limit(1)
+    adc = (
+        df.select(F.col(id_col), v.alias("_v"))
+        .withColumn("_rv", sq8_reconstruct(F.col("_v"), mins, scales))
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.col("_v"),
+            F.col("qv"),
+            round_to(sim.cosine(F.col("_rv"), F.col("qv")), 6).alias("adc_cosine"),
+        )
+        .orderBy(F.col("adc_cosine").desc(), F.col(id_col))
+        .limit(pool)
+    )
+    return (
+        adc.select(
+            F.col(id_col),
+            F.col("adc_cosine"),
+            round_to(sim.cosine(F.col("_v"), F.col("qv")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_sq8_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    centroid_rows: list,
+    *,
+    k: int = 10,
+    pool: int = 50,
+    n_probe: int = 3,
+    dim: int = 64,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """IVF-SQ8: coarse-quantizer cell probe + int8 ADC scan + exact rerank
+    — the composition FAISS ships as ``IVF<n>,SQ8`` and the realistic
+    billion-vector layout (cells bound the candidates, codes bound the
+    bytes).
+
+    Corpus cell assignment is the zero-shuffle literal-centroid map
+    (``clustering.cell_multi_assign``, n_assign=1 — at rest each vector
+    lives in exactly one inverted list); the query probes its ``n_probe``
+    nearest cells via the tiny centroid relation. Only probed members are
+    decoded and scored."""
+    from data_pipeline_with_spark_kafka_spark.operators import clustering
+
+    mins, scales = sq8_train(df, vec_col, dim, cache_key=cache_key)
+    members = clustering.cell_multi_assign(df, vec_col, centroid_rows, n_assign=1)
+
+    centroids = query_df.sparkSession.createDataFrame(
+        centroid_rows, "cid int, centroid array<double>"
+    )
+    qcells = (
+        query_df.crossJoin(F.broadcast(centroids))
+        .select(
+            F.aggregate(
+                F.zip_with(
+                    sim.as_double(F.col(vec_col)),
+                    F.col("centroid"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            F.col("cid"),
+            sim.as_double(F.col(vec_col)).alias("qv"),
+        )
+        .orderBy("d", "cid")
+        .limit(n_probe)
+        .select(F.col("cid").alias("cell"), "qv")
+    )
+
+    v = sim.as_double(F.col(vec_col))
+    adc = (
+        members.join(F.broadcast(qcells), "cell")
+        .select(
+            F.col(id_col),
+            v.alias("_v"),
+            F.col("qv"),
+            round_to(sim.cosine(sq8_reconstruct(v, mins, scales), F.col("qv")), 6).alias(
+                "adc_cosine"
+            ),
+        )
+        .orderBy(F.col("adc_cosine").desc(), F.col(id_col))
+        .limit(pool)
+    )
+    return (
+        adc.select(
+            F.col(id_col),
+            F.col("adc_cosine"),
+            round_to(sim.cosine(F.col("_v"), F.col("qv")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def sq8_reconstruction_error(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    dim: int = 64,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Corpus-wide codec audit: mean/max absolute reconstruction error in
+    ONE map-only pass + a 1-row global aggregate. The max error is bounded
+    by ``max(scale)/2`` by construction (half a quantization step) — the
+    property test pins that bound."""
+    mins, scales = sq8_train(df, vec_col, dim, cache_key=cache_key)
+    v = sim.as_double(F.col(vec_col))
+    err = F.zip_with(v, sq8_reconstruct(v, mins, scales), lambda a, b: F.abs(a - b))
+    return (
+        df.select(
+            F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x).alias("_sum"),
+            F.aggregate(err, F.lit(0.0), lambda acc, x: F.greatest(acc, x)).alias("_mx"),
+        )
+        .agg(
+            round_to(F.sum("_sum") / (F.count(F.lit(1)) * dim), 6).alias("mean_abs_err"),
+            round_to(F.max("_mx"), 6).alias("max_abs_err"),
+        )
+        .select(F.lit(dim).cast("int").alias("dim"), "mean_abs_err", "max_abs_err")
+    )

@@ -1,0 +1,228 @@
+"""Corpus-selection queries: DSIR importance weighting and SQ8-quantized
+similarity search.
+
+Both pipelines are FULLY cross-engine oracled — the md5 bucket hash, the
+add-one-smoothed log-ratios, the floor-arithmetic int8 codec, and the
+in-order dot-product folds are all bit-reproducible in DuckDB, so the
+driver's hash comparator verifies the whole computation, not a sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_kafka_spark.operators import importance, quantization
+from data_pipeline_with_spark_kafka_spark.queries.registry import register
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+
+DSIR_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, lang = 'en' AS is_tgt, string_split(text, ' ') AS t FROM documents
+), grams AS (
+    SELECT doc_id, is_tgt, unnest(t) AS g FROM toks
+    UNION ALL
+    SELECT doc_id, is_tgt,
+           unnest([t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]
+                   for i in range(1, len(t))]) AS g
+    FROM toks
+), bucketed AS (
+    SELECT doc_id, is_tgt, CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 256 AS b
+    FROM grams
+), stats AS (
+    SELECT b, SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS tc, COUNT(*) AS rc
+    FROM bucketed GROUP BY b
+), tot AS (
+    SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM stats
+), w AS (
+    SELECT b, ln((tc + 1.0) / (tt + 256.0)) - ln((rc + 1.0) / (rt + 256.0)) AS lw
+    FROM stats, tot
+), scored AS (
+    SELECT doc_id, ROUND(SUM(lw) * 1000000) / 1000000 AS dsir_weight
+    FROM bucketed JOIN w USING (b) GROUP BY doc_id
+)
+SELECT doc_id, dsir_weight,
+       CAST(ROW_NUMBER() OVER (ORDER BY dsir_weight DESC, doc_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 50
+"""
+
+
+@register("llm_dsir_importance_topk", oracle=DSIR_ORACLE, tags=("llm", "selection", "text"))
+def llm_dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-ngram importance selection (Xie et al. 2023): rank every
+    document by ln p_target/p_raw summed over its md5-bucketed
+    unigrams+bigrams (target = lang='en'), keep the top 50. Stats pass is
+    a 256-group aggregate; scoring is a zero-shuffle expression fold
+    against the bucket-weight literal (`operators/importance.py`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return importance.dsir_topk(
+        docs,
+        "doc_id",
+        "text",
+        F.col("lang") == "en",
+        k=50,
+        cache_key=f"dsir:{sf_dir}",
+    )
+
+
+SQ8_TOPK_ORACLE = """
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), dims AS (
+    SELECT d.d, MIN(v[d.d + 1]) AS mn, (MAX(v[d.d + 1]) - MIN(v[d.d + 1])) / 255.0 AS sc
+    FROM e, range(0, 64) d(d) GROUP BY d.d
+), rec AS (
+    SELECT e.vec_id, s.d,
+           CASE WHEN s.sc = 0 THEN s.mn
+                ELSE s.mn + LEAST(GREATEST(FLOOR((e.v[CAST(s.d AS INT) + 1] - s.mn) / s.sc + 0.5), 0), 255) * s.sc
+           END AS r
+    FROM e, dims s
+), recl AS (
+    SELECT vec_id, list(r ORDER BY d) AS rv FROM rec GROUP BY vec_id
+), q AS (
+    SELECT v AS qv FROM e WHERE vec_id = 0
+), adc AS (
+    SELECT e.vec_id, e.v, q.qv,
+           ROUND(list_dot_product(recl.rv, q.qv)
+                 / (sqrt(list_dot_product(recl.rv, recl.rv)) * sqrt(list_dot_product(q.qv, q.qv)))
+                 * 1000000) / 1000000 AS adc_cosine
+    FROM e JOIN recl USING (vec_id), q
+    ORDER BY adc_cosine DESC, e.vec_id
+    LIMIT 50
+)
+SELECT vec_id, adc_cosine,
+       ROUND(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+             * 1000000) / 1000000 AS cosine
+FROM adc ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+@register("llm_sim_topk_sq8", oracle=SQ8_TOPK_ORACLE, tags=("llm", "similarity", "quantization"))
+def llm_sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) ANN: asymmetric-distance top-50 over the
+    8-bit-decoded corpus, exact rerank to top-10 — the 4x-smaller-index
+    scan shape (`operators/quantization.py`). DuckDB mirrors the codec's
+    floor arithmetic exactly, so both the ADC scores and the reranked
+    cosines hash-match."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantization.sq8_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        emb.filter(F.col("vec_id") == 0),
+        k=10,
+        pool=50,
+        dim=64,
+        cache_key=f"sq8:{sf_dir}",
+    )
+
+
+IVF_SQ8_ORACLE = """
+WITH cents AS (
+    SELECT cid, centroid FROM read_parquet('/root/repo/fixtures/ivf_centroids_k8.parquet')
+), e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), dims AS (
+    SELECT d.d, MIN(v[d.d + 1]) AS mn, (MAX(v[d.d + 1]) - MIN(v[d.d + 1])) / 255.0 AS sc
+    FROM e, range(0, 64) d(d) GROUP BY d.d
+), members AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.v, c.centroid), c.cid) AS rn
+        FROM e CROSS JOIN cents c
+    ) WHERE rn <= 1
+), q AS (
+    SELECT v AS qv FROM e WHERE vec_id = 0
+), probes AS (
+    SELECT cid, qv FROM (
+        SELECT c.cid, q.qv,
+               ROW_NUMBER() OVER (ORDER BY list_distance(q.qv, c.centroid), c.cid) AS rn
+        FROM q CROSS JOIN cents c
+    ) WHERE rn <= 3
+), cand AS (
+    SELECT m.vec_id, m.v, p.qv FROM members m JOIN probes p ON m.cid = p.cid
+), rec AS (
+    SELECT c.vec_id, s.d,
+           CASE WHEN s.sc = 0 THEN s.mn
+                ELSE s.mn + LEAST(GREATEST(FLOOR((c.v[CAST(s.d AS INT) + 1] - s.mn) / s.sc + 0.5), 0), 255) * s.sc
+           END AS r
+    FROM cand c, dims s
+), recl AS (
+    SELECT vec_id, list(r ORDER BY d) AS rv FROM rec GROUP BY vec_id
+), adc AS (
+    SELECT c.vec_id, c.v, c.qv,
+           ROUND(list_dot_product(recl.rv, c.qv)
+                 / (sqrt(list_dot_product(recl.rv, recl.rv)) * sqrt(list_dot_product(c.qv, c.qv)))
+                 * 1000000) / 1000000 AS adc_cosine
+    FROM cand c JOIN recl USING (vec_id)
+    ORDER BY adc_cosine DESC, c.vec_id
+    LIMIT 50
+)
+SELECT vec_id, adc_cosine,
+       ROUND(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+             * 1000000) / 1000000 AS cosine
+FROM adc ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+@register(
+    "llm_sim_topk_ivf_sq8", oracle=IVF_SQ8_ORACLE, tags=("llm", "similarity", "quantization")
+)
+def llm_sim_topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 ANN (the FAISS ``IVF8,SQ8`` composition): 3-probe coarse
+    cells bound the candidates, int8 ADC bounds the bytes, exact rerank
+    restores precision. Both learned artifacts — the k8 quantizer fixture
+    and the per-dim codebook — are mirrored by the DuckDB oracle, so the
+    full composed pipeline is hash-verified."""
+    from data_pipeline_with_spark_kafka_spark.queries.llm_fast_paths import _quantizer_rows
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = _quantizer_rows(emb, sf_dir, fixture="ivf_centroids_k8", k=8, iterations=2)
+    return quantization.ivf_sq8_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        emb.filter(F.col("vec_id") == 0),
+        rows,
+        k=10,
+        pool=50,
+        n_probe=3,
+        dim=64,
+        cache_key=f"sq8:{sf_dir}",
+    )
+
+
+SQ8_ERROR_ORACLE = """
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), dims AS (
+    SELECT d.d, MIN(v[d.d + 1]) AS mn, (MAX(v[d.d + 1]) - MIN(v[d.d + 1])) / 255.0 AS sc
+    FROM e, range(0, 64) d(d) GROUP BY d.d
+), rec AS (
+    SELECT e.vec_id, s.d,
+           ABS(e.v[CAST(s.d AS INT) + 1] -
+               CASE WHEN s.sc = 0 THEN s.mn
+                    ELSE s.mn + LEAST(GREATEST(FLOOR((e.v[CAST(s.d AS INT) + 1] - s.mn) / s.sc + 0.5), 0), 255) * s.sc
+               END) AS err
+    FROM e, dims s
+)
+SELECT CAST(64 AS INT) AS dim,
+       ROUND(SUM(err) / COUNT(*) * 1000000) / 1000000 AS mean_abs_err,
+       ROUND(MAX(err) * 1000000) / 1000000 AS max_abs_err
+FROM rec
+"""
+
+
+@register("llm_emb_sq8_error", oracle=SQ8_ERROR_ORACLE, tags=("llm", "quantization", "diagnostic"))
+def llm_emb_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 codec audit: corpus-wide mean/max absolute reconstruction error
+    in one map-only pass (max is bounded by half a quantization step —
+    property-tested in tests/test_quantization.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantization.sq8_reconstruction_error(
+        emb, "embedding", dim=64, cache_key=f"sq8:{sf_dir}"
+    )

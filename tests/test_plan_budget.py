@@ -144,6 +144,13 @@ EXCHANGE_BUDGET = {
     "llm_dedup_simhash_md5": 1,
     "llm_deterministic_shuffle": 6,
     "llm_domain_mixture": 5,
+    # scoring is a zero-shuffle expression fold against the 256-bucket
+    # weight literal; global top-50 is TakeOrderedAndProject (round 6).
+    # (The one-off stats pass collected at build time is its own tiny job.)
+    "llm_dsir_importance_topk": 0,
+    # one global-agg exchange pair folded into a single Exchange: the
+    # per-row error fold is map-only (round 6).
+    "llm_emb_sq8_error": 1,
     "llm_fingerprint_winnowing": 0,
     # postings build + term summary agg + the top-50 rank cap's single
     # partition.
@@ -171,6 +178,11 @@ EXCHANGE_BUDGET = {
     "llm_sim_topk_lsh": 2,
     # same 1-row broadcast + TakeOrdered shape as the seeded tier (round 6).
     "llm_sim_topk_lsh_md5": 2,
+    # ADC TakeOrdered pool cut + the 50-row exact rerank sort (round 6).
+    "llm_sim_topk_sq8": 2,
+    # literal-centroid cell assignment is zero-shuffle; probe join is a
+    # 3-row broadcast; ADC pool cut + rerank as the flat SQ8 tier (round 6).
+    "llm_sim_topk_ivf_sq8": 2,
     "llm_stratified_sample": 0,
     "llm_text_fingerprint": 0,
     "llm_text_langid": 0,

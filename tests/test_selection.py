@@ -1,0 +1,191 @@
+"""DSIR importance selection + SQ8 quantization: semantics pinned against
+pure-Python/NumPy references, codec error bound, and ANN recall."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_kafka_spark.operators import importance, quantization
+from data_pipeline_with_spark_kafka_spark.operators import similarity as sim
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+
+B = importance.DEFAULT_BUCKETS
+
+
+def _py_bucket(g: str) -> int:
+    return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+
+def _py_grams(text: str) -> list[str]:
+    t = text.split(" ")
+    return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+
+def _py_dsir(rows: list[tuple[int, str, bool]]) -> dict[int, float]:
+    """Reference implementation: exact add-one-smoothed bucket log-ratios."""
+    tc = [0] * B
+    rc = [0] * B
+    for _, text, is_tgt in rows:
+        for g in _py_grams(text):
+            b = _py_bucket(g)
+            rc[b] += 1
+            if is_tgt:
+                tc[b] += 1
+    tt, rt = sum(tc), sum(rc)
+    lw = [
+        math.log((tc[b] + 1) / (tt + B)) - math.log((rc[b] + 1) / (rt + B))
+        for b in range(B)
+    ]
+    return {
+        doc_id: sum(lw[_py_bucket(g)] for g in _py_grams(text))
+        for doc_id, text, _ in rows
+    }
+
+
+class TestDSIR:
+    def test_matches_pure_python_reference(self, spark):
+        rows = [
+            (0, "the quick brown fox", True),
+            (1, "der schnelle braune fuchs", False),
+            (2, "the slow brown dog", True),
+            (3, "fox fox fox the", False),
+            (4, "completely unrelated tokens here", False),
+        ]
+        df = spark.createDataFrame(
+            [(i, t, "en" if tgt else "de") for i, t, tgt in rows],
+            "doc_id int, text string, lang string",
+        )
+        got = {
+            r["doc_id"]: r["dsir_weight"]
+            for r in importance.dsir_topk(
+                df, "doc_id", "text", F.col("lang") == "en", k=10
+            ).collect()
+        }
+        want = _py_dsir(rows)
+        assert set(got) == set(want)
+        for doc_id, w in want.items():
+            assert got[doc_id] == pytest.approx(w, abs=2e-6)
+
+    def test_target_docs_rank_higher(self, spark, sf_dir):
+        """Sanity on the fixture corpus: a doc scores itself toward the
+        distribution its own n-grams feed, so target-language docs should
+        dominate the top of the ranking."""
+        docs = load_table(spark, sf_dir, "documents")
+        top = importance.dsir_topk(
+            docs, "doc_id", "text", F.col("lang") == "en", k=30
+        ).join(docs.select("doc_id", "lang"), "doc_id")
+        langs = [r["lang"] for r in top.collect()]
+        assert len(langs) == 30
+        assert sum(1 for lang in langs if lang == "en") >= 20
+
+    def test_rank_is_dense_and_ordered(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        rows = (
+            importance.dsir_topk(docs, "doc_id", "text", F.col("lang") == "en", k=15)
+            .orderBy("rank")
+            .collect()
+        )
+        assert [r["rank"] for r in rows] == list(range(1, 16))
+        weights = [r["dsir_weight"] for r in rows]
+        assert weights == sorted(weights, reverse=True)
+
+
+class TestSQ8:
+    def test_codes_within_byte_range_and_roundtrip_bound(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        mins, scales = quantization.sq8_train(emb, "embedding", 64)
+        v = sim.as_double(F.col("embedding"))
+        enc = emb.select(
+            quantization.sq8_encode(v, mins, scales).alias("codes"),
+            F.zip_with(
+                v,
+                quantization.sq8_decode(
+                    quantization.sq8_encode(v, mins, scales), mins, scales
+                ),
+                lambda a, b: F.abs(a - b),
+            ).alias("err"),
+        )
+        row = enc.agg(
+            F.min(F.array_min("codes")).alias("cmin"),
+            F.max(F.array_max("codes")).alias("cmax"),
+            F.max(F.array_max("err")).alias("emax"),
+        ).collect()[0]
+        assert 0 <= row["cmin"] and row["cmax"] <= 255
+        # half a quantization step, plus fp slack
+        assert row["emax"] <= scales.max() / 2 + 1e-9
+        assert dict(enc.dtypes)["codes"] == "array<smallint>"
+
+    def test_reconstruction_matches_numpy(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        mins, scales = quantization.sq8_train(emb, "embedding", 64)
+        rows = (
+            emb.orderBy("vec_id")
+            .limit(20)
+            .select(
+                "vec_id",
+                sim.as_double(F.col("embedding")).alias("v"),
+                quantization.sq8_reconstruct(
+                    sim.as_double(F.col("embedding")), mins, scales
+                ).alias("rv"),
+            )
+            .collect()
+        )
+        for r in rows:
+            v = np.array(r["v"])
+            codes = np.clip(
+                np.floor(
+                    np.divide(
+                        v - mins, scales, out=np.zeros_like(v), where=scales != 0
+                    )
+                    + 0.5
+                ),
+                0,
+                255,
+            )
+            want = np.where(scales == 0, mins, mins + codes * scales)
+            np.testing.assert_allclose(np.array(r["rv"]), want, rtol=0, atol=1e-12)
+
+    def test_topk_recall_vs_brute_force(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") == 0)
+        sq = quantization.sq8_topk(emb, "vec_id", "embedding", q, k=10, pool=50, dim=64)
+        bf = sim.brute_force_topk(emb, "vec_id", "embedding", q, k=10)
+        sq_ids = {r["vec_id"] for r in sq.collect()}
+        bf_ids = {r["vec_id"] for r in bf.collect()}
+        # 8-bit codes leave ~1e-3 cosine error; with a 5x rerank pool the
+        # exact top-10 should survive essentially always.
+        assert len(sq_ids & bf_ids) / 10 >= 0.9
+
+    def test_ivf_sq8_agrees_with_ivf_exact(self, spark, sf_dir):
+        """IVF-SQ8 probes the same 3 cells as the exact IVF tier; the only
+        extra error is the int8 codec, which the 5x rerank pool absorbs —
+        the returned neighbor sets should be (near-)identical."""
+        from data_pipeline_with_spark_kafka_spark.operators import clustering
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") == 0)
+        rows, schema = clustering.kmeans_centroids_cached(
+            emb, "vec_id", "embedding", cache_key=f"test:{sf_dir}", k=8, iterations=2
+        )
+        sq = quantization.ivf_sq8_topk(
+            emb, "vec_id", "embedding", q, rows, k=10, pool=50, n_probe=3, dim=64
+        )
+        exact = clustering.ivf_topk(
+            emb, "vec_id", "embedding", q, spark.createDataFrame(rows, schema), k=10, n_probe=3
+        )
+        sq_ids = {r["vec_id"] for r in sq.collect()}
+        ex_ids = {r["vec_id"] for r in exact.collect()}
+        assert len(sq_ids & ex_ids) / 10 >= 0.9
+
+    def test_error_audit_bounds(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        mins, scales = quantization.sq8_train(emb, "embedding", 64)
+        row = quantization.sq8_reconstruction_error(emb, "embedding", dim=64).collect()[0]
+        assert row["dim"] == 64
+        assert 0 <= row["mean_abs_err"] <= row["max_abs_err"]
+        assert row["max_abs_err"] <= scales.max() / 2 + 1e-6
