@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_pipeline_with_spark_kafka_spark.operators import importance, quantization
+from data_pipeline_with_spark_kafka_spark.operators import importance, mmr, quantization
 from data_pipeline_with_spark_kafka_spark.queries.registry import register
 from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
 
@@ -193,6 +193,30 @@ def llm_sim_topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=3,
         dim=64,
         cache_key=f"sq8:{sf_dir}",
+    )
+
+
+@register(
+    "llm_mmr_diversified_topk",
+    oracle=mmr.mmr_oracle_sql(k=8, pool=30, lam=0.7),
+    tags=("llm", "selection", "similarity", "pandas-udf"),
+)
+def llm_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-8 (Carbonell &
+    Goldstein 1998) out of an exact cosine top-30 pool for the vec_id=0
+    query — relevance vs redundancy at lambda=0.7. The greedy is a bounded
+    per-query applyInPandas kernel; the DuckDB oracle replays it as an
+    unrolled 8-step CTE chain (`operators/mmr.py`), so even this iterative
+    selection is fully hash-verified."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr.mmr_select(
+        emb,
+        "vec_id",
+        "embedding",
+        emb.filter(F.col("vec_id") == 0),
+        k=8,
+        pool=30,
+        lam=0.7,
     )
 
 

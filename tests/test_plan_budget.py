@@ -183,6 +183,9 @@ EXCHANGE_BUDGET = {
     # literal-centroid cell assignment is zero-shuffle; probe join is a
     # 3-row broadcast; ADC pool cut + rerank as the flat SQ8 tier (round 6).
     "llm_sim_topk_ivf_sq8": 2,
+    # relevance-pool TakeOrdered cut + the single-group exchange feeding
+    # the bounded applyInPandas greedy kernel (round 6).
+    "llm_mmr_diversified_topk": 2,
     "llm_stratified_sample": 0,
     "llm_text_fingerprint": 0,
     "llm_text_langid": 0,

@@ -95,6 +95,103 @@ class TestDSIR:
         assert weights == sorted(weights, reverse=True)
 
 
+class TestMMR:
+    def _pool(self, spark, sf_dir, pool=30):
+        from data_pipeline_with_spark_kafka_spark.operators import similarity as s
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") == 0)
+        return emb, q
+
+    def test_matches_naive_python_greedy(self, spark, sf_dir):
+        """Independent reference: set-based greedy over the same pool,
+        written without the kernel's index bookkeeping."""
+        from data_pipeline_with_spark_kafka_spark.operators import mmr
+
+        emb, q = self._pool(spark, sf_dir)
+        got = (
+            mmr.mmr_select(emb, "vec_id", "embedding", q, k=8, pool=30, lam=0.7)
+            .orderBy("position")
+            .collect()
+        )
+        # rebuild the pool (same expressions) and greedy it naively
+        from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
+        from data_pipeline_with_spark_kafka_spark.operators import similarity as s
+
+        qv = q.limit(1).select(s.as_double(F.col("embedding")).alias("qv"))
+        pool = (
+            emb.crossJoin(F.broadcast(qv))
+            .select(
+                "vec_id",
+                s.as_double(F.col("embedding")).alias("v"),
+                round_to(s.cosine(s.as_double(F.col("embedding")), F.col("qv")), 6).alias(
+                    "rel"
+                ),
+            )
+            .orderBy(F.col("rel").desc(), "vec_id")
+            .limit(30)
+            .collect()
+        )
+        vecs = {r["vec_id"]: np.array(r["v"]) for r in pool}
+        rel = {r["vec_id"]: r["rel"] for r in pool}
+
+        def cos(a, b):
+            x = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            return math.floor(abs(x) * 1e6 + 0.5) / 1e6 * (1 if x >= 0 else -1)
+
+        selected: list[int] = []
+        want = []
+        candidates = sorted(vecs)
+        for pos in range(1, 9):
+            best, best_score = None, None
+            for c in candidates:
+                if c in selected:
+                    continue
+                max_sim = max((cos(vecs[c], vecs[s_]) for s_ in selected), default=0.0)
+                score = 0.7 * rel[c] - 0.3 * max_sim
+                if best_score is None or score > best_score:
+                    best, best_score = c, score
+            selected.append(best)
+            want.append((best, pos))
+        assert [(r["vec_id"], r["position"]) for r in got] == want
+
+    def test_diversifies_vs_plain_topk(self, spark, sf_dir):
+        """The MMR set's max pairwise similarity should not exceed the
+        plain top-k set's (that's the whole point of the penalty)."""
+        from data_pipeline_with_spark_kafka_spark.operators import mmr
+        from data_pipeline_with_spark_kafka_spark.operators import similarity as s
+
+        emb, q = self._pool(spark, sf_dir)
+        sel = {
+            r["vec_id"]
+            for r in mmr.mmr_select(
+                emb, "vec_id", "embedding", q, k=8, pool=30, lam=0.7
+            ).collect()
+        }
+        topk = {
+            r["vec_id"]
+            for r in s.brute_force_topk(emb, "vec_id", "embedding", q, k=8).collect()
+        }
+        vecs = {
+            r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.filter(F.col("vec_id").isin(list(sel | topk))).collect()
+        }
+
+        def max_pair(ids):
+            ids = sorted(ids)
+            best = -1.0
+            for i, a in enumerate(ids):
+                for b in ids[i + 1 :]:
+                    va, vb = vecs[a], vecs[b]
+                    best = max(
+                        best,
+                        float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))),
+                    )
+            return best
+
+        assert max_pair(sel) <= max_pair(topk) + 1e-9
+
+
 class TestSQ8:
     def test_codes_within_byte_range_and_roundtrip_bound(self, spark, sf_dir):
         emb = load_table(spark, sf_dir, "embeddings")

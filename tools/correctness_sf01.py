@@ -70,6 +70,9 @@ HEAVY = [
     "llm_sim_topk_lsh_md5",
     "llm_bm25_topk", "llm_inverted_index",
     "llm_token_entropy", "cdc_derive_changes",
+    # round-6 selection/quantization additions
+    "llm_dsir_importance_topk", "llm_sim_topk_sq8", "llm_sim_topk_ivf_sq8",
+    "llm_emb_sq8_error", "llm_mmr_diversified_topk",
     # deep TPC-H joins (value-heavy aggregates)
     "tpch_q9_product_profit", "tpch_q21_waiting_supplier",
 ]
