@@ -196,6 +196,135 @@ def llm_sim_topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMP_MIXTURE_ORACLE = """
+WITH cnt AS (
+    SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+), shares AS (
+    SELECT lang, n,
+           sqrt(n) / SUM(sqrt(n)) OVER () AS p
+    FROM cnt
+), budget AS (
+    SELECT MIN(n / p) AS nb FROM shares
+), frac AS (
+    SELECT s.lang, ROUND(s.p * b.nb / s.n * 10000) / 10000 AS keep_frac
+    FROM shares s, budget b
+)
+SELECT d.doc_id, d.lang, f.keep_frac
+FROM documents d
+JOIN frac f ON f.lang = d.lang
+WHERE CAST(('0x' || SUBSTRING(md5('mixT:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      / 4294967296.0 < f.keep_frac
+"""
+
+
+@register(
+    "llm_mixture_temperature", oracle=TEMP_MIXTURE_ORACLE, tags=("llm", "curation", "sampling")
+)
+def llm_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (alpha=0.5 — the multilingual-LM
+    reweighting of Conneau & Lample 2019): target share p_i ∝ n_i^0.5,
+    corpus budget = the largest size at which no domain oversamples
+    (min n_i/p_i), per-domain keep_frac = p_i*budget/n_i. Softer than
+    `llm_domain_mixture`'s uniform balance — high-resource domains keep a
+    sqrt-scaled advantage instead of being clipped to the minimum.
+    Acceptance is the same deterministic md5-uniform as the uniform
+    mixture, on the ROUNDED fraction (cross-engine identical), so the
+    sample itself is hash-verified. Stats side is a 5-row domain relation;
+    the corpus side is one broadcast-join + filter scan."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    shares = cnt.select(
+        "lang",
+        F.col("n"),
+        (F.sqrt("n") / F.sum(F.sqrt("n")).over(w)).alias("p"),
+    )
+    frac = shares.select(
+        "lang",
+        (
+            F.round(F.col("p") * F.min(F.col("n") / F.col("p")).over(w) / F.col("n") * 10000, 0)
+            / 10000
+        ).alias("keep_frac"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("mixT:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.join(F.broadcast(frac), "lang")
+        .filter(u < F.col("keep_frac"))
+        .select("doc_id", "lang", "keep_frac")
+    )
+
+
+HARD_NEG_ORACLE = """
+WITH e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), a AS (
+    SELECT vec_id AS anchor_id, label AS anchor_label, v AS av
+    FROM e WHERE vec_id < 8
+), scored AS (
+    SELECT a.anchor_id,
+           e.vec_id AS negative_id,
+           e.label AS negative_label,
+           ROUND(list_dot_product(e.v, a.av)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(a.av, a.av)))
+                 * 1000000) / 1000000 AS cosine
+    FROM e JOIN a ON e.label <> a.anchor_label
+)
+SELECT anchor_id, negative_id, negative_label, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+                               ORDER BY cosine DESC, negative_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
+@register(
+    "llm_hard_negative_mining", oracle=HARD_NEG_ORACLE, tags=("llm", "similarity", "selection")
+)
+def llm_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each of 8 anchor
+    vectors, the 3 most-similar vectors with a DIFFERENT label — the
+    near-miss negatives that make embedding models learn boundaries.
+    Same broadcast-anchors + WindowGroupLimit shape as the exact k-NN
+    join; the label inequality rides the join condition so same-label
+    rows never reach the window."""
+    from pyspark.sql import Window
+
+    from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
+    from data_pipeline_with_spark_kafka_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = (
+        emb.filter(F.col("vec_id") < 8)
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            sim.as_double(F.col("embedding")).alias("av"),
+        )
+    )
+    v = sim.as_double(F.col("embedding"))
+    scored = (
+        emb.join(F.broadcast(anchors), F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            round_to(sim.cosine(v, F.col("av")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cosine").desc(), F.col("negative_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
 @register(
     "llm_mmr_diversified_topk",
     oracle=mmr.mmr_oracle_sql(k=8, pool=30, lam=0.7),

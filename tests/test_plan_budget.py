@@ -186,6 +186,13 @@ EXCHANGE_BUDGET = {
     # relevance-pool TakeOrdered cut + the single-group exchange feeding
     # the bounded applyInPandas greedy kernel (round 6).
     "llm_mmr_diversified_topk": 2,
+    # domain-count agg + two single-partition windows over the 5-row
+    # domain relation (label-sized, like drift_psi_labels); the corpus
+    # side is one broadcast-join filter scan (round 6).
+    "llm_mixture_temperature": 3,
+    # 8-row anchor limit + the 8-group WindowGroupLimit shuffle; the
+    # corpus side fans out against the broadcast anchors only (round 6).
+    "llm_hard_negative_mining": 3,
     "llm_stratified_sample": 0,
     "llm_text_fingerprint": 0,
     "llm_text_langid": 0,

@@ -83,6 +83,27 @@ class TestDSIR:
         assert len(langs) == 30
         assert sum(1 for lang in langs if lang == "en") >= 20
 
+    def test_no_target_docs_still_finite(self, spark):
+        """tt=0 degrades to a uniform smoothed target — weights stay
+        finite and the ranking is defined (no log(0) / division blowup)."""
+        df = spark.createDataFrame(
+            [(0, "a b c", "de"), (1, "d e f", "fr")], "doc_id int, text string, lang string"
+        )
+        rows = importance.dsir_topk(df, "doc_id", "text", F.col("lang") == "en", k=5).collect()
+        assert len(rows) == 2
+        assert all(math.isfinite(r["dsir_weight"]) for r in rows)
+
+    def test_all_target_docs(self, spark):
+        """target == raw: every bucket's ratio is (tc+1)/(tt+B) vs the
+        identical raw term, so weights are small and identical-text docs
+        tie exactly."""
+        df = spark.createDataFrame(
+            [(0, "a b", "en"), (1, "a b", "en")], "doc_id int, text string, lang string"
+        )
+        rows = importance.dsir_topk(df, "doc_id", "text", F.col("lang") == "en", k=5).collect()
+        ws = {r["doc_id"]: r["dsir_weight"] for r in rows}
+        assert ws[0] == ws[1]
+
     def test_rank_is_dense_and_ordered(self, spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
         rows = (
@@ -192,6 +213,49 @@ class TestMMR:
         assert max_pair(sel) <= max_pair(topk) + 1e-9
 
 
+class TestMixtureAndNegatives:
+    def test_temperature_softer_than_uniform(self, spark, sf_dir):
+        """alpha=0.5 keeps MORE of the high-resource domains than the
+        uniform-balance mixture (its whole purpose), while every domain's
+        keep_frac stays in (0, 1]."""
+        from data_pipeline_with_spark_kafka_spark.queries.llm_selection import (
+            llm_mixture_temperature,
+        )
+
+        rows = llm_mixture_temperature(spark, sf_dir).collect()
+        fracs = {r["lang"]: r["keep_frac"] for r in rows}
+        assert all(0 < f <= 1.0 + 1e-9 for f in fracs.values())
+        docs = load_table(spark, sf_dir, "documents")
+        counts = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+        biggest = max(counts, key=counts.get)
+        smallest = min(counts, key=counts.get)
+        # smallest domain is never downsampled harder than the biggest
+        assert fracs[smallest] >= fracs[biggest]
+        # temperature keeps a sqrt-scaled advantage: expected kept rows of
+        # the biggest domain exceed the uniform mixture's (min-count) cap
+        assert counts[biggest] * fracs[biggest] > counts[smallest] * 1.05
+
+    def test_hard_negatives_cross_label_and_ranked(self, spark, sf_dir):
+        from data_pipeline_with_spark_kafka_spark.queries.llm_selection import (
+            llm_hard_negative_mining,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+        rows = llm_hard_negative_mining(spark, sf_dir).collect()
+        assert len(rows) == 8 * 3
+        for r in rows:
+            assert labels[r["anchor_id"]] != r["negative_label"]
+            assert labels[r["negative_id"]] == r["negative_label"]
+        for a in {r["anchor_id"] for r in rows}:
+            ranked = sorted(
+                (r for r in rows if r["anchor_id"] == a), key=lambda r: r["rank"]
+            )
+            assert [r["rank"] for r in ranked] == [1, 2, 3]
+            cos = [r["cosine"] for r in ranked]
+            assert cos == sorted(cos, reverse=True)
+
+
 class TestSQ8:
     def test_codes_within_byte_range_and_roundtrip_bound(self, spark, sf_dir):
         emb = load_table(spark, sf_dir, "embeddings")
@@ -257,6 +321,20 @@ class TestSQ8:
         # 8-bit codes leave ~1e-3 cosine error; with a 5x rerank pool the
         # exact top-10 should survive essentially always.
         assert len(sq_ids & bf_ids) / 10 >= 0.9
+
+    def test_constant_dimension_zero_scale_guard(self, spark):
+        """A dimension with max==min has scale 0 — codes must be 0 and the
+        reconstruction must return the constant exactly (no 0/0 NaN)."""
+        rows = [(i, [1.5, float(i)]) for i in range(4)]
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+        mins, scales = quantization.sq8_train(df, "embedding", 2)
+        assert scales[0] == 0.0
+        got = df.select(
+            quantization.sq8_reconstruct(F.col("embedding"), mins, scales).alias("rv")
+        ).collect()
+        for r in got:
+            assert r["rv"][0] == 1.5
+            assert not any(math.isnan(x) for x in r["rv"])
 
     def test_ivf_sq8_agrees_with_ivf_exact(self, spark, sf_dir):
         """IVF-SQ8 probes the same 3 cells as the exact IVF tier; the only
