@@ -253,8 +253,11 @@ def llm_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         / F.lit(4294967296.0)
     )
+    # no broadcast hint: frac's subtree scans the sf-proportional docs
+    # table, so the hint would defeat AQE's right to demote at scale —
+    # the planner elects the broadcast itself (5-row aggregate side).
     return (
-        docs.join(F.broadcast(frac), "lang")
+        docs.join(frac, "lang")
         .filter(u < F.col("keep_frac"))
         .select("doc_id", "lang", "keep_frac")
     )

@@ -31,6 +31,12 @@ ITERATIVE_BUILDERS = {
     "llm_sim_topk_ivf",    # k-means quantizer training (memoized per sf_dir)
     "llm_dedup_embedding_cosine_ivf",  # same quantizer training path
     "llm_knn_join_ivf",                # same quantizer training path
+    # round-6 learned-artifact stats passes, one aggregate scan each,
+    # memoized per sf_dir (offline-training class, like the quantizer):
+    "llm_dsir_importance_topk",  # 256-bucket n-gram distribution estimate
+    "llm_sim_topk_sq8",          # SQ8 per-dim min/max codebook
+    "llm_sim_topk_ivf_sq8",      # same codebook (+ fixture quantizer cells)
+    "llm_emb_sq8_error",         # same codebook
 }
 
 

@@ -95,6 +95,12 @@ SCALE_FIXTURE_SET = [
     "llm_sim_topk_lsh_md5",
     "llm_bm25_topk", "llm_inverted_index",
     "llm_token_entropy",
+    # round-6 selection/quantization additions (documents/embeddings only;
+    # the IVF-SQ8 quantizer + oracle share the same committed fixture at
+    # every sf, so the comparison stays closed)
+    "llm_dsir_importance_topk", "llm_sim_topk_sq8", "llm_sim_topk_ivf_sq8",
+    "llm_emb_sq8_error", "llm_mmr_diversified_topk",
+    "llm_mixture_temperature", "llm_hard_negative_mining",
 ]
 
 
