@@ -352,6 +352,54 @@ def llm_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BINARY_SIGN_ORACLE = """
+WITH e AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), words AS MATERIALIZED (
+    SELECT vec_id, v,
+           CAST(SUM(CASE WHEN v[d.d + 1] >= 0 THEN (1::BIGINT << (31 - d.d)) ELSE 0 END) AS BIGINT) AS w1,
+           CAST(SUM(CASE WHEN v[d.d + 33] >= 0 THEN (1::BIGINT << (31 - d.d)) ELSE 0 END) AS BIGINT) AS w2
+    FROM e, range(0, 32) d(d)
+    GROUP BY vec_id, v
+), q AS (
+    SELECT v AS qv, w1 AS qw1, w2 AS qw2 FROM words WHERE vec_id = 0
+), pool AS (
+    SELECT w.vec_id, w.v, q.qv,
+           CAST(bit_count(xor(w.w1, q.qw1)) + bit_count(xor(w.w2, q.qw2)) AS INT) AS hamming
+    FROM words w, q
+    ORDER BY hamming ASC, w.vec_id
+    LIMIT 100
+)
+SELECT vec_id, hamming,
+       ROUND(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+             * 1000000) / 1000000 AS cosine
+FROM pool ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+@register(
+    "llm_sim_topk_binary", oracle=BINARY_SIGN_ORACLE, tags=("llm", "similarity", "quantization")
+)
+def llm_sim_topk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit sign-binarized ANN (Charikar 2002 angle estimate): Hamming
+    pre-rank over packed sign words (32x smaller than float32), exact
+    cosine rerank of the top-100 pool — the floor of the quantization
+    ladder (exact → SQ8 → 1-bit), data-independent so there is no
+    training pass at all. Fully oracled: DuckDB mirrors the MSB-first
+    word fold, xor/bit_count Hamming, and both rank cuts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantization.binary_sign_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        emb.filter(F.col("vec_id") == 0),
+        k=10,
+        pool=100,
+        dim=64,
+    )
+
+
 SQ8_ERROR_ORACLE = """
 WITH e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

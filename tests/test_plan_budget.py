@@ -180,6 +180,8 @@ EXCHANGE_BUDGET = {
     "llm_sim_topk_lsh_md5": 2,
     # ADC TakeOrdered pool cut + the 50-row exact rerank sort (round 6).
     "llm_sim_topk_sq8": 2,
+    # Hamming TakeOrdered pool cut + the 100-row rerank sort (round 6).
+    "llm_sim_topk_binary": 2,
     # literal-centroid cell assignment is zero-shuffle; probe join is a
     # 3-row broadcast; ADC pool cut + rerank as the flat SQ8 tier (round 6).
     "llm_sim_topk_ivf_sq8": 2,

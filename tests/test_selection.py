@@ -357,6 +357,32 @@ class TestSQ8:
         ex_ids = {r["vec_id"] for r in exact.collect()}
         assert len(sq_ids & ex_ids) / 10 >= 0.9
 
+    def test_binary_sign_words_and_recall(self, spark, sf_dir):
+        """Sign packing matches a direct numpy fold; Hamming pre-rank +
+        pool-100 rerank recovers most of the exact top-10."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        v = sim.as_double(F.col("embedding"))
+        w = quantization.sign_words(v, 64)
+        rows = (
+            emb.orderBy("vec_id")
+            .limit(10)
+            .select("vec_id", v.alias("v"), w[0].alias("w1"), w[1].alias("w2"))
+            .collect()
+        )
+        for r in rows:
+            bits = ["1" if x >= 0 else "0" for x in r["v"]]
+            assert r["w1"] == int("".join(bits[:32]), 2)
+            assert r["w2"] == int("".join(bits[32:]), 2)
+        q = emb.filter(F.col("vec_id") == 0)
+        got = {
+            r["vec_id"]
+            for r in quantization.binary_sign_topk(
+                emb, "vec_id", "embedding", q, k=10, pool=100, dim=64
+            ).collect()
+        }
+        bf = {r["vec_id"] for r in sim.brute_force_topk(emb, "vec_id", "embedding", q, k=10).collect()}
+        assert len(got & bf) / 10 >= 0.8
+
     def test_error_audit_bounds(self, spark, sf_dir):
         emb = load_table(spark, sf_dir, "embeddings")
         mins, scales = quantization.sq8_train(emb, "embedding", 64)
