@@ -31,7 +31,9 @@ _QT_VALUES = ", ".join(
     f"({qid}, '{term}')" for qid, text in PROBE_QUERIES for term in text.split()
 )
 
-BM25_ORACLE = f"""
+# Shared CTE prefix: the full BM25 pipeline up to per-query ranks. Reused
+# verbatim by the RRF hybrid oracle so the two stay in lock-step.
+BM25_CTES = f"""
 WITH toks AS (
     SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ), post AS (
@@ -64,10 +66,15 @@ WITH toks AS (
                PARTITION BY query_id ORDER BY ROUND(s, 6) DESC, doc_id
            ) AS rank
     FROM scored
-)
+)"""
+
+BM25_ORACLE = (
+    BM25_CTES
+    + """
 SELECT query_id, CAST(rank AS INT) AS rank, doc_id, ROUND(s, 4) AS score_bm25
 FROM ranked WHERE rank <= 5
 """
+)
 
 
 @register("llm_bm25_topk", oracle=BM25_ORACLE, tags=("llm", "retrieval"))
@@ -127,4 +134,121 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 50)
         .select("term", "df", "total_tf", "postings_head")
+    )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of sparse (BM25) + dense ranks
+# --------------------------------------------------------------------------
+
+RRF_K = 60  # the standard fusion constant (Cormack, Clarke & Buettcher 2009)
+
+RRF_ORACLE = (
+    BM25_CTES
+    + f"""
+, bmtop AS (
+    SELECT query_id, doc_id, rank AS rb FROM ranked WHERE rank <= 5
+), qv AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+    FROM embeddings WHERE vec_id < 4
+), ev AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), dsc AS (
+    SELECT q.query_id, e.vec_id AS doc_id,
+           ROUND(list_dot_product(e.v, q.qvec)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qvec, q.qvec)))
+                 * 1000000) / 1000000 AS c
+    FROM ev e, qv q
+), dtop AS (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, doc_id) AS rd
+    FROM dsc
+    QUALIFY rd <= 5
+), fused AS (
+    SELECT COALESCE(b.query_id, d.query_id) AS query_id,
+           COALESCE(b.doc_id, d.doc_id) AS doc_id,
+           COALESCE(1.0 / ({RRF_K} + b.rb), 0.0)
+           + COALESCE(1.0 / ({RRF_K} + d.rd), 0.0) AS rrf
+    FROM bmtop b
+    FULL OUTER JOIN dtop d ON b.query_id = d.query_id AND b.doc_id = d.doc_id
+)
+SELECT query_id, doc_id,
+       ROUND(rrf * 1000000) / 1000000 AS rrf_score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, doc_id) AS INT) AS rank
+FROM fused
+QUALIFY rank <= 5
+"""
+)
+
+
+@register("llm_hybrid_rrf", oracle=RRF_ORACLE, tags=("llm", "retrieval", "similarity"))
+def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
+    per-query BM25 top-5 (sparse) fused with dense cosine top-5 (the
+    vec_id<4 embeddings standing in as the probes' query vectors;
+    vec_id = doc_id keys the dense index into the corpus) by
+    ``sum 1/(60 + rank)`` over a FULL OUTER join of the two lists.
+
+    RRF is rank-only, so the fused score is a two-term expression on
+    exact integer ranks — bit-identical across engines with no rounding
+    subtleties; both source rank lists are themselves fully oracled
+    pipelines. Scale shape: both branches end in per-query
+    WindowGroupLimit top-k, and the fusion join touches <= 2*k*queries
+    rows — catalog-sized whatever the corpus."""
+    from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
+    from data_pipeline_with_spark_kafka_spark.operators import similarity as sim
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qterms = spark.createDataFrame(
+        [(qid, term) for qid, text in PROBE_QUERIES for term in text.split()],
+        "query_id int, term string",
+    )
+    bmtop = retrieval.bm25_topk(docs, qterms, "doc_id", "text", k=5).select(
+        "query_id", "doc_id", F.col("rank").alias("rb")
+    )
+
+    anchors = (
+        emb.filter(F.col("vec_id") < 4)
+        .limit(4)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            sim.as_double(F.col("embedding")).alias("qvec"),
+        )
+    )
+    v = sim.as_double(F.col("embedding"))
+    dsc = emb.crossJoin(F.broadcast(anchors)).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        round_to(sim.cosine(v, F.col("qvec")), 6).alias("c"),
+    )
+    wd = Window.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("doc_id"))
+    dtop = (
+        dsc.withColumn("rd", F.row_number().over(wd))
+        .filter(F.col("rd") <= 5)
+        .select("query_id", "doc_id", "rd")
+    )
+
+    fused = (
+        bmtop.join(dtop, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rb")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rd")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "doc_id",
+            round_to(F.col("rrf"), 6).alias("rrf_score"),
+            "rank",
+        )
     )

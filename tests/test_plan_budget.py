@@ -109,6 +109,10 @@ EXCHANGE_BUDGET = {
     # + workload/df/stats side exchanges; the string count includes AQE's
     # initial+final plan duplication, like every entry here.
     "llm_bm25_topk": 24,
+    # the BM25 branch's exchanges + the dense WindowGroupLimit + the
+    # full-outer fusion join and final per-query window — everything after
+    # the two top-k cuts moves <= 2*k*queries rows (round 6).
+    "llm_hybrid_rrf": 17,
     "llm_bpe_encode": 3,
     "llm_bpe_vocab": 0,
     "llm_chunk_documents": 0,
