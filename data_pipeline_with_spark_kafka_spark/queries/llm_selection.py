@@ -430,3 +430,71 @@ def llm_emb_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantization.sq8_reconstruction_error(
         emb, "embedding", dim=64, cache_key=f"sq8:{sf_dir}"
     )
+
+
+LABEL_PRECISION_ORACLE = """
+WITH e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+    SELECT vec_id AS query_id, label AS anchor_label, v AS qv
+    FROM e WHERE vec_id < 16
+), scored AS (
+    SELECT q.query_id, q.anchor_label, e.label AS nlabel,
+           ROUND(list_dot_product(e.v, q.qv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+                 * 1000000) / 1000000 AS cosine,
+           e.vec_id AS neighbor_id
+    FROM e JOIN q ON e.vec_id <> q.query_id
+), topk AS (
+    SELECT query_id, anchor_label, nlabel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+)
+SELECT query_id, anchor_label,
+       ROUND(SUM(CASE WHEN nlabel = anchor_label THEN 1.0 ELSE 0.0 END) / 10 * 10000)
+           / 10000 AS precision_at_10
+FROM topk
+GROUP BY query_id, anchor_label
+"""
+
+
+@register(
+    "llm_retrieval_label_precision",
+    oracle=LABEL_PRECISION_ORACLE,
+    tags=("llm", "similarity", "diagnostic"),
+)
+def llm_retrieval_label_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space retrieval QUALITY metric: precision@10 of exact
+    k-NN under label agreement, per anchor (16 anchors) — the standard
+    intrinsic eval for an embedding column before trusting it for
+    dedup/ANN (low label precision = the cosine geometry doesn't reflect
+    the grouping the pipeline assumes). Same broadcast-anchor
+    WindowGroupLimit shape as the k-NN join; the metric aggregate runs on
+    k*anchors rows."""
+    from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
+    from data_pipeline_with_spark_kafka_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = sim.knn_join_exact(
+        emb, "vec_id", "embedding", emb.filter(F.col("vec_id") < 16), k=10, query_limit=16
+    )
+    labels = emb.select("vec_id", "label")
+    anchors = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("anchor_label")
+    )
+    neigh = labels.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
+    )
+    return (
+        knn.join(F.broadcast(anchors), "query_id")
+        .join(neigh, "neighbor_id")
+        .groupBy("query_id", "anchor_label")
+        .agg(
+            round_to(
+                F.sum(F.when(F.col("nlabel") == F.col("anchor_label"), 1.0).otherwise(0.0)) / 10,
+                4,
+            ).alias("precision_at_10")
+        )
+    )

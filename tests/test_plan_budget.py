@@ -186,6 +186,9 @@ EXCHANGE_BUDGET = {
     "llm_sim_topk_sq8": 2,
     # Hamming TakeOrdered pool cut + the 100-row rerank sort (round 6).
     "llm_sim_topk_binary": 2,
+    # knn WindowGroupLimit shuffle + the anchor/neighbor label joins and
+    # the 16-group metric aggregate over k*anchors rows (round 6).
+    "llm_retrieval_label_precision": 5,
     # literal-centroid cell assignment is zero-shuffle; probe join is a
     # 3-row broadcast; ADC pool cut + rerank as the flat SQ8 tier (round 6).
     "llm_sim_topk_ivf_sq8": 2,

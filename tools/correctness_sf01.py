@@ -74,7 +74,7 @@ HEAVY = [
     "llm_dsir_importance_topk", "llm_sim_topk_sq8", "llm_sim_topk_ivf_sq8",
     "llm_emb_sq8_error", "llm_mmr_diversified_topk",
     "llm_mixture_temperature", "llm_hard_negative_mining",
-    "llm_sim_topk_binary", "llm_hybrid_rrf",
+    "llm_sim_topk_binary", "llm_hybrid_rrf", "llm_retrieval_label_precision",
     # deep TPC-H joins (value-heavy aggregates)
     "tpch_q9_product_profit", "tpch_q21_waiting_supplier",
 ]
@@ -102,7 +102,7 @@ SCALE_FIXTURE_SET = [
     "llm_dsir_importance_topk", "llm_sim_topk_sq8", "llm_sim_topk_ivf_sq8",
     "llm_emb_sq8_error", "llm_mmr_diversified_topk",
     "llm_mixture_temperature", "llm_hard_negative_mining",
-    "llm_sim_topk_binary", "llm_hybrid_rrf",
+    "llm_sim_topk_binary", "llm_hybrid_rrf", "llm_retrieval_label_precision",
 ]
 
 
