@@ -487,8 +487,12 @@ def llm_retrieval_label_precision(spark: SparkSession, sf_dir: str) -> DataFrame
     neigh = labels.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
     )
+    # no broadcast hints: both label relations scan the sf-proportional
+    # embeddings table, so the hints would defeat AQE's right to demote
+    # at scale — the planner elects the broadcasts itself (the knn side
+    # is k*anchors rows; the label sides are narrow projections).
     return (
-        knn.join(F.broadcast(anchors), "query_id")
+        knn.join(anchors, "query_id")
         .join(neigh, "neighbor_id")
         .groupBy("query_id", "anchor_label")
         .agg(
