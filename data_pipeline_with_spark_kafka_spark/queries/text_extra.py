@@ -313,3 +313,143 @@ def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_to("h", 4).alias("token_entropy"),
         round_to(F.col("n_types") / F.col("dl"), 4).alias("type_token_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-law diagnostics: Zipf rank-frequency fit and PMI collocations
+# --------------------------------------------------------------------------
+
+ZIPF_ORACLE = """
+WITH toks AS (
+    SELECT string_split(text, ' ') AS t FROM documents
+), tf AS (
+    SELECT u.term, COUNT(*) AS c FROM toks, UNNEST(t) AS u(term) GROUP BY 1
+), ranked AS (
+    SELECT term, c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rk FROM tf
+)
+SELECT CAST(COUNT(*) AS INT) AS n_terms,
+       ROUND(regr_slope(ln(c), ln(rk)) * 1000000) / 1000000 AS zipf_slope,
+       ROUND(regr_r2(ln(c), ln(rk)) * 1000000) / 1000000 AS zipf_r2
+FROM ranked WHERE rk <= 200
+"""
+
+
+@register("llm_zipf_fit", oracle=ZIPF_ORACLE, tags=("llm", "text", "diagnostic"))
+def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency diagnostic: least-squares slope (and R²) of
+    ln(freq) vs ln(rank) over the top-200 terms. Natural corpora sit near
+    slope -1 with high R²; synthetic/templated or heavily-deduplicated
+    text drifts off — a one-row corpus-health probe. One term-count
+    aggregate + a 200-row regression (regr_slope/regr_r2 are built-in on
+    both engines)."""
+    from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # TakeOrdered cut to 200 BEFORE the rank window, so nothing ever
+    # sorts the full vocabulary on one partition (same discipline as the
+    # DSIR top-k).
+    top = tf.orderBy(F.col("c").desc(), F.col("term")).limit(200)
+    ranked = top.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("term")))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("int").alias("n_terms"),
+        round_to(F.expr("regr_slope(ln(c), ln(rk))"), 6).alias("zipf_slope"),
+        round_to(F.expr("regr_r2(ln(c), ln(rk))"), 6).alias("zipf_r2"),
+    )
+
+
+PMI_ORACLE = """
+WITH toks AS (
+    SELECT string_split(text, ' ') AS t FROM documents
+), uni AS (
+    SELECT u.term, COUNT(*) AS c FROM toks, UNNEST(t) AS u(term) GROUP BY 1
+), tot AS (
+    SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni
+), big AS (
+    SELECT unnest([t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]
+                   for i in range(1, len(t))]) AS g
+    FROM toks
+), bc AS (
+    SELECT g, COUNT(*) AS c FROM big GROUP BY 1
+), btot AS (
+    SELECT CAST(SUM(c) AS DOUBLE) AS nb FROM bc
+), scored AS (
+    SELECT bc.g AS bigram, bc.c AS pair_count,
+           ROUND((ln(bc.c / btot.nb)
+                  - ln(a.c / tot.n)
+                  - ln(b.c / tot.n)) * 1000000) / 1000000 AS pmi
+    FROM bc
+    JOIN uni a ON a.term = string_split(bc.g, ' ')[1]
+    JOIN uni b ON b.term = string_split(bc.g, ' ')[2]
+    CROSS JOIN tot CROSS JOIN btot
+    WHERE bc.c >= 5
+)
+SELECT bigram, CAST(pair_count AS BIGINT) AS pair_count, pmi,
+       CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, bigram) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 20
+"""
+
+
+@register("llm_top_pmi_bigrams", oracle=PMI_ORACLE, tags=("llm", "text", "diagnostic"))
+def llm_top_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining via pointwise mutual information: top-20 bigrams
+    (count >= 5) by PMI = ln p(ab) - ln p(a) - ln p(b) — the standard
+    phrase-extraction signal (Church & Hanks 1990) for tokenizer/vocab
+    construction. One bigram count + two unigram joins against the
+    vocab-sized term relation; the two corpus totals are 1-row cross
+    joins. The ln decomposition keeps the arithmetic order identical on
+    both engines."""
+    from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
+    from data_pipeline_with_spark_kafka_spark.operators.importance import (
+        unigram_bigram_grams,
+    )
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    uni = (
+        docs.select(F.explode(t).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("double").alias("n"))
+    bigrams = F.transform(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(t, i + F.lit(2))),
+    )
+    bc = (
+        docs.select(F.explode(bigrams).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    btot = bc.agg(F.sum("c").cast("double").alias("nb"))
+    a = uni.select(F.col("term").alias("_ta"), F.col("c").alias("ca"))
+    b = uni.select(F.col("term").alias("_tb"), F.col("c").alias("cb"))
+    scored = (
+        bc.filter(F.col("c") >= 5)
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .join(a, F.split(F.col("g"), " ")[0] == F.col("_ta"))
+        .join(b, F.split(F.col("g"), " ")[1] == F.col("_tb"))
+        .select(
+            F.col("g").alias("bigram"),
+            F.col("c").cast("long").alias("pair_count"),
+            round_to(
+                F.log(F.col("c") / F.col("nb"))
+                - F.log(F.col("ca") / F.col("n"))
+                - F.log(F.col("cb") / F.col("n")),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("bigram"))
+    top = scored.orderBy(F.col("pmi").desc(), F.col("bigram")).limit(20)
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -189,6 +189,12 @@ EXCHANGE_BUDGET = {
     # knn WindowGroupLimit shuffle + the anchor/neighbor label joins and
     # the 16-group metric aggregate over k*anchors rows (round 6).
     "llm_retrieval_label_precision": 5,
+    # term-count agg + TakeOrdered(200) cut + the 200-row rank window and
+    # 1-row regression aggregate (round 6).
+    "llm_zipf_fit": 3,
+    # unigram + bigram count aggs, two vocab-sized term joins, the two
+    # 1-row total broadcasts, TakeOrdered(20) + 20-row rank window (round 6).
+    "llm_top_pmi_bigrams": 11,
     # literal-centroid cell assignment is zero-shuffle; probe join is a
     # 3-row broadcast; ADC pool cut + rerank as the flat SQ8 tier (round 6).
     "llm_sim_topk_ivf_sq8": 2,

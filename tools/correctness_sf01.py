@@ -75,6 +75,7 @@ HEAVY = [
     "llm_emb_sq8_error", "llm_mmr_diversified_topk",
     "llm_mixture_temperature", "llm_hard_negative_mining",
     "llm_sim_topk_binary", "llm_hybrid_rrf", "llm_retrieval_label_precision",
+    "llm_zipf_fit", "llm_top_pmi_bigrams",
     # deep TPC-H joins (value-heavy aggregates)
     "tpch_q9_product_profit", "tpch_q21_waiting_supplier",
 ]
@@ -103,6 +104,7 @@ SCALE_FIXTURE_SET = [
     "llm_emb_sq8_error", "llm_mmr_diversified_topk",
     "llm_mixture_temperature", "llm_hard_negative_mining",
     "llm_sim_topk_binary", "llm_hybrid_rrf", "llm_retrieval_label_precision",
+    "llm_zipf_fit", "llm_top_pmi_bigrams",
 ]
 
 
