@@ -364,40 +364,47 @@ def minhash_lsh_pairs_md5(
     pinned in tests/test_llm_ops.py.
     """
     sh = shingles(tokens(F.col(text_col)), k)
-    base = df.select(F.col(id_col).alias("doc"), sh.alias("sh")).filter(F.size("sh") > 0)
-    # The (h1, h2) relation is PERSISTED before the NUM_HASHES seed
-    # lambdas consume it. A lambda over sequence() re-evaluates its body
-    # per element with no CSE across the lambda boundary, and staged
-    # projections alone don't survive Catalyst's collapsing here — so
-    # without the materialization boundary every seed re-ran the whole
-    # md5-per-shingle pipeline: measured 21-27 s for the sf0.1 corpus vs
-    # ~2 s persisted. (The xxhash64 tier tolerates the same re-inlining
-    # because re-hashing a long is nearly free; md5-per-string is not.)
-    # The persisted relation also feeds the verification joins, like the
-    # signature persist in ``minhash_lsh_pairs``.
-    staged = (
-        base.select("doc", "sh", F.transform("sh", lambda s: F.md5(s)).alias("_dg"))
-        .select(
-            "doc",
-            "sh",
-            F.transform(
-                "_dg",
-                lambda d: F.struct(
-                    F.conv(F.substring(d, 1, 8), 16, 10).cast("long").alias("h1"),
-                    F.conv(F.substring(d, 9, 8), 16, 10).cast("long").alias("h2"),
-                ),
-            ).alias("_hs"),
-        )
+    # The (doc, sh) relation is persisted: it feeds the occurrence explode
+    # AND the verification joins (like the signature persist in
+    # ``minhash_lsh_pairs``).
+    base = (
+        df.select(F.col(id_col).alias("doc"), sh.alias("sh"))
+        .filter(F.size("sh") > 0)
         .persist()
     )
-    mod = F.lit(4294967296)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(NUM_HASHES - 1)),
-        lambda seed: F.array_min(
-            F.transform("_hs", lambda h: (h["h1"] + seed * h["h2"]) % mod)
-        ),
+    # DISTINCT-SHINGLE-SPACE rewrite (round 6; the same trade that won 4x
+    # on fuzzy linkage): md5+conv is the expensive per-shingle step, and
+    # template-duplicated corpora — the whole reason a dedup pass exists —
+    # repeat shingles heavily across docs (sf0.1 fixture: 260k occurrences
+    # over 27k distinct). Hash once per DISTINCT shingle, equi-join the
+    # (h1, h2) pair back to the occurrence stream, and fold the
+    # Kirsch-Mitzenmacher family as NUM_HASHES map-side-combined min
+    # aggregates per doc. Measured 3.8 -> 2.1 s at sf0.1 with an
+    # identical verified pair set; the earlier per-occurrence expression
+    # form also had to persist mid-pipeline anyway (seed lambdas
+    # re-inline their input: 21-27 s unpersisted), so this replaces that
+    # materialization, not a zero-cost pipeline. An earlier round's
+    # history note: staged projections alone do NOT survive Catalyst's
+    # collapsing across lambda boundaries.
+    occ = base.select("doc", F.explode("sh").alias("s"))
+    digest = F.md5(F.col("s"))
+    dist = occ.select("s").distinct().select(
+        "s",
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(digest, 9, 8), 16, 10).cast("long").alias("h2"),
     )
-    sigs = staged.select("doc", sig.alias("sig"))
+    mod = F.lit(4294967296)
+    sigs = (
+        occ.join(dist, "s")
+        .groupBy("doc")
+        .agg(
+            *[
+                F.min((F.col("h1") + F.lit(i) * F.col("h2")) % mod).alias(f"_m{i}")
+                for i in range(NUM_HASHES)
+            ]
+        )
+        .select("doc", F.array(*[f"_m{i}" for i in range(NUM_HASHES)]).alias("sig"))
+    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -422,7 +429,7 @@ def minhash_lsh_pairs_md5(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sets = staged.select("doc", "sh")
+    sets = base.select("doc", "sh")
     pairs = (
         candidates.join(sets.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sets.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
