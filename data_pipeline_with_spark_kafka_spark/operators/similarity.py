@@ -88,18 +88,22 @@ def make_planes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:
     return rng.choice([-1.0, 1.0], size=(n_planes, dim))
 
 
-def make_planes_md5(dim: int, n_planes: int) -> np.ndarray:
+def make_planes_md5(dim: int, n_planes: int, prefix: str = "hp") -> np.ndarray:
     """CROSS-ENGINE Rademacher hyperplanes: sign(p, d) from the parity of
-    the first hex digit of md5('hp{p}:{d}') — the same derivation DuckDB
-    reproduces in SQL (substr(md5(...), 1, 1) parity), which makes the
-    whole LSH pipeline oracle-able. Hash-derived Rademacher entries have
-    the same JL/angle-preservation guarantees as seeded-RNG ones."""
+    the first hex digit of md5('{prefix}{p}:{d}') — the same derivation
+    DuckDB reproduces in SQL (substr(md5(...), 1, 1) parity), which makes
+    the whole LSH pipeline oracle-able. Hash-derived Rademacher entries
+    have the same JL/angle-preservation guarantees as seeded-RNG ones.
+    ``prefix`` namespaces independent families (LSH buckets vs the JL
+    projection in queries/llm_lm_extra.py) so they never share signs."""
     import hashlib
 
     return np.array(
         [
             [
-                1.0 if int(hashlib.md5(f"hp{p}:{d}".encode()).hexdigest()[0], 16) % 2 else -1.0
+                1.0
+                if int(hashlib.md5(f"{prefix}{p}:{d}".encode()).hexdigest()[0], 16) % 2
+                else -1.0
                 for d in range(dim)
             ]
             for p in range(n_planes)

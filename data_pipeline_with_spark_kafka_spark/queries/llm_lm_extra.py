@@ -1,0 +1,364 @@
+"""Language-model depth queries: trigram stupid-backoff scoring (the
+canonical DISTRIBUTED web-scale LM — Brants et al., EMNLP 2007, built
+for exactly this count-aggregate execution shape) and a
+Johnson-Lindenstrauss random projection over the embedding table (the
+classic scale-path dimensionality reduction: data-independent, one
+projection pass, no training), plus in-Spark training of the linear
+quality classifier (operators/classifier_train.py).
+
+Both SQL-expressible queries are fully oracled: the backoff model is
+count tables + joins, and the JL planes are the md5-derived Rademacher
+family DuckDB can re-derive in SQL (same trick as llm_sim_topk_lsh_md5).
+
+Reference parity: the reference repo (arunbalasundar/
+data-pipeline-with-spark-kafka) has no LM/embedding surface; these are
+[EXT] LLM-curation operators (SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
+from data_pipeline_with_spark_kafka_spark.operators import similarity
+from data_pipeline_with_spark_kafka_spark.operators.text import shingles, tokens
+from data_pipeline_with_spark_kafka_spark.queries.registry import register
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# Trigram LM with stupid backoff (Brants et al. 2007), held-out scoring
+# --------------------------------------------------------------------------
+#
+# Train on even doc_ids, score EVERY document — the real deployment shape
+# (score candidate docs against a reference-corpus LM), and the reason the
+# backoff path is live: odd docs contain trigrams the train half never saw.
+#
+#   S(w3 | w1 w2) = c3(w1 w2 w3) / c2(w1 w2)            if the trigram is seen
+#                 | 0.4 * c2(w2 w3) / c1(w2)            elif the bigram is seen
+#                 | 0.16 * (c1(w3) + 1) / (N + V)       otherwise (add-one unigram)
+#
+# c* are TRAIN-half counts, N = train token count, V = train vocabulary.
+
+_SB_ALPHA = 0.4
+
+TRIGRAM_BACKOFF_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), tri AS (
+    SELECT doc_id,
+           t[CAST(i AS INT)] AS w1,
+           t[CAST(i AS INT) + 1] AS w2,
+           t[CAST(i AS INT) + 2] AS w3
+    FROM toks, UNNEST(range(1, GREATEST(len(t) - 1, 1))) AS r(i)
+), tric AS (
+    SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri WHERE doc_id % 2 = 0
+    GROUP BY w1, w2, w3
+), bi AS (
+    SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+    FROM toks, UNNEST(range(1, len(t))) AS r(i)
+    WHERE doc_id % 2 = 0
+), bic AS (
+    SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2
+), uni AS (
+    SELECT w, COUNT(*) AS c1
+    FROM (SELECT UNNEST(t) AS w FROM toks WHERE doc_id % 2 = 0)
+    GROUP BY w
+), tot AS (
+    SELECT SUM(c1) AS n, COUNT(*) AS v FROM uni
+), scored AS (
+    SELECT tri.doc_id,
+           CASE WHEN tric.c3 IS NOT NULL THEN 0.0 ELSE 1.0 END AS backed_off,
+           log10(CASE
+               WHEN tric.c3 IS NOT NULL THEN tric.c3 / bp.c2
+               WHEN bs.c2 IS NOT NULL THEN 0.4 * bs.c2 / uc.c1
+               ELSE 0.16 * (COALESCE(uw.c1, 0) + 1) / (tot.n + tot.v)
+           END) AS lp
+    FROM tri
+    LEFT JOIN tric ON tric.w1 = tri.w1 AND tric.w2 = tri.w2 AND tric.w3 = tri.w3
+    LEFT JOIN bic bp ON bp.w1 = tri.w1 AND bp.w2 = tri.w2
+    LEFT JOIN bic bs ON bs.w1 = tri.w2 AND bs.w2 = tri.w3
+    LEFT JOIN uni uc ON uc.w = tri.w2
+    LEFT JOIN uni uw ON uw.w = tri.w3
+    CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       ROUND(AVG(lp), 4) AS avg_log10_score,
+       ROUND(AVG(backed_off), 4) AS backoff_rate
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@register(
+    "llm_perplexity_trigram_backoff",
+    oracle=TRIGRAM_BACKOFF_ORACLE,
+    tags=("llm", "scoring"),
+)
+def llm_perplexity_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff LM scoring (Brants et al. 2007): counts from
+    the even-doc_id train half, every doc scored against them, unseen
+    trigrams backing off to bigram then add-one unigram mass.
+
+    Scale shape (the paper's whole point): the "model" is three
+    count relations built by map-side-combined aggregates — gram-vocabulary
+    sized, NOT corpus-sized — and scoring is equi-joins of the trigram
+    stream against them on gram keys. No normalization pass is needed
+    (stupid backoff's score is deliberately unnormalized), which is what
+    made it tractable on 2007-Google-scale corpora and keeps every stage
+    here a plain shuffle-on-key. Docs with < 3 tokens have no trigrams and
+    drop out (mirrored by the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+
+    # The trigram stream feeds BOTH the train counts (filtered) and the
+    # scoring joins — persist it (the dedup.py twice-consumed contract).
+    tri = (
+        docs.select("doc_id", F.explode(shingles(t, 3, distinct=False)).alias("g"))
+        .select(
+            "doc_id",
+            F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
+            F.split_part(F.col("g"), F.lit(" "), F.lit(3)).alias("w3"),
+        )
+        .persist()
+    )
+    train = F.col("doc_id") % 2 == 0
+    tric = (
+        tri.filter(train)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    bic = (
+        docs.filter(train)
+        .select(F.explode(shingles(t, 2, distinct=False)).alias("g"))
+        .select(
+            F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    uni = (
+        docs.filter(train)
+        .select(F.explode(t).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    tot = uni.agg(F.sum("c1").alias("n"), F.count(F.lit(1)).alias("v"))
+
+    bp = bic.select(F.col("w1"), F.col("w2"), F.col("c2").alias("c2p"))
+    bs = bic.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("c2").alias("c2s")
+    )
+    uc = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1ctx"))
+    uw = uni.select(F.col("w").alias("w3"), F.col("c1").alias("c1w"))
+
+    s = (
+        F.when(F.col("c3").isNotNull(), F.col("c3") / F.col("c2p"))
+        .when(
+            F.col("c2s").isNotNull(),
+            F.lit(_SB_ALPHA) * F.col("c2s") / F.col("c1ctx"),
+        )
+        .otherwise(
+            F.lit(_SB_ALPHA * _SB_ALPHA)
+            * (F.coalesce(F.col("c1w"), F.lit(0)) + F.lit(1))
+            / (F.col("n") + F.col("v"))
+        )
+    )
+    scored = (
+        tri.join(tric, ["w1", "w2", "w3"], "left")
+        .join(bp, ["w1", "w2"], "left")
+        .join(bs, ["w2", "w3"], "left")
+        .join(uc, ["w2"], "left")
+        .join(uw, ["w3"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.when(F.col("c3").isNotNull(), F.lit(0.0)).otherwise(F.lit(1.0)).alias("backed_off"),
+            F.log10(s).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        round_to(F.avg("lp"), 4).alias("avg_log10_score"),
+        round_to(F.avg("backed_off"), 4).alias("backoff_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (64 -> 16 dims)
+# --------------------------------------------------------------------------
+#
+# y = (1/sqrt(k)) * R v with R a Rademacher(+-1) matrix (Achlioptas 2001:
+# sign matrices satisfy the JL lemma) — here the md5-derived family
+# ('rp{p}:{d}') that DuckDB re-derives in SQL, so projected norms are
+# cross-engine checkable bit-for-bit before rounding.
+
+_JL_K = 16
+_JL_DIM = 64
+_JL_SCALE = 0.25  # 1/sqrt(16)
+
+RANDOM_PROJECTION_ORACLE = f"""
+WITH pl AS (
+    SELECT p.p,
+           list(CASE WHEN CAST(('0x' || substr(md5('rp' || p.p || ':' || d.d), 1, 1)) AS INT) % 2 = 1
+                     THEN 1.0 ELSE -1.0 END ORDER BY d.d) AS w
+    FROM (SELECT unnest(range(0, {_JL_K})) AS p) p,
+         (SELECT unnest(range(0, {_JL_DIM})) AS d) d
+    GROUP BY p.p
+), ws AS (
+    SELECT list(w ORDER BY p) AS ws FROM pl
+), e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), proj AS (
+    SELECT vec_id, v,
+           [list_dot_product(v, w) FOR w IN ws.ws] AS s
+    FROM e, ws
+)
+SELECT vec_id,
+       ROUND(sqrt(list_dot_product(v, v)), 4) AS orig_norm,
+       ROUND({_JL_SCALE} * sqrt(list_sum([x * x FOR x IN s])), 4) AS proj_norm,
+       ROUND({_JL_SCALE} * sqrt(list_sum([x * x FOR x IN s]))
+             / sqrt(list_dot_product(v, v)), 4) AS distortion
+FROM proj
+"""
+
+
+@register(
+    "llm_emb_random_projection",
+    oracle=RANDOM_PROJECTION_ORACLE,
+    tags=("llm", "embedding"),
+)
+def llm_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection of the embedding table to 16 dims with the
+    norm-distortion ratio per vector (the JL lemma's guarantee made
+    observable: distortion concentrates near 1).
+
+    Scale shape: data-INDEPENDENT dimensionality reduction — the 16x64
+    sign matrix is plan-time literals (nothing is trained, nothing is
+    broadcast), and the whole projection is a per-row expression tree:
+    zero shuffles, zero UDFs, one scan. This is the preprocessing step
+    that makes downstream ANN/dedup tiers 4x narrower at 100 TB. PCA
+    (emb_pca_project) is the data-dependent alternative; JL is what you
+    use when you can't afford the covariance pass."""
+    planes = similarity.make_planes_md5(_JL_DIM, _JL_K, prefix="rp")
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    # Bind each projected component to an attribute BEFORE consuming them
+    # (the winnowing lambda-inlining lesson): downstream refs must not
+    # re-inline 16 fold expressions.
+    dot_cols = []
+    for j in range(_JL_K):
+        plane = F.array(*[F.lit(float(x)) for x in planes[j]])
+        dot_cols.append(
+            F.aggregate(
+                F.zip_with("v", plane, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"s{j}")
+        )
+    staged = e.select("vec_id", "v", *dot_cols)
+    # Fixed left-to-right summation order (j = 0..15) — matches the
+    # oracle's list_sum over the p-ordered comprehension, so the doubles
+    # are identical before rounding.
+    sumsq = reduce(
+        lambda acc, j: acc + F.col(f"s{j}") * F.col(f"s{j}"), range(_JL_K), F.lit(0.0)
+    )
+    onorm = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    out = staged.select(
+        "vec_id",
+        onorm.alias("_onorm"),
+        (F.lit(_JL_SCALE) * F.sqrt(sumsq)).alias("_pnorm"),
+    )
+    return out.select(
+        "vec_id",
+        round_to(F.col("_onorm"), 4).alias("orig_norm"),
+        round_to(F.col("_pnorm"), 4).alias("proj_norm"),
+        round_to(F.col("_pnorm") / F.col("_onorm"), 4).alias("distortion"),
+    )
+
+
+# --------------------------------------------------------------------------
+# In-Spark classifier training (rows-only: iterative GD loop)
+# --------------------------------------------------------------------------
+
+_TRAIN_FEATURES = ["log_tokens", "mean_word_len", "dup_bigram_ratio", "top_token_ratio"]
+_TRAIN_ITERS = 30
+_TRAIN_LR = 1.0
+
+
+def _classifier_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher metrics -> (doc_id, label, 4 double features). The label is
+    the expensive conjunctive rule; the features are its cheap inputs —
+    the distillation setup."""
+    from data_pipeline_with_spark_kafka_spark.queries.text_extra import (
+        llm_quality_gopher,
+    )
+
+    g = llm_quality_gopher(spark, sf_dir)
+    return g.select(
+        "doc_id",
+        F.col("passes").cast("double").alias("label"),
+        F.log10(F.col("n_tokens").cast("double")).alias("log_tokens"),
+        F.col("mean_word_len").cast("double").alias("mean_word_len"),
+        F.col("dup_bigram_ratio").cast("double").alias("dup_bigram_ratio"),
+        F.col("top_token_ratio").cast("double").alias("top_token_ratio"),
+    )
+
+
+@register(
+    "llm_train_quality_classifier",
+    oracle=None,
+    tags=("llm", "quality", "iterative"),
+)
+def llm_train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the linear quality classifier IN Spark (full-batch logistic
+    regression, operators/classifier_train.py): distill the Gopher rule
+    stack into a 4-weight linear model, then report the learned weights
+    and the training-set accuracy/loss from one final scoring aggregate.
+
+    Rows-only (the GD loop is iterative, not SQL-expressible); the loop
+    is pinned against a numpy reference in tests/test_classifier_train.py.
+    Each iteration is ONE aggregate returning k+2 doubles — the dataset
+    never leaves the executors, so the loop's cost profile is
+    iterations x one-scan-aggregate, the same as the IVF quantizer."""
+    from data_pipeline_with_spark_kafka_spark.operators.classifier_train import (
+        score_expr,
+        train_logreg_cached,
+    )
+
+    feats = _classifier_feature_frame(spark, sf_dir)
+    model = train_logreg_cached(
+        feats,
+        _TRAIN_FEATURES,
+        "label",
+        cache_key=f"gopher-distill:{sf_dir}",
+        iters=_TRAIN_ITERS,
+        lr=_TRAIN_LR,
+    )
+    acc_row = (
+        feats.select(
+            ((score_expr(model) >= 0.5).cast("double") == F.col("label"))
+            .cast("double")
+            .alias("hit")
+        )
+        .agg(F.avg("hit").alias("acc"))
+        .collect()[0]
+    )
+    rows = [
+        (f"weight:{name}", round(w, 4))
+        for name, w in zip(model.features, model.weights)
+    ]
+    rows.append(("bias", round(model.bias, 4)))
+    rows.append(("final_log_loss", round(model.losses[-1], 4)))
+    rows.append(("train_accuracy", round(float(acc_row["acc"]), 4)))
+    rows.append(("n_rows", float(model.n_rows)))
+    return spark.createDataFrame(rows, "term string, value double").orderBy("term")

@@ -11,6 +11,7 @@ nulls land), not in volume.
 from __future__ import annotations
 
 import datetime
+import math
 
 import pyspark.sql.functions as F
 from hypothesis import given, settings
@@ -127,8 +128,12 @@ def test_interpolation_matches_numpy(spark, obs):
         base + datetime.timedelta(hours=h): float(np.interp(h, xs, ys)) for h in grid
     }
     assert set(out) == set(expect)
+    # Spark's round() (and DuckDB's) is HALF-AWAY-FROM-ZERO on ties;
+    # Python's built-in round is banker's — model the engines, not Python
+    # (hypothesis found the exact-tie 1.03125 * 1e4 = 10312.5).
     for b in expect:
-        assert abs(out[b] - round(expect[b] * 1e4) / 1e4) < 1e-9, (b, out[b], expect[b])
+        expected_rounded = math.floor(abs(expect[b]) * 1e4 + 0.5) / 1e4 * math.copysign(1, expect[b])
+        assert abs(out[b] - expected_rounded) < 1e-9, (b, out[b], expect[b])
 
 
 words = st.sampled_from(["cat", "car", "cart", "dog", "dot", "fish", "fig", "ca"])
