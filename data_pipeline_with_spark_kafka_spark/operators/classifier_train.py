@@ -80,6 +80,7 @@ def train_logreg(
     *,
     iters: int = 30,
     lr: float = 1.0,
+    loop_partitions: int | None = None,
 ) -> TrainedModel:
     """Full-batch logistic regression via gradient descent.
 
@@ -89,6 +90,12 @@ def train_logreg(
     avg((sigmoid(z) - y) * x_j) for every j, plus the bias gradient and
     the mean log-loss — k+2 scalars to the driver per step (bounded by
     the feature count; the dataset itself never leaves the executors).
+
+    ``loop_partitions`` sizes the cached (k+1)-column frame the loop
+    re-aggregates (the graph.py lineage-discipline knob): the frame is a
+    few doubles per row, so at test scale the input's scan width is pure
+    scheduling overhead per iteration; at deployment scale size it to the
+    frame's bytes, not the raw corpus's.
     """
     means, stds = standardization_stats(df, feature_cols)
     std_cols = [f"z_{c}" for c in feature_cols]
@@ -98,7 +105,10 @@ def train_logreg(
             ((F.col(c) - F.lit(m)) / F.lit(s)).alias(zc)
             for c, m, s, zc in zip(feature_cols, means, stds, std_cols)
         ],
-    ).persist()
+    )
+    if loop_partitions:
+        zdf = zdf.repartition(loop_partitions)
+    zdf = zdf.persist()
     try:
         n_rows = zdf.count()  # materializes the persist once
         weights = [0.0] * len(std_cols)
@@ -163,10 +173,14 @@ def train_logreg_cached(
     cache_key: str,
     iters: int = 30,
     lr: float = 1.0,
+    loop_partitions: int | None = None,
 ) -> TrainedModel:
     key = (cache_key, tuple(feature_cols), label_col, iters, lr)
     hit = _MODEL_CACHE.get(key)
     if hit is None:
-        hit = train_logreg(df, feature_cols, label_col, iters=iters, lr=lr)
+        hit = train_logreg(
+            df, feature_cols, label_col, iters=iters, lr=lr,
+            loop_partitions=loop_partitions,
+        )
         _MODEL_CACHE[key] = hit
     return hit

@@ -105,32 +105,44 @@ def llm_perplexity_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFram
 
     Scale shape (the paper's whole point): the "model" is three
     count relations built by map-side-combined aggregates — gram-vocabulary
-    sized, NOT corpus-sized — and scoring is equi-joins of the trigram
-    stream against them on gram keys. No normalization pass is needed
-    (stupid backoff's score is deliberately unnormalized), which is what
-    made it tractable on 2007-Google-scale corpora and keeps every stage
-    here a plain shuffle-on-key. Docs with < 3 tokens have no trigrams and
-    drop out (mirrored by the oracle)."""
+    sized, NOT corpus-sized — and all five count lookups join the DISTINCT
+    trigram-type relation (type-space, the MinHash distinct-shingle trade),
+    so the corpus-sized stream pays exactly one type->score equi-join
+    before the per-doc aggregate. No normalization pass is needed (stupid
+    backoff's score is deliberately unnormalized), which is what made it
+    tractable on 2007-Google-scale corpora and keeps every stage here a
+    plain shuffle-on-key. Docs with < 3 tokens have no trigrams and drop
+    out (mirrored by the oracle)."""
     docs = load_table(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
 
-    # The trigram stream feeds BOTH the train counts (filtered) and the
-    # scoring joins — persist it (the dedup.py twice-consumed contract).
-    tri = (
-        docs.select("doc_id", F.explode(shingles(t, 3, distinct=False)).alias("g"))
+    # The trigram stream feeds the train counts (filtered), the distinct
+    # type relation, and the final per-doc join — persist it (the dedup.py
+    # twice-consumed contract).
+    tri = docs.select(
+        "doc_id", F.explode(shingles(t, 3, distinct=False)).alias("g")
+    ).persist()
+    train = F.col("doc_id") % 2 == 0
+    # Score in DISTINCT-TRIGRAM-TYPE space (the MinHash distinct-shingle
+    # trade): all five count lookups join the type relation — bounded by
+    # the trigram vocabulary, not the corpus — and the corpus-sized stream
+    # pays exactly ONE equi-join (type -> score) before the per-doc agg.
+    types = tri.select("g").distinct().select(
+        "g",
+        F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
+        F.split_part(F.col("g"), F.lit(" "), F.lit(3)).alias("w3"),
+    )
+    tric = (
+        tri.filter(train)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c3"))
         .select(
-            "doc_id",
             F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
             F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
             F.split_part(F.col("g"), F.lit(" "), F.lit(3)).alias("w3"),
+            "c3",
         )
-        .persist()
-    )
-    train = F.col("doc_id") % 2 == 0
-    tric = (
-        tri.filter(train)
-        .groupBy("w1", "w2", "w3")
-        .agg(F.count(F.lit(1)).alias("c3"))
     )
     bic = (
         docs.filter(train)
@@ -150,11 +162,19 @@ def llm_perplexity_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFram
     )
     tot = uni.agg(F.sum("c1").alias("n"), F.count(F.lit(1)).alias("v"))
 
+    # Precombine in COUNT space (gram-vocabulary-sized relations), so the
+    # type relation pays 3 joins instead of 5:
+    # - each trigram count carries its prefix-bigram count,
+    # - each bigram count carries its context-unigram count.
     bp = bic.select(F.col("w1"), F.col("w2"), F.col("c2").alias("c2p"))
-    bs = bic.select(
-        F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("c2").alias("c2s")
+    tric = tric.join(bp, ["w1", "w2"], "left")
+    uc = uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1ctx"))
+    bs = bic.join(uc, ["w1"], "left").select(
+        F.col("w1").alias("w2"),
+        F.col("w2").alias("w3"),
+        F.col("c2").alias("c2s"),
+        "c1ctx",
     )
-    uc = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1ctx"))
     uw = uni.select(F.col("w").alias("w3"), F.col("c1").alias("c1w"))
 
     s = (
@@ -169,23 +189,25 @@ def llm_perplexity_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFram
             / (F.col("n") + F.col("v"))
         )
     )
-    scored = (
-        tri.join(tric, ["w1", "w2", "w3"], "left")
-        .join(bp, ["w1", "w2"], "left")
+    type_scores = (
+        types.join(tric, ["w1", "w2", "w3"], "left")
         .join(bs, ["w2", "w3"], "left")
-        .join(uc, ["w2"], "left")
         .join(uw, ["w3"], "left")
         .crossJoin(F.broadcast(tot))
         .select(
-            "doc_id",
+            "g",
             F.when(F.col("c3").isNotNull(), F.lit(0.0)).otherwise(F.lit(1.0)).alias("backed_off"),
             F.log10(s).alias("lp"),
         )
     )
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_trigrams"),
-        round_to(F.avg("lp"), 4).alias("avg_log10_score"),
-        round_to(F.avg("backed_off"), 4).alias("backoff_rate"),
+    return (
+        tri.join(type_scores, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            round_to(F.avg("lp"), 4).alias("avg_log10_score"),
+            round_to(F.avg("backed_off"), 4).alias("backoff_rate"),
+        )
     )
 
 
@@ -343,6 +365,7 @@ def llm_train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         cache_key=f"gopher-distill:{sf_dir}",
         iters=_TRAIN_ITERS,
         lr=_TRAIN_LR,
+        loop_partitions=8,
     )
     acc_row = (
         feats.select(
