@@ -344,3 +344,112 @@ def sq8_reconstruction_error(
         )
         .select(F.lit(dim).cast("int").alias("dim"), "mean_abs_err", "max_abs_err")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — Jegou et al., TPAMI 2011
+# --------------------------------------------------------------------------
+
+def fixture_pq_codebooks(name: str = "pq_codebooks_m8_k16"):
+    """Load the committed PQ codebook artifact
+    (``fixtures/<name>.parquet``, columns subspace/cid/centroid) as a
+    numpy (m, k, subdim) array — or None if absent. Same offline-artifact
+    contract as ``clustering.fixture_centroid_rows``: the DuckDB oracle
+    reads the SAME parquet via read_parquet(), which is what makes the PQ
+    pipeline fully cross-engine oracled."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "fixtures",
+        f"{name}.parquet",
+    )
+    if not os.path.exists(path):
+        return None
+    t = pq.read_table(path)
+    subs = t.column("subspace").to_pylist()
+    cids = t.column("cid").to_pylist()
+    cents = t.column("centroid").to_pylist()
+    m, k = max(subs) + 1, max(cids) + 1
+    out = np.zeros((m, k, len(cents[0])), dtype=np.float64)
+    for s, c, v in zip(subs, cids, cents):
+        out[s][c] = v
+    return out
+
+
+def pq_reconstruct(vec: Column, codebooks: np.ndarray) -> Column:
+    """Fused PQ encode+decode: per subspace, pick the nearest codebook
+    centroid (squared-L2 argmin, first-minimum tie-break = lowest cid)
+    and concatenate the chosen centroids — a pure expression tree (the
+    codebooks are literals), map-only, zero shuffle. The stored form of
+    this operator is the 4-bit code per subspace (m=8, k=16 -> 4 bytes
+    per vector, 64x smaller than float32); the scan evaluates the
+    decoded vector directly, exactly like ``sq8_reconstruct``."""
+    m, k, subdim = codebooks.shape
+    recon_subs = []
+    for s in range(m):
+        sub = F.slice(vec, s * subdim + 1, subdim)
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.lit(np.asarray(codebooks[s][c], dtype=np.float64)),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in range(k)
+            ]
+        )
+        idx = F.array_position(dists, F.array_min(dists))
+        cents = F.array(
+            *[F.lit(np.asarray(codebooks[s][c], dtype=np.float64)) for c in range(k)]
+        )
+        recon_subs.append(F.element_at(cents, idx.cast("int")))
+    return F.concat(*recon_subs)
+
+
+def pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    k: int = 10,
+    pool: int = 50,
+) -> DataFrame:
+    """PQ-ADC top-``pool`` + exact rerank to top-``k`` — identical search
+    shape to ``sq8_topk`` with the PQ codec swapped in: scan evaluates the
+    reconstructed vector from the codebook literals, per-partition heaps
+    take the pool, the tiny pool reranks exactly. The corpus never
+    shuffles; the only broadcast is the structurally-1-row query."""
+    v = sim.as_double(F.col(vec_col))
+    q = query_df.select(sim.as_double(F.col(vec_col)).alias("qv")).limit(1)
+    staged = df.select(F.col(id_col), v.alias("_v")).withColumn(
+        "_rv", pq_reconstruct(F.col("_v"), codebooks)
+    )
+    adc = (
+        staged.crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.col("_v"),
+            F.col("qv"),
+            round_to(sim.cosine(F.col("_rv"), F.col("qv")), 6).alias("adc_cosine"),
+        )
+        .orderBy(F.col("adc_cosine").desc(), F.col(id_col))
+        .limit(pool)
+    )
+    return (
+        adc.select(
+            F.col(id_col),
+            F.col("adc_cosine"),
+            round_to(sim.cosine(F.col("_v"), F.col("qv")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -502,3 +502,79 @@ def llm_retrieval_label_precision(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("precision_at_10")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (the remaining canonical FAISS family next to SQ8 /
+# IVF-SQ8 / binary-sign): m=8 subspaces x k=16 centroids, 4-bit codes —
+# 4 bytes/vector vs 256 for float32. Codebooks are the committed offline
+# artifact fixtures/pq_codebooks_m8_k16.parquet (tools/gen_pq_fixture.py);
+# the oracle reads the SAME parquet, so assignment (squared-L2 argmin,
+# lowest-cid tie-break), reconstruction, ADC scoring, and the exact rerank
+# are all mirrored bit-for-bit before the 1e-6 rounding.
+
+_PQ_FIXTURES_DIR = "/root/repo/fixtures"
+
+PQ_TOPK_ORACLE = f"""
+WITH cb AS (
+    SELECT subspace, cid, centroid
+    FROM read_parquet('{_PQ_FIXTURES_DIR}/pq_codebooks_m8_k16.parquet')
+), e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), sub AS (
+    SELECT vec_id, s.s, v[CAST(s.s * 8 + 1 AS INT) : CAST(s.s * 8 + 8 AS INT)] AS sv
+    FROM e, range(0, 8) s(s)
+), dist AS (
+    SELECT sub.vec_id, sub.s, cb.cid, cb.centroid,
+           list_sum([(sv[CAST(i AS INT)] - centroid[CAST(i AS INT)])
+                     * (sv[CAST(i AS INT)] - centroid[CAST(i AS INT)])
+                     FOR i IN range(1, 9)]) AS d
+    FROM sub JOIN cb ON cb.subspace = sub.s
+), chosen AS (
+    SELECT vec_id, s, centroid
+    FROM dist
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cid) = 1
+), rec AS (
+    SELECT vec_id, flatten(list(centroid ORDER BY s)) AS rv FROM chosen GROUP BY vec_id
+), q AS (
+    SELECT v AS qv FROM e WHERE vec_id = 0
+), adc AS (
+    SELECT e.vec_id, e.v, q.qv,
+           ROUND(list_dot_product(rec.rv, q.qv)
+                 / (sqrt(list_dot_product(rec.rv, rec.rv)) * sqrt(list_dot_product(q.qv, q.qv)))
+                 * 1000000) / 1000000 AS adc_cosine
+    FROM e JOIN rec USING (vec_id), q
+    ORDER BY adc_cosine DESC, e.vec_id
+    LIMIT 50
+)
+SELECT vec_id, adc_cosine,
+       ROUND(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+             * 1000000) / 1000000 AS cosine
+FROM adc ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+@register("llm_sim_topk_pq", oracle=PQ_TOPK_ORACLE, tags=("llm", "similarity", "quantization"))
+def llm_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (Jegou et al. 2011): per-subspace nearest-
+    centroid reconstruction from the committed codebook fixture, ADC
+    cosine top-50 scan, exact rerank to top-10. Map-only scan + two
+    TakeOrdered heaps — the corpus never shuffles, and at 4 bits per
+    subspace the stored index is 64x smaller than the float32 vectors
+    (`operators/quantization.pq_topk`)."""
+    codebooks = quantization.fixture_pq_codebooks()
+    if codebooks is None:
+        raise RuntimeError(
+            "missing fixtures/pq_codebooks_m8_k16.parquet — run tools/gen_pq_fixture.py"
+        )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantization.pq_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        emb.filter(F.col("vec_id") == 0),
+        codebooks,
+        k=10,
+        pool=50,
+    )

@@ -201,6 +201,23 @@ EXCHANGE_BUDGET = {
     # literal-centroid cell assignment is zero-shuffle; probe join is a
     # 3-row broadcast; ADC pool cut + rerank as the flat SQ8 tier (round 6).
     "llm_sim_topk_ivf_sq8": 2,
+    # trigram/bigram/unigram count aggs over the train half, the distinct
+    # type relation + five count-space joins (gram-vocabulary sized), one
+    # stream->type-score join, per-doc agg (round 6).
+    "llm_perplexity_trigram_backoff": 16,
+    # plan-time literal sign matrix: the whole projection is a per-row
+    # expression tree — ZERO exchanges (round 6).
+    "llm_emb_random_projection": 0,
+    # the GD loop runs at build (memoized artifact); the emitted weight
+    # relation is a local createDataFrame + one orderBy (round 6).
+    "llm_train_quality_classifier": 1,
+    # classifier prob agg + gopher label exprs + score join, the 4dp
+    # score-group agg, the bounded-group rank window, two 1-row final
+    # aggs (round 6).
+    "llm_classifier_eval_auc": 12,
+    # codebook-literal reconstruction is map-only; ADC pool cut + exact
+    # rerank — the flat-SQ8 shape (round 6).
+    "llm_sim_topk_pq": 2,
     # relevance-pool TakeOrdered cut + the single-group exchange feeding
     # the bounded applyInPandas greedy kernel (round 6).
     "llm_mmr_diversified_topk": 2,

@@ -11,7 +11,6 @@ nulls land), not in volume.
 from __future__ import annotations
 
 import datetime
-import math
 
 import pyspark.sql.functions as F
 from hypothesis import given, settings
@@ -128,12 +127,14 @@ def test_interpolation_matches_numpy(spark, obs):
         base + datetime.timedelta(hours=h): float(np.interp(h, xs, ys)) for h in grid
     }
     assert set(out) == set(expect)
-    # Spark's round() (and DuckDB's) is HALF-AWAY-FROM-ZERO on ties;
-    # Python's built-in round is banker's — model the engines, not Python
-    # (hypothesis found the exact-tie 1.03125 * 1e4 = 10312.5).
+    # The engine output is rounded to 4 decimals. Modelling the exact
+    # rounding rule is a trap hypothesis keeps springing: Python round is
+    # banker's vs Spark's half-away (1.03125), and Spark's lerp arithmetic
+    # can sit one ulp from numpy's EXACTLY on a .5 boundary (0.09375),
+    # flipping the rounded digit. The robust property: the rounded engine
+    # value lies within half a rounding step of the unrounded reference.
     for b in expect:
-        expected_rounded = math.floor(abs(expect[b]) * 1e4 + 0.5) / 1e4 * math.copysign(1, expect[b])
-        assert abs(out[b] - expected_rounded) < 1e-9, (b, out[b], expect[b])
+        assert abs(out[b] - expect[b]) <= 0.5000001e-4, (b, out[b], expect[b])
 
 
 words = st.sampled_from(["cat", "car", "cart", "dog", "dot", "fish", "fig", "ca"])

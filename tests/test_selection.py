@@ -390,3 +390,58 @@ class TestSQ8:
         assert row["dim"] == 64
         assert 0 <= row["mean_abs_err"] <= row["max_abs_err"]
         assert row["max_abs_err"] <= scales.max() / 2 + 1e-6
+
+
+class TestPQ:
+    def test_reconstruction_matches_numpy(self, spark, sf_dir):
+        cb = quantization.fixture_pq_codebooks()
+        assert cb is not None and cb.shape == (8, 16, 8)
+        emb = load_table(spark, sf_dir, "embeddings")
+        rows = (
+            emb.orderBy("vec_id")
+            .limit(20)
+            .select(
+                "vec_id",
+                sim.as_double(F.col("embedding")).alias("v"),
+                quantization.pq_reconstruct(
+                    sim.as_double(F.col("embedding")), cb
+                ).alias("rv"),
+            )
+            .collect()
+        )
+        for r in rows:
+            v = np.array(r["v"])
+            want = np.concatenate(
+                [
+                    cb[s][
+                        (((v[s * 8 : s * 8 + 8] - cb[s]) ** 2).sum(axis=1)).argmin()
+                    ]
+                    for s in range(8)
+                ]
+            )
+            np.testing.assert_allclose(np.array(r["rv"]), want, rtol=0, atol=1e-12)
+
+    def test_topk_recall_vs_brute_force(self, spark, sf_dir):
+        cb = quantization.fixture_pq_codebooks()
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") == 0)
+        pq_res = quantization.pq_topk(emb, "vec_id", "embedding", q, cb, k=10, pool=50)
+        bf = sim.brute_force_topk(emb, "vec_id", "embedding", q, k=10)
+        pq_ids = {r["vec_id"] for r in pq_res.collect()}
+        bf_ids = {r["vec_id"] for r in bf.collect()}
+        # 4-bit codes are lossier than SQ8; the 5x rerank pool still keeps
+        # most of the exact top-10 on the clustered fixture corpus.
+        assert len(pq_ids & bf_ids) / 10 >= 0.7
+
+    def test_scan_is_maponly_with_takeordered(self, spark, sf_dir):
+        cb = quantization.fixture_pq_codebooks()
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") == 0)
+        plan = (
+            quantization.pq_topk(emb, "vec_id", "embedding", q, cb, k=10, pool=50)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan

@@ -76,6 +76,8 @@ HEAVY = [
     "llm_mixture_temperature", "llm_hard_negative_mining",
     "llm_sim_topk_binary", "llm_hybrid_rrf", "llm_retrieval_label_precision",
     "llm_zipf_fit", "llm_top_pmi_bigrams",
+    # round-6 LM / projection additions
+    "llm_perplexity_trigram_backoff", "llm_emb_random_projection",
     # deep TPC-H joins (value-heavy aggregates)
     "tpch_q9_product_profit", "tpch_q21_waiting_supplier",
 ]
@@ -105,6 +107,8 @@ SCALE_FIXTURE_SET = [
     "llm_mixture_temperature", "llm_hard_negative_mining",
     "llm_sim_topk_binary", "llm_hybrid_rrf", "llm_retrieval_label_precision",
     "llm_zipf_fit", "llm_top_pmi_bigrams",
+    # round-6 LM / projection additions
+    "llm_perplexity_trigram_backoff", "llm_emb_random_projection",
 ]
 
 
