@@ -453,3 +453,72 @@ def pq_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    centroid_rows: list,
+    codebooks: np.ndarray,
+    *,
+    k: int = 10,
+    pool: int = 50,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF-PQ: coarse-quantizer cell probe + PQ-ADC scan + exact rerank —
+    FAISS's ``IVF<n>,PQ<m>`` composition, THE billion-vector index layout
+    (cells bound candidates, 4-bit codes bound bytes: 4 B/vector here).
+    Both learned artifacts are committed fixtures (ivf_centroids_k8 +
+    pq_codebooks_m8_k16), so the whole pipeline stays cross-engine
+    oracled. Structure mirrors ``ivf_sq8_topk`` with the PQ codec swapped
+    into the ADC stage."""
+    from data_pipeline_with_spark_kafka_spark.operators import clustering
+
+    members = clustering.cell_multi_assign(df, vec_col, centroid_rows, n_assign=1)
+    centroids = query_df.sparkSession.createDataFrame(
+        centroid_rows, "cid int, centroid array<double>"
+    )
+    qcells = (
+        query_df.crossJoin(F.broadcast(centroids))
+        .select(
+            F.aggregate(
+                F.zip_with(
+                    sim.as_double(F.col(vec_col)),
+                    F.col("centroid"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            F.col("cid"),
+            sim.as_double(F.col(vec_col)).alias("qv"),
+        )
+        .orderBy("d", "cid")
+        .limit(n_probe)
+        .select(F.col("cid").alias("cell"), "qv")
+    )
+    v = sim.as_double(F.col(vec_col))
+    adc = (
+        members.join(F.broadcast(qcells), "cell")
+        .select(
+            F.col(id_col),
+            v.alias("_v"),
+            F.col("qv"),
+            round_to(sim.cosine(pq_reconstruct(v, codebooks), F.col("qv")), 6).alias(
+                "adc_cosine"
+            ),
+        )
+        .orderBy(F.col("adc_cosine").desc(), F.col(id_col))
+        .limit(pool)
+    )
+    return (
+        adc.select(
+            F.col(id_col),
+            F.col("adc_cosine"),
+            round_to(sim.cosine(F.col("_v"), F.col("qv")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -578,3 +578,91 @@ def llm_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         pool=50,
     )
+
+
+IVF_PQ_ORACLE = f"""
+WITH cents AS (
+    SELECT cid, centroid FROM read_parquet('{_PQ_FIXTURES_DIR}/ivf_centroids_k8.parquet')
+), cb AS (
+    SELECT subspace, cid AS pcid, centroid AS pcent
+    FROM read_parquet('{_PQ_FIXTURES_DIR}/pq_codebooks_m8_k16.parquet')
+), e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), members AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.v, c.centroid), c.cid) AS rn
+        FROM e CROSS JOIN cents c
+    ) WHERE rn <= 1
+), q AS (
+    SELECT v AS qv FROM e WHERE vec_id = 0
+), probes AS (
+    SELECT cid, qv FROM (
+        SELECT c.cid, q.qv,
+               ROW_NUMBER() OVER (ORDER BY list_distance(q.qv, c.centroid), c.cid) AS rn
+        FROM q CROSS JOIN cents c
+    ) WHERE rn <= 3
+), cand AS (
+    SELECT m.vec_id, m.v, p.qv FROM members m JOIN probes p ON m.cid = p.cid
+), sub AS (
+    SELECT vec_id, s.s, v[CAST(s.s * 8 + 1 AS INT) : CAST(s.s * 8 + 8 AS INT)] AS sv
+    FROM cand, range(0, 8) s(s)
+), dist AS (
+    SELECT sub.vec_id, sub.s, cb.pcid, cb.pcent,
+           list_sum([(sv[CAST(i AS INT)] - pcent[CAST(i AS INT)])
+                     * (sv[CAST(i AS INT)] - pcent[CAST(i AS INT)])
+                     FOR i IN range(1, 9)]) AS d
+    FROM sub JOIN cb ON cb.subspace = sub.s
+), chosen AS (
+    SELECT vec_id, s, pcent
+    FROM dist
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, pcid) = 1
+), rec AS (
+    SELECT vec_id, flatten(list(pcent ORDER BY s)) AS rv FROM chosen GROUP BY vec_id
+), adc AS (
+    SELECT c.vec_id, c.v, c.qv,
+           ROUND(list_dot_product(rec.rv, c.qv)
+                 / (sqrt(list_dot_product(rec.rv, rec.rv)) * sqrt(list_dot_product(c.qv, c.qv)))
+                 * 1000000) / 1000000 AS adc_cosine
+    FROM cand c JOIN rec USING (vec_id)
+    ORDER BY adc_cosine DESC, c.vec_id
+    LIMIT 50
+)
+SELECT vec_id, adc_cosine,
+       ROUND(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+             * 1000000) / 1000000 AS cosine
+FROM adc ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+@register(
+    "llm_sim_topk_ivf_pq", oracle=IVF_PQ_ORACLE, tags=("llm", "similarity", "quantization")
+)
+def llm_sim_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — FAISS's ``IVF8,PQ8`` composition, THE billion-vector
+    index layout: 3-probe coarse cells bound the candidates, 4-bit PQ
+    codes bound the bytes (4 B/vector), exact rerank restores precision.
+    Both learned artifacts are committed fixtures the DuckDB oracle also
+    reads, so the fully composed pipeline is hash-verified end-to-end."""
+    from data_pipeline_with_spark_kafka_spark.queries.llm_fast_paths import _quantizer_rows
+
+    codebooks = quantization.fixture_pq_codebooks()
+    if codebooks is None:
+        raise RuntimeError(
+            "missing fixtures/pq_codebooks_m8_k16.parquet — run tools/gen_pq_fixture.py"
+        )
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = _quantizer_rows(emb, sf_dir, fixture="ivf_centroids_k8", k=8, iterations=2)
+    return quantization.ivf_pq_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        emb.filter(F.col("vec_id") == 0),
+        rows,
+        codebooks,
+        k=10,
+        pool=50,
+        n_probe=3,
+    )

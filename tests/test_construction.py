@@ -36,6 +36,7 @@ ITERATIVE_BUILDERS = {
     "llm_dsir_importance_topk",  # 256-bucket n-gram distribution estimate
     "llm_sim_topk_sq8",          # SQ8 per-dim min/max codebook
     "llm_sim_topk_ivf_sq8",      # same codebook (+ fixture quantizer cells)
+    "llm_sim_topk_ivf_pq",       # fixture quantizer cells + PQ codebook fixture
     "llm_emb_sq8_error",         # same codebook
     "llm_train_quality_classifier",  # logistic-regression GD loop (memoized)
 }

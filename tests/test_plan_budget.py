@@ -218,6 +218,9 @@ EXCHANGE_BUDGET = {
     # codebook-literal reconstruction is map-only; ADC pool cut + exact
     # rerank — the flat-SQ8 shape (round 6).
     "llm_sim_topk_pq": 2,
+    # cell assignment + probe join are literal/broadcast; PQ ADC pool cut
+    # + exact rerank (round 6).
+    "llm_sim_topk_ivf_pq": 2,
     # relevance-pool TakeOrdered cut + the single-group exchange feeding
     # the bounded applyInPandas greedy kernel (round 6).
     "llm_mmr_diversified_topk": 2,

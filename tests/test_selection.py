@@ -445,3 +445,34 @@ class TestPQ:
         )
         assert "TakeOrderedAndProject" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestIVFPQ:
+    def test_agrees_with_flat_pq_on_probed_cells(self, spark, sf_dir):
+        """IVF-PQ's top-10 must be the flat-PQ result restricted to the
+        probed cells: every returned id carries the same exact cosine the
+        brute-force ranking assigns it."""
+        from data_pipeline_with_spark_kafka_spark.queries.llm_fast_paths import (
+            _quantizer_rows,
+        )
+
+        cb = quantization.fixture_pq_codebooks()
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") == 0)
+        rows = _quantizer_rows(emb, sf_dir, fixture="ivf_centroids_k8", k=8, iterations=2)
+        ivf = quantization.ivf_pq_topk(
+            emb, "vec_id", "embedding", q, rows, cb, k=10, pool=50, n_probe=3
+        ).collect()
+        assert len(ivf) == 10
+        bf = {
+            r["vec_id"]: r["cosine"]
+            for r in sim.brute_force_topk(
+                emb, "vec_id", "embedding", q, k=200
+            ).collect()
+        }
+        hits = [r for r in ivf if r["vec_id"] in bf]
+        # probing 3/8 cells of a clustered corpus keeps most of the true
+        # neighborhood; exact cosines must agree where both rank the id
+        assert len(hits) >= 7
+        for r in hits:
+            assert abs(r["cosine"] - bf[r["vec_id"]]) < 1e-9

@@ -76,8 +76,9 @@ HEAVY = [
     "llm_mixture_temperature", "llm_hard_negative_mining",
     "llm_sim_topk_binary", "llm_hybrid_rrf", "llm_retrieval_label_precision",
     "llm_zipf_fit", "llm_top_pmi_bigrams",
-    # round-6 LM / projection additions
+    # round-6 LM / projection / eval / PQ additions
     "llm_perplexity_trigram_backoff", "llm_emb_random_projection",
+    "llm_classifier_eval_auc", "llm_sim_topk_pq", "llm_sim_topk_ivf_pq",
     # deep TPC-H joins (value-heavy aggregates)
     "tpch_q9_product_profit", "tpch_q21_waiting_supplier",
 ]
@@ -107,8 +108,9 @@ SCALE_FIXTURE_SET = [
     "llm_mixture_temperature", "llm_hard_negative_mining",
     "llm_sim_topk_binary", "llm_hybrid_rrf", "llm_retrieval_label_precision",
     "llm_zipf_fit", "llm_top_pmi_bigrams",
-    # round-6 LM / projection additions
+    # round-6 LM / projection / eval / PQ additions
     "llm_perplexity_trigram_backoff", "llm_emb_random_projection",
+    "llm_classifier_eval_auc", "llm_sim_topk_pq", "llm_sim_topk_ivf_pq",
 ]
 
 
