@@ -242,3 +242,100 @@ def bfs_reference(edge_list, source, *, directed: bool = True):
                 seen[v] = seen[u] + 1
                 q.append(v)
     return seen
+
+
+# --------------------------------------------------------------------------
+# Label propagation communities (Raghavan et al., Phys. Rev. E 2007)
+# --------------------------------------------------------------------------
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    iterations: int = 10,
+    loop_partitions: int | None = None,
+) -> DataFrame:
+    """(node, label) community assignment for an undirected edge list
+    (src, dst) — synchronous LPA, made deterministic: every node votes
+    its own current label once alongside its neighbors' labels (the
+    self-vote damps the bipartite flip-flop synchronous LPA is known
+    for), the winning label is the most frequent, ties break to the
+    SMALLEST label. Initialization is label = node id, so the result is
+    a pure function of the edge set.
+
+    Scale shape mirrors ``pagerank``: per iteration one join of the edge
+    list against the label relation (shuffle on node key, map-side
+    combinable count aggregate), a bounded convergence scalar, and a
+    ``localCheckpoint`` lineage cut per generation. Stops early when no
+    label changes."""
+    spark = edges.sparkSession
+    old_width = spark.conf.get("spark.sql.shuffle.partitions")
+    if loop_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+    try:
+        return _lpa_loop(edges, iterations=iterations)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_width)
+
+
+def _lpa_loop(edges: DataFrame, *, iterations: int) -> DataFrame:
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct().persist()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        sym.unpersist()
+        return nodes.select("node", F.col("node").alias("label"))
+
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    try:
+        for _ in range(iterations):
+            neighbor_votes = sym.join(
+                labels.select(F.col("node").alias("dst"), "label"), "dst"
+            ).select(F.col("src").alias("node"), "label")
+            votes = neighbor_votes.unionByName(labels)  # self-vote
+            counts = votes.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
+            new_labels = counts.groupBy("node").agg(
+                F.max_by(
+                    "label", F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))
+                ).alias("label")
+            )
+            changed = (
+                new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+                .filter(F.col("label") != F.col("old"))
+                .count()
+            )  # bounded convergence scalar (the CC-loop contract)
+            labels = new_labels.localCheckpoint()
+            if changed == 0:
+                break
+    finally:
+        sym.unpersist()
+        nodes.unpersist()
+    return labels
+
+
+def label_propagation_reference(edge_list, iterations: int = 10):
+    """Pure-Python mirror of ``label_propagation`` for pytest pinning."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    nodes = set()
+    for s, d in edge_list:
+        adj[s].add(d)
+        adj[d].add(s)
+        nodes.update((s, d))
+    labels = {n: n for n in nodes}
+    for _ in range(iterations):
+        new = {}
+        for n in sorted(nodes):
+            c = Counter(labels[m] for m in adj[n])
+            c[labels[n]] += 1  # self-vote
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            new[n] = best
+        if new == labels:
+            return new
+        labels = new
+    return labels

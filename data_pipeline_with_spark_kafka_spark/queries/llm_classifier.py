@@ -247,3 +247,128 @@ def llm_classifier_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f1_keep"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Calibration: reliability bins (the ECE decomposition)
+# --------------------------------------------------------------------------
+#
+# Completes the eval pair with llm_classifier_eval_auc: AUC measures
+# ranking, calibration measures whether the probabilities MEAN anything.
+# Standard reliability-diagram binning (Guo et al., ICML 2017): 10 equal-
+# width confidence bins, per-bin mean confidence vs empirical positive
+# rate, |gap| weighted by bin mass = the bin's ECE contribution. All
+# count/average arithmetic — one aggregate over the scored corpus, any
+# scale.
+
+CLASSIFIER_CALIBRATION_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+), vocab AS (
+  SELECT token,
+         ((ascii(token) * 7 + length(token) * 13) % 41 - 20) / 20.0 AS w
+  FROM (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+        ORDER BY cnt DESC, token LIMIT {VOCAB_K})
+), prob AS (
+  SELECT t.doc_id,
+         ROUND(1.0 / (1.0 + exp(-(SUM(COALESCE(v.w, 0.0)) / COUNT(*) - {BIAS}))), 6) AS p
+  FROM tok t LEFT JOIN vocab v USING (token)
+  GROUP BY t.doc_id
+), toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+), base AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         ROUND((length(text) - (len(t) - 1)) * 1.0 / len(t), 4) AS mean_word_len
+  FROM toks
+), bi AS (
+  SELECT doc_id, COUNT(*) AS total_bi, COUNT(DISTINCT bg) AS distinct_bi
+  FROM (
+      SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS bg
+      FROM toks, UNNEST(range(1, len(t))) AS r(i)
+  )
+  GROUP BY doc_id
+), tf AS (
+  SELECT doc_id, MAX(cnt) AS top_cnt
+  FROM (
+      SELECT doc_id, w, COUNT(*) AS cnt
+      FROM (SELECT doc_id, UNNEST(t) AS w FROM toks)
+      GROUP BY doc_id, w
+  )
+  GROUP BY doc_id
+), lab AS (
+  SELECT base.doc_id,
+         CASE WHEN (base.n_tokens BETWEEN 10 AND 1000
+              AND base.mean_word_len BETWEEN 3 AND 10
+              AND CASE WHEN COALESCE(bi.total_bi, 0) = 0 THEN 0.0
+                       ELSE ROUND(1.0 - bi.distinct_bi * 1.0 / bi.total_bi, 4) END <= 0.6
+              AND ROUND(tf.top_cnt * 1.0 / base.n_tokens, 4) <= 0.25)
+              THEN 1 ELSE 0 END AS y
+  FROM base
+  LEFT JOIN bi ON bi.doc_id = base.doc_id
+  JOIN tf ON tf.doc_id = base.doc_id
+), sc AS (
+  SELECT LEAST(CAST(FLOOR(prob.p * 10) AS INT), 9) AS bin, prob.p, lab.y
+  FROM prob JOIN lab USING (doc_id)
+), tot AS (
+  SELECT COUNT(*) AS n FROM sc
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(p), 6) AS mean_confidence,
+       ROUND(AVG(CAST(y AS DOUBLE)), 6) AS frac_positive,
+       ROUND(ABS(ROUND(AVG(p), 6) - ROUND(AVG(CAST(y AS DOUBLE)), 6)), 6) AS abs_gap,
+       ROUND(COUNT(*) * ABS(ROUND(AVG(p), 6) - ROUND(AVG(CAST(y AS DOUBLE)), 6))
+             / (SELECT n FROM tot), 6) AS ece_contribution
+FROM sc
+GROUP BY bin
+"""
+
+
+@register(
+    "llm_classifier_calibration", oracle=CLASSIFIER_CALIBRATION_ORACLE, tags=("llm", "quality")
+)
+def llm_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for the linear quality scorer vs the
+    Gopher label (Guo et al. 2017): 10 equal-width confidence bins,
+    per-bin mean confidence vs empirical positive rate, mass-weighted
+    |gap| = the bin's ECE contribution (sum the column for ECE).
+
+    Scale shape: ONE count/sum aggregate over the scored corpus into 10
+    groups plus a 1-row total broadcast — no windows, no sorts; the gap
+    arithmetic runs on per-bin averages computed from exact counts."""
+    from data_pipeline_with_spark_kafka_spark.queries.text_extra import (
+        llm_quality_gopher,
+    )
+
+    probs = llm_quality_classifier(spark, sf_dir).select(
+        "doc_id", F.col("quality_prob").alias("p")
+    )
+    labels = llm_quality_gopher(spark, sf_dir).select(
+        "doc_id", F.col("passes").cast("int").alias("y")
+    )
+    sc = probs.join(labels, "doc_id").select(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin"),
+        "p",
+        "y",
+    )
+    tot = sc.agg(F.count(F.lit(1)).alias("n"))
+    mean_conf = round_to(F.avg("p"), 6)
+    frac_pos = round_to(F.avg(F.col("y").cast("double")), 6)
+    binned = sc.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        mean_conf.alias("mean_confidence"),
+        frac_pos.alias("frac_positive"),
+    )
+    gap = F.abs(F.col("mean_confidence") - F.col("frac_positive"))
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_docs",
+            "mean_confidence",
+            "frac_positive",
+            round_to(gap, 6).alias("abs_gap"),
+            round_to(F.col("n_docs") * gap / F.col("n"), 6).alias("ece_contribution"),
+        )
+    )

@@ -139,3 +139,47 @@ def test_iterative_generations_keep_linear_plans(spark):
     ids = spark.range(1, 8).selectExpr("id as doc")
     cc = connected_components(pair_edges, ids, "doc")
     assert len(cc._jdf.queryExecution().logical().toString()) < 20_000
+
+
+class TestLabelPropagation:
+    def _run(self, spark, edge_list, iterations=10):
+        df = spark.createDataFrame(edge_list, "src long, dst long")
+        got = {
+            r["node"]: r["label"]
+            for r in graph.label_propagation(
+                df, iterations=iterations, loop_partitions=4
+            ).collect()
+        }
+        want = graph.label_propagation_reference(edge_list, iterations=iterations)
+        return got, want
+
+    def test_matches_python_reference_two_cliques_with_bridge(self, spark):
+        clique1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        clique2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+        edges = clique1 + clique2 + [(3, 10)]
+        got, want = self._run(spark, edges)
+        assert got == want
+        # the two cliques end up in different communities
+        assert len({got[n] for n in range(3)} | {got[n] for n in range(11, 14)}) == 2
+
+    def test_matches_python_reference_on_random_graph(self, spark):
+        import random
+
+        rng = random.Random(7)
+        edges = list({(rng.randrange(20), rng.randrange(20)) for _ in range(40)})
+        edges = [(s, d) for s, d in edges if s != d]
+        got, want = self._run(spark, edges)
+        assert got == want
+
+    def test_isolated_pair_and_empty(self, spark):
+        got, want = self._run(spark, [(1, 2)])
+        assert got == want == {1: 1, 2: 1}
+        empty = spark.createDataFrame([], "src long, dst long")
+        assert graph.label_propagation(empty).count() == 0
+
+    def test_early_stop_converged(self, spark):
+        # a triangle converges in <= 2 iterations; asking for 50 must not
+        # run 50 generations (early-stop on changed == 0)
+        df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+        got = {r["node"]: r["label"] for r in graph.label_propagation(df, iterations=50, loop_partitions=2).collect()}
+        assert got == {1: 1, 2: 1, 3: 1}

@@ -221,6 +221,9 @@ EXCHANGE_BUDGET = {
     # cell assignment + probe join are literal/broadcast; PQ ADC pool cut
     # + exact rerank (round 6).
     "llm_sim_topk_ivf_pq": 2,
+    # classifier prob agg + gopher label exprs + score join, the 10-bin
+    # group agg + 1-row total broadcast (round 6).
+    "llm_classifier_calibration": 9,
     # relevance-pool TakeOrdered cut + the single-group exchange feeding
     # the bounded applyInPandas greedy kernel (round 6).
     "llm_mmr_diversified_topk": 2,
