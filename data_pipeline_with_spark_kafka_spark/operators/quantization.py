@@ -391,24 +391,23 @@ def pq_reconstruct(vec: Column, codebooks: np.ndarray) -> Column:
     recon_subs = []
     for s in range(m):
         sub = F.slice(vec, s * subdim + 1, subdim)
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        sub,
-                        F.lit(np.asarray(codebooks[s][c], dtype=np.float64)),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for c in range(k)
-            ]
-        )
-        idx = F.array_position(dists, F.array_min(dists))
         cents = F.array(
             *[F.lit(np.asarray(codebooks[s][c], dtype=np.float64)) for c in range(k)]
         )
+        # ONE transform looping over the k centroids at runtime, not k
+        # unrolled fold subtrees: the unrolled form blows the expression
+        # tree up ~k-fold, which pushed the projection out of whole-stage
+        # codegen into interpreted eval (measured 3x slower end-to-end).
+        # Values and first-minimum tie-break are identical.
+        dists = F.transform(
+            cents,
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        idx = F.array_position(dists, F.array_min(dists))
         recon_subs.append(F.element_at(cents, idx.cast("int")))
     return F.concat(*recon_subs)
 
@@ -502,13 +501,21 @@ def ivf_pq_topk(
     v = sim.as_double(F.col(vec_col))
     adc = (
         members.join(F.broadcast(qcells), "cell")
+        # Bind the reconstructed vector to an attribute BEFORE the cosine
+        # fold consumes it (the winnowing lambda-inlining lesson): inlined,
+        # the whole codebook-argmin tree re-evaluates per zip element —
+        # measured 2.7 s vs 1.3 s warm on the sf0.1 corpus.
         .select(
             F.col(id_col),
             v.alias("_v"),
             F.col("qv"),
-            round_to(sim.cosine(pq_reconstruct(v, codebooks), F.col("qv")), 6).alias(
-                "adc_cosine"
-            ),
+            pq_reconstruct(v, codebooks).alias("_rv"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_v"),
+            F.col("qv"),
+            round_to(sim.cosine(F.col("_rv"), F.col("qv")), 6).alias("adc_cosine"),
         )
         .orderBy(F.col("adc_cosine").desc(), F.col(id_col))
         .limit(pool)
