@@ -169,7 +169,7 @@ WITH tok AS (
 SELECT CAST(u.npos AS BIGINT) AS n_pos,
        CAST(u.n - u.npos AS BIGINT) AS n_neg,
        ROUND((u.spr - u.npos * (u.npos + 1) / 2.0)
-             / (u.npos * (u.n - u.npos)), 6) AS auc,
+             / NULLIF(u.npos * (u.n - u.npos), 0), 6) AS auc,
        ROUND((conf.tp + conf.tn) * 1.0 / u.n, 6) AS accuracy,
        ROUND(conf.tp * 1.0 / NULLIF(conf.tp + conf.fp, 0), 6) AS precision_keep,
        ROUND(conf.tp * 1.0 / NULLIF(conf.tp + conf.fn, 0), 6) AS recall_keep,
@@ -231,7 +231,9 @@ def llm_classifier_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             npos.cast("long").alias("n_pos"),
             nneg.cast("long").alias("n_neg"),
             round_to(
-                (F.col("spr") - npos * (npos + F.lit(1)) / F.lit(2.0)) / (npos * nneg), 6
+                (F.col("spr") - npos * (npos + F.lit(1)) / F.lit(2.0))
+                / F.nullif((npos * nneg).cast("double"), F.lit(0.0)),
+                6,
             ).alias("auc"),
             round_to((F.col("tp") + F.col("tn")) / n.cast("double"), 6).alias("accuracy"),
             round_to(

@@ -113,7 +113,14 @@ def llm_perplexity_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFram
     tractable on 2007-Google-scale corpora and keeps every stage here a
     plain shuffle-on-key. Docs with < 3 tokens have no trigrams and drop
     out (mirrored by the oracle)."""
-    docs = load_table(spark, sf_dir, "documents")
+    return trigram_backoff_scores(load_table(spark, sf_dir, "documents"))
+
+
+def trigram_backoff_scores(docs: DataFrame) -> DataFrame:
+    """Core of llm_perplexity_trigram_backoff over any (doc_id, text)
+    frame — split out so property tests can feed synthetic corpora
+    (tests/test_lm_extra.py pins it against a pure-Python stupid-backoff
+    reference)."""
     t = tokens(F.col("text"))
 
     # The trigram stream feeds the train counts (filtered), the distinct
