@@ -224,6 +224,9 @@ EXCHANGE_BUDGET = {
     # classifier prob agg + gopher label exprs + score join, the 10-bin
     # group agg + 1-row total broadcast (round 6).
     "llm_classifier_calibration": 9,
+    # three delta-join terms; AQE broadcasts the small delta sides, so
+    # only the base-side scans exchange (round 6).
+    "ivm_join_maintenance": 3,
     # relevance-pool TakeOrdered cut + the single-group exchange feeding
     # the bounded applyInPandas greedy kernel (round 6).
     "llm_mmr_diversified_topk": 2,
