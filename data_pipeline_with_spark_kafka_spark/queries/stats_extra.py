@@ -523,3 +523,60 @@ def stats_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# Quantile discretization (feature bucketing)
+# --------------------------------------------------------------------------
+#
+# The feature-engineering staple: bucket a numeric column into B
+# equal-mass bins via exact interpolated percentile cut points, then
+# profile each bucket. Two passes at any scale: one percentile aggregate
+# (constant state, 9 doubles out) and one bucketed group-by; the cut
+# points travel as a broadcast 1-row relation, rounded to 4dp on BOTH
+# engines so boundary comparisons run on identical doubles.
+
+QUANTILE_BUCKETS_ORACLE = """
+WITH cuts AS (
+    SELECT [ROUND(c, 4) FOR c IN
+            quantile_cont(o_totalprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])] AS cs
+    FROM orders
+), labeled AS (
+    SELECT len(list_filter(cuts.cs, c -> o.o_totalprice > c)) AS bucket,
+           o.o_totalprice AS x
+    FROM orders o, cuts
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(MIN(x), 4) AS lo,
+       ROUND(MAX(x), 4) AS hi,
+       ROUND(AVG(x), 4) AS mean_price
+FROM labeled
+GROUP BY bucket
+"""
+
+
+@register("stats_quantile_discretize", oracle=QUANTILE_BUCKETS_ORACLE, tags=("stats",))
+def stats_quantile_discretize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile discretization of order totals: exact interpolated cut
+    points (one constant-state percentile aggregate), bucket = number of
+    cut points strictly below the value (identical tie semantics on both
+    engines after 4dp cut rounding), per-bucket count/min/max/mean."""
+    orders = load_table(spark, sf_dir, "orders")
+    qs = [i / 10.0 for i in range(1, 10)]
+    cuts = orders.agg(
+        F.transform(
+            F.percentile("o_totalprice", F.array(*[F.lit(q) for q in qs])),
+            lambda c: round_to(c, 4),
+        ).alias("cs")
+    )
+    labeled = orders.crossJoin(F.broadcast(cuts)).select(
+        F.size(F.filter(F.col("cs"), lambda c: F.col("o_totalprice") > c)).alias("bucket"),
+        F.col("o_totalprice").alias("x"),
+    )
+    return labeled.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        round_to(F.min("x"), 4).alias("lo"),
+        round_to(F.max("x"), 4).alias("hi"),
+        round_to(F.avg("x"), 4).alias("mean_price"),
+    )

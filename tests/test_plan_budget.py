@@ -227,6 +227,9 @@ EXCHANGE_BUDGET = {
     # three delta-join terms; AQE broadcasts the small delta sides, so
     # only the base-side scans exchange (round 6).
     "ivm_join_maintenance": 3,
+    # constant-state percentile aggregate (2 exchanges to the 1-row cuts
+    # relation) + the bucketed group-by (round 6).
+    "stats_quantile_discretize": 3,
     # relevance-pool TakeOrdered cut + the single-group exchange feeding
     # the bounded applyInPandas greedy kernel (round 6).
     "llm_mmr_diversified_topk": 2,
