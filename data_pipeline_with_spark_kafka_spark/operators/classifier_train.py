@@ -184,3 +184,30 @@ def train_logreg_cached(
         )
         _MODEL_CACHE[key] = hit
     return hit
+
+
+def model_to_json(model: TrainedModel) -> dict:
+    """Plain-JSON form of the trained model — the versioned deployment
+    artifact (weights + standardization constants fold back into a pure
+    expression via ``score_expr``, so scoring needs no Python object)."""
+    return {
+        "features": list(model.features),
+        "weights": [float(w) for w in model.weights],
+        "bias": float(model.bias),
+        "means": [float(m) for m in model.means],
+        "stds": [float(s) for s in model.stds],
+        "losses": [round(float(x), 6) for x in model.losses],
+        "n_rows": model.n_rows,
+    }
+
+
+def model_from_json(d: dict) -> TrainedModel:
+    return TrainedModel(
+        features=tuple(d["features"]),
+        weights=tuple(float(w) for w in d["weights"]),
+        bias=float(d["bias"]),
+        means=tuple(float(m) for m in d["means"]),
+        stds=tuple(float(s) for s in d["stds"]),
+        losses=tuple(float(x) for x in d.get("losses", [])),
+        n_rows=int(d.get("n_rows", 0)),
+    )

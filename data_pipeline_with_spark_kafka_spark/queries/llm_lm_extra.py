@@ -332,7 +332,12 @@ def _classifier_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         llm_quality_gopher,
     )
 
-    g = llm_quality_gopher(spark, sf_dir)
+    return classifier_features(llm_quality_gopher(spark, sf_dir))
+
+
+def classifier_features(g: DataFrame) -> DataFrame:
+    """(doc_id, label, features) from a gopher-metrics frame — shared by
+    the registered trainer query and the run.py train-quality CLI."""
     return g.select(
         "doc_id",
         F.col("passes").cast("double").alias("label"),

@@ -162,10 +162,16 @@ def llm_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The per-row top-token count is an O(distinct * n) expression pair —
     bounded by doc length, no explode/groupBy shuffle."""
+    return gopher_metrics(load_table(spark, sf_dir, "documents"))
+
+
+def gopher_metrics(docs: DataFrame) -> DataFrame:
+    """Gopher quality metrics over any (doc_id, text) frame — split out so
+    the trainer/scorer CLI (run.py train-quality / curate --model) can
+    run on arbitrary document parquet, not just the registry tables."""
     from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
     from data_pipeline_with_spark_kafka_spark.operators.text import shingles, tokens
 
-    docs = load_table(spark, sf_dir, "documents")
     # Staged projections (the winnowing lesson, llm_fingerprint_winnowing
     # above): each stage binds expensive arrays/scalars to attributes so
     # downstream references — `passes` alone re-derives every metric —

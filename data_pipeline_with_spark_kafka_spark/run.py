@@ -28,6 +28,7 @@ import tempfile
 import urllib.request
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from data_pipeline_with_spark_kafka_spark.plans.pipeline import SinkSpec
 from data_pipeline_with_spark_kafka_spark.session import get_spark
@@ -151,9 +152,66 @@ def cmd_curate(spark: SparkSession, args: argparse.Namespace) -> None:
     from data_pipeline_with_spark_kafka_spark.sources.readers import write_batch
 
     docs = spark.read.parquet(args.input)
+    if getattr(args, "model", None):
+        # Learned-scorer pre-filter (the distillation deployment shape):
+        # the trained weights fold into one codegen expression over the
+        # gopher shape metrics — no Python object ships to executors.
+        import json as _json
+
+        from data_pipeline_with_spark_kafka_spark.operators.classifier_train import (
+            model_from_json,
+            score_expr,
+        )
+        from data_pipeline_with_spark_kafka_spark.queries.llm_lm_extra import (
+            classifier_features,
+        )
+        from data_pipeline_with_spark_kafka_spark.queries.text_extra import (
+            gopher_metrics,
+        )
+
+        with open(args.model) as f:
+            model = model_from_json(_json.load(f))
+        keep = (
+            classifier_features(gopher_metrics(docs))
+            .select("doc_id", score_expr(model).alias("_p"))
+            .filter(F.col("_p") >= args.min_prob)
+            .select("doc_id")
+        )
+        docs = docs.join(keep, "doc_id", "left_semi")
     curated = curate_corpus(docs, min_quality=args.min_quality)
     write_batch(curated, args.target, fmt="parquet", partition_by=["lang", "split"])
     print(f"curated -> {args.target} (partitioned by lang/split)")
+
+
+def cmd_train_quality(spark: SparkSession, args: argparse.Namespace) -> None:
+    """Train the distilled quality classifier on a documents parquet and
+    persist the model as a versioned JSON artifact (the offline-training
+    half of the DCLM loop; `curate --model` applies it)."""
+    import json as _json
+
+    from data_pipeline_with_spark_kafka_spark.operators.classifier_train import (
+        model_to_json,
+        train_logreg,
+    )
+    from data_pipeline_with_spark_kafka_spark.queries.llm_lm_extra import (
+        _TRAIN_FEATURES,
+        classifier_features,
+    )
+    from data_pipeline_with_spark_kafka_spark.queries.text_extra import gopher_metrics
+
+    docs = spark.read.parquet(args.input)
+    feats = classifier_features(gopher_metrics(docs))
+    model = train_logreg(
+        feats, _TRAIN_FEATURES, "label",
+        iters=args.iters, lr=args.lr, loop_partitions=8,
+    )
+    with open(args.model_out, "w") as f:
+        _json.dump(model_to_json(model), f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(
+        f"trained on {model.n_rows} docs in {args.iters} iterations: "
+        f"final log-loss {model.losses[-1]:.4f} -> {args.model_out}"
+    )
 
 
 def _two_phase_swap(out, target: str) -> None:
@@ -375,6 +433,14 @@ def make_parser() -> argparse.ArgumentParser:
     cur.add_argument("--input", required=True, help="documents parquet path/dir")
     cur.add_argument("--target", required=True, help="curated output dir")
     cur.add_argument("--min-quality", type=float, default=0.5)
+    cur.add_argument("--model", help="trained quality-model JSON (run train-quality first)")
+    cur.add_argument("--min-prob", type=float, default=0.5, help="learned-scorer keep threshold")
+
+    trq = sub.add_parser("train-quality", help="train the distilled quality classifier -> model JSON")
+    trq.add_argument("--input", required=True, help="documents parquet path/dir")
+    trq.add_argument("--model-out", required=True, help="where to write the model JSON")
+    trq.add_argument("--iters", type=int, default=30)
+    trq.add_argument("--lr", type=float, default=1.0)
 
     mnt = sub.add_parser("maintain", help="apply an update batch / CDC feed to a parquet dimension snapshot")
     mnt.add_argument("--mode", choices=["scd2", "cdc"], required=True)
@@ -454,6 +520,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> No
         "produce": cmd_produce,
         "consume": cmd_consume,
         "curate": cmd_curate,
+        "train-quality": cmd_train_quality,
         "maintain": cmd_maintain,
         "maintain-incremental": cmd_maintain_incremental,
         "e2e": cmd_e2e,

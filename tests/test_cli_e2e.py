@@ -340,3 +340,38 @@ def test_two_phase_swap_restores_old_snapshot_on_rename_failure(spark, tmp_path,
     # and a clean retry succeeds
     _two_phase_swap(out, target)
     assert [(r.k, r.attr) for r in spark.read.parquet(target).collect()] == [(1, "v2")]
+
+
+def test_train_quality_then_model_gated_curate(spark, sf_dir, tmp_path):
+    """The distillation deployment loop: train-quality persists a model
+    JSON; curate --model applies it as a codegen pre-filter. The gated
+    output must be a subset of the ungated curate and the model artifact
+    must round-trip with finite weights."""
+    import json
+
+    from data_pipeline_with_spark_kafka_spark.run import main
+
+    docs_path = f"{sf_dir}/documents.parquet"
+    model_path = str(tmp_path / "quality_model.json")
+    main(
+        ["train-quality", "--input", docs_path, "--model-out", model_path,
+         "--iters", "8"],
+        spark=spark,
+    )
+    model = json.load(open(model_path))
+    assert model["features"] == ["log_tokens", "mean_word_len",
+                                 "dup_bigram_ratio", "top_token_ratio"]
+    assert all(abs(w) < 1e6 for w in model["weights"] + [model["bias"]])
+    assert model["losses"][-1] <= model["losses"][0]
+
+    plain_dir, gated_dir = str(tmp_path / "plain"), str(tmp_path / "gated")
+    main(["curate", "--input", docs_path, "--target", plain_dir], spark=spark)
+    main(
+        ["curate", "--input", docs_path, "--target", gated_dir,
+         "--model", model_path, "--min-prob", "0.5"],
+        spark=spark,
+    )
+    plain = {r["doc_id"] for r in spark.read.parquet(plain_dir).select("doc_id").collect()}
+    gated = {r["doc_id"] for r in spark.read.parquet(gated_dir).select("doc_id").collect()}
+    assert gated, "model gate rejected everything"
+    assert gated <= plain
