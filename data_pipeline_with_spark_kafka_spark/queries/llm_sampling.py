@@ -167,3 +167,89 @@ def llm_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(WEIGHTED_RESERVOIR_K)
         .select("doc_id", "source", "n_chars", round_to("pri", 6).alias("priority"))
     )
+
+
+# --------------------------------------------------------------------------
+# Leakage-proof split: bucket by DEDUP CLUSTER, not by document
+# --------------------------------------------------------------------------
+#
+# The eval-integrity trap a plain per-doc split falls into: two near-
+# duplicates land on opposite sides of the train/test boundary and the
+# benchmark leaks. The fix is to split by the near-dup CLUSTER id (the
+# connected component's min label) so every member of a duplicate group
+# travels together. The oracle recomputes the same components with its
+# recursive CTE and applies the identical md5 bucket to the cluster id.
+
+CLUSTER_SPLIT_ORACLE = """
+WITH RECURSIVE toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id AS doc,
+           t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
+    FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+), sizes AS (
+    SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc
+), inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON sa.doc = inter.doc_a
+    JOIN sizes sb ON sb.doc = inter.doc_b
+    WHERE ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.8
+), edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+), reach(doc, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc
+), clusters AS (
+    SELECT doc AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+    SELECT doc_id, cluster_id,
+           CAST(('0x' || SUBSTRING(md5('csplit42:' || CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+    FROM clusters
+)
+"""
+
+
+@register(
+    "llm_cluster_aware_split", oracle=CLUSTER_SPLIT_ORACLE, tags=("llm", "sampling", "dedup")
+)
+def llm_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof 80/10/10 split: documents bucket by the md5 of their
+    near-dup CLUSTER id (connected component over the exact Jaccard pair
+    graph), so near-duplicates can never straddle the train/test
+    boundary. Composition of llm_dedup_clusters + the deterministic
+    md5-bucket split; one extra map-only expression over the cluster
+    relation, no additional shuffle beyond the CC computation itself."""
+    from data_pipeline_with_spark_kafka_spark.queries.llm import llm_dedup_clusters
+
+    clusters = llm_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("csplit42:"), F.col("cluster_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )

@@ -25,6 +25,7 @@ QUERIES = all_queries()
 # (documented in the operator docstrings; artifacts memoized per input).
 ITERATIVE_BUILDERS = {
     "llm_dedup_clusters",  # connected components: per-generation convergence scalar
+    "llm_cluster_aware_split",  # composes the same CC loop
     "llm_curated_corpus",  # composes the CC-based dedup stage
     "llm_bpe_vocab",       # BPE merge loop (adaptive driver/distributed)
     "llm_bpe_encode",      # trains via the same loop (memoized per sf_dir)

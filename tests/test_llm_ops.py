@@ -427,3 +427,22 @@ def test_weighted_quality_mean_matches_exact_formula(spark, sf_dir):
     for lang in got:
         # the query rounds to 4 decimals at the boundary
         assert abs(got[lang] - exact[lang]) < 5.1e-5, (lang, got[lang], exact[lang])
+
+
+def test_cluster_aware_split_never_straddles(spark, sf_dir):
+    """Leakage-proofness: every member of a near-dup cluster gets the
+    same split; plain per-doc splitting is exactly what this prevents."""
+    from data_pipeline_with_spark_kafka_spark.queries.llm_sampling import (
+        llm_cluster_aware_split,
+    )
+
+    rows = llm_cluster_aware_split(spark, sf_dir).collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # the fixture corpus has real multi-doc clusters, so this test bites
+    assert any(
+        len([r for r in rows if r["cluster_id"] == c]) > 1 for c in by_cluster
+    )
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}

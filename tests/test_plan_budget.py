@@ -230,6 +230,9 @@ EXCHANGE_BUDGET = {
     # constant-state percentile aggregate (2 exchanges to the 1-row cuts
     # relation) + the bucketed group-by (round 6).
     "stats_quantile_discretize": 3,
+    # CC runs at build (localCheckpoint output); the split is a map-only
+    # expression over the checkpointed cluster relation (round 6).
+    "llm_cluster_aware_split": 0,
     # relevance-pool TakeOrdered cut + the single-group exchange feeding
     # the bounded applyInPandas greedy kernel (round 6).
     "llm_mmr_diversified_topk": 2,

@@ -80,7 +80,7 @@ HEAVY = [
     "llm_perplexity_trigram_backoff", "llm_emb_random_projection",
     "llm_classifier_eval_auc", "llm_sim_topk_pq", "llm_sim_topk_ivf_pq",
     "llm_classifier_calibration", "ivm_join_maintenance",
-    "stats_quantile_discretize",
+    "stats_quantile_discretize", "llm_cluster_aware_split",
     # deep TPC-H joins (value-heavy aggregates)
     "tpch_q9_product_profit", "tpch_q21_waiting_supplier",
 ]
