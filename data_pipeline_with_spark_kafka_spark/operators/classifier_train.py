@@ -175,7 +175,9 @@ def train_logreg_cached(
     lr: float = 1.0,
     loop_partitions: int | None = None,
 ) -> TrainedModel:
-    key = (cache_key, tuple(feature_cols), label_col, iters, lr)
+    # loop_partitions belongs in the key: it changes float partial-
+    # aggregation order, so weights can differ at ULP level between widths.
+    key = (cache_key, tuple(feature_cols), label_col, iters, lr, loop_partitions)
     hit = _MODEL_CACHE.get(key)
     if hit is None:
         hit = train_logreg(

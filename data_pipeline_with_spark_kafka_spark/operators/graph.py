@@ -288,6 +288,7 @@ def _lpa_loop(edges: DataFrame, *, iterations: int) -> DataFrame:
     n_nodes = nodes.count()
     if n_nodes == 0:
         sym.unpersist()
+        nodes.unpersist()
         return nodes.select("node", F.col("node").alias("label"))
 
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()

@@ -373,7 +373,18 @@ def fixture_pq_codebooks(name: str = "pq_codebooks_m8_k16"):
     cids = t.column("cid").to_pylist()
     cents = t.column("centroid").to_pylist()
     m, k = max(subs) + 1, max(cids) + 1
-    out = np.zeros((m, k, len(cents[0])), dtype=np.float64)
+    # A truncated/malformed fixture must fail loudly: zero-filled missing
+    # centroids would yield plausible-looking but wrong reconstructions.
+    if len(subs) != m * k or len({(s, c) for s, c in zip(subs, cids)}) != m * k:
+        raise ValueError(
+            f"PQ codebook fixture {name!r} is incomplete: expected every "
+            f"(subspace, cid) pair for m={m}, k={k} ({m * k} rows), got "
+            f"{len(subs)}"
+        )
+    subdim = len(cents[0])
+    if any(len(v) != subdim for v in cents):
+        raise ValueError(f"PQ codebook fixture {name!r} has ragged centroid lengths")
+    out = np.zeros((m, k, subdim), dtype=np.float64)
     for s, c, v in zip(subs, cids, cents):
         out[s][c] = v
     return out
@@ -399,12 +410,20 @@ def pq_reconstruct(vec: Column, codebooks: np.ndarray) -> Column:
         # tree up ~k-fold, which pushed the projection out of whole-stage
         # codegen into interpreted eval (measured 3x slower end-to-end).
         # Values and first-minimum tie-break are identical.
+        # nanvl(dist, +inf): a NaN input component makes EVERY distance
+        # NaN, array_position(d, array_min(d)) then returns 0 (NaN != NaN)
+        # and element_at(cents, 0) raises an invalid-index error mid-scan.
+        # Mapping NaN distances to +inf keeps the argmin total: a NaN
+        # vector deterministically encodes to cid 0 instead of crashing.
         dists = F.transform(
             cents,
-            lambda c: F.aggregate(
-                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+            lambda c: F.nanvl(
+                F.aggregate(
+                    F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                F.lit(float("inf")),
             ),
         )
         idx = F.array_position(dists, F.array_min(dists))

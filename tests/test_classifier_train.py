@@ -85,6 +85,13 @@ def test_cache_memoizes(feats):
     )
     assert m1 is m2
     assert isinstance(m1, TrainedModel)
+    # loop_partitions changes float partial-aggregation order, so it must
+    # be part of the memo key — a different width is a different model.
+    m3 = train_logreg_cached(
+        feats, _TRAIN_FEATURES, "label", cache_key="t", iters=3, lr=LR,
+        loop_partitions=2,
+    )
+    assert m3 is not m1
 
 
 def test_constant_feature_gets_zero_weight(spark):

@@ -175,7 +175,10 @@ class TestLabelPropagation:
         got, want = self._run(spark, [(1, 2)])
         assert got == want == {1: 1, 2: 1}
         empty = spark.createDataFrame([], "src long, dst long")
+        before = spark.sparkContext._jsc.getPersistentRDDs().size()
         assert graph.label_propagation(empty).count() == 0
+        # the early-return path must unpersist BOTH cached relations
+        assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
 
     def test_early_stop_converged(self, spark):
         # a triangle converges in <= 2 iterations; asking for 50 must not

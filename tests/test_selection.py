@@ -446,6 +446,51 @@ class TestPQ:
         assert "TakeOrderedAndProject" in plan
         assert "CartesianProduct" not in plan
 
+    def test_nan_vector_reconstructs_to_cid0_without_error(self, spark):
+        """A NaN component makes every subspace distance NaN; the nanvl
+        guard must map it to +inf so argmin stays total (cid 0) instead of
+        element_at(cents, 0) raising mid-scan."""
+        cb = quantization.fixture_pq_codebooks()
+        dim = cb.shape[0] * cb.shape[2]
+        vec = [float("nan")] + [0.0] * (dim - 1)
+        df = spark.createDataFrame([(1, vec)], "id long, v array<double>")
+        row = df.select(
+            quantization.pq_reconstruct(F.col("v"), cb).alias("rv")
+        ).first()
+        # first subspace saw the NaN -> cid 0; remaining subspaces are
+        # all-zero inputs -> their true argmin centroid
+        np.testing.assert_allclose(np.array(row["rv"][: cb.shape[2]]), cb[0][0])
+
+    def test_truncated_codebook_fixture_raises(self):
+        """A fixture missing (subspace, cid) pairs must fail loudly, not
+        zero-fill centroids into plausible-looking reconstructions."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pytest
+
+        name = "pq_codebooks_truncated_test"
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(quantization.__file__)))),
+            "fixtures",
+            f"{name}.parquet",
+        )
+        # m=2, k=2 implied by max ids, but only 3 of the 4 pairs present
+        t = pa.table(
+            {
+                "subspace": [0, 0, 1],
+                "cid": [0, 1, 1],
+                "centroid": [[0.0, 0.0], [1.0, 1.0], [2.0, 2.0]],
+            }
+        )
+        pq.write_table(t, path)
+        try:
+            with pytest.raises(ValueError, match="incomplete"):
+                quantization.fixture_pq_codebooks(name)
+        finally:
+            os.unlink(path)
+
 
 class TestIVFPQ:
     def test_agrees_with_flat_pq_on_probed_cells(self, spark, sf_dir):
