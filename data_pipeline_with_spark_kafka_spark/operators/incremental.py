@@ -202,7 +202,7 @@ def incremental_near_dups(
 
 def incremental_novel_near(
     batch: DataFrame,
-    known: DataFrame,
+    known: DataFrame | None,
     id_col: str,
     content_col: str,
     *,
@@ -211,6 +211,7 @@ def incremental_novel_near(
     prefilter: bool = True,
     corpus_bands: DataFrame | None = None,
     corpus_sets: DataFrame | None = None,
+    known_fp: DataFrame | None = None,
 ) -> DataFrame:
     """Admit only batch docs that are novel vs the corpus under BOTH
     tiers: not an exact dup (fingerprint anti-join, Bloom-prefiltered)
@@ -220,18 +221,22 @@ def incremental_novel_near(
 
     Pass ``corpus_bands`` / ``corpus_sets`` (from ``corpus_near_index``,
     possibly read back from persisted tables) to skip re-deriving the
-    index from ``known``; at 100 TB the persisted form is the only sane
-    one. The exact tier runs FIRST so the near probe only signatures the
-    exact-novel survivors."""
+    index from ``known``, and ``known_fp`` (the distinct (fp, fp2)
+    fingerprint relation) to skip re-scanning the corpus text for the
+    exact tier too; at 100 TB the persisted forms are the only sane
+    ones — ``known`` may then be None entirely. The exact tier runs
+    FIRST so the near probe only signatures the exact-novel survivors."""
     if (corpus_bands is None) != (corpus_sets is None):
         raise ValueError("pass both corpus_bands and corpus_sets, or neither")
+    if known is None and (corpus_bands is None or known_fp is None):
+        raise ValueError("known=None requires corpus_bands/corpus_sets and known_fp")
     if corpus_bands is None:
         corpus_bands, corpus_sets = corpus_near_index(known, id_col, content_col, k=k)
 
     # exact_novel feeds both the near probe and the final anti-join;
     # persist so the Bloom + anti-join tier runs once.
     exact_novel = incremental_novel(
-        batch, known, id_col, content_col, prefilter=prefilter
+        batch, known, id_col, content_col, prefilter=prefilter, known_fp=known_fp
     ).persist()
     near = incremental_near_dups(
         exact_novel, corpus_bands, corpus_sets, id_col, content_col,
@@ -243,20 +248,24 @@ def incremental_novel_near(
 
 def incremental_novel(
     batch: DataFrame,
-    known: DataFrame,
+    known: DataFrame | None,
     id_col: str,
     content_col: str,
     *,
     prefilter: bool = False,
     m_bits: int = 1 << 20,
     k: int = 5,
+    known_fp: DataFrame | None = None,
 ) -> DataFrame:
     """Rows of ``batch`` whose content is NOT in ``known``, deduplicated
     within the batch (min-id keeper per content). Exact semantics in both
     modes; ``prefilter=True`` routes only the Bloom might-contain subset
-    through the anti-join against the corpus fingerprints."""
+    through the anti-join against the corpus fingerprints. Pass
+    ``known_fp`` (distinct (fp, fp2), e.g. read back from a persisted
+    index) to skip scanning the corpus text entirely."""
     batch_fp = fingerprints(batch, id_col, content_col)
-    known_fp = fingerprints(known, id_col, content_col).select("fp", "fp2").distinct()
+    if known_fp is None:
+        known_fp = fingerprints(known, id_col, content_col).select("fp", "fp2").distinct()
 
     if prefilter:
         flagged = bloom_might_contain(

@@ -233,13 +233,21 @@ FROM events
 )
 def func_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """get_json_object / from_json over the events.props JSON column
-    (the reference's Kafka-payload parse, ``spark_consumer_kafka.py:66``)."""
+    (the reference's Kafka-payload parse, ``spark_consumer_kafka.py:66``).
+
+    NULL props propagates NULL for is_valid_json (standard SQL function
+    semantics, matching DuckDB's json_valid(NULL)) — a bare
+    from_json(props).isNotNull() returns FALSE there instead, which the
+    round-7 seed-differential fuzz caught on an all-NULL props corpus
+    (invisible on the driver's seed-42 data, where props is never NULL)."""
     events = load_table(spark, sf_dir, "events")
     return events.select(
         "event_id",
         F.from_json("props", "k INT").getField("k").alias("k_value"),
         F.get_json_object("props", "$.missing").alias("missing_value"),
-        F.from_json("props", "k INT").isNotNull().alias("is_valid_json"),
+        F.when(F.col("props").isNull(), F.lit(None).cast("boolean"))
+        .otherwise(F.from_json("props", "k INT").isNotNull())
+        .alias("is_valid_json"),
     )
 
 

@@ -227,16 +227,102 @@ def llm_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_bpe_encode", oracle=None, tags=("llm", "scoring", "iterative"))
+def _bpe_encode_oracle(num_merges: int = 20) -> str:
+    """DuckDB oracle for llm_bpe_encode: the WHOLE training-and-encoding
+    loop unrolled as ``num_merges`` chained CTE stages (the same pattern
+    that oracled MMR's iterative greedy). Stage i over the symbol
+    relation t_i(word, cnt, pos, sym):
+
+    1. adjacent-pair counts + argmax with the trainer's exact tie-break
+       (n DESC, a, b — binary string order on both engines);
+    2. the pop-last greedy merge applied RELATIONALLY: candidate
+       positions are i with (sym_i, sym_i+1) = (a, b); consecutive
+       candidates only occur when a = b (a run of k a's yields k-1
+       consecutive candidates), and the left-to-right fold merges at odd
+       offsets within each candidate run — so "select odd row_number
+       within each candidate run, drop the following position, renumber"
+       reproduces operators/bpe._merge_pair symbol-for-symbol.
+
+    The final stage's per-word piece counts join back to occurrences,
+    exactly mirroring bpe_encode's vocabulary-sized/corpus-sized split."""
+    sql = [
+        """
+WITH words AS (
+    SELECT word, COUNT(*) AS cnt FROM (
+        SELECT UNNEST(string_split(text, ' ')) AS word FROM documents
+    ) WHERE LENGTH(word) > 0 GROUP BY word
+), t0 AS MATERIALIZED (
+    SELECT word, cnt, pos,
+           CASE WHEN pos <= LENGTH(word) THEN SUBSTR(word, CAST(pos AS INT), 1)
+                ELSE '</w>' END AS sym
+    FROM (
+        SELECT word, cnt, UNNEST(generate_series(1, LENGTH(word) + 1)) AS pos
+        FROM words
+    )
+)"""
+    ]
+    for i in range(num_merges):
+        sql.append(f"""
+, p{i} AS (
+    SELECT x.sym AS a, y.sym AS b, SUM(x.cnt) AS n
+    FROM t{i} x JOIN t{i} y ON x.word = y.word AND y.pos = x.pos + 1
+    GROUP BY 1, 2
+), top{i} AS MATERIALIZED (
+    SELECT a, b FROM p{i} ORDER BY n DESC, a, b LIMIT 1
+), c{i} AS (
+    SELECT word, cnt, pos, sym,
+           CASE WHEN sym = (SELECT a FROM top{i})
+                 AND LEAD(sym) OVER (PARTITION BY word ORDER BY pos)
+                     = (SELECT b FROM top{i})
+                THEN 1 ELSE 0 END AS cand
+    FROM t{i}
+), g{i} AS (
+    SELECT *, CASE WHEN cand = 1
+        THEN pos - ROW_NUMBER() OVER (PARTITION BY word, cand ORDER BY pos)
+        END AS grp
+    FROM c{i}
+), s{i} AS (
+    SELECT *, CASE WHEN cand = 1 AND
+        (ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY pos) % 2) = 1
+        THEN 1 ELSE 0 END AS start
+    FROM g{i}
+), n{i} AS (
+    SELECT word, cnt, pos,
+           CASE WHEN start = 1 THEN sym || (SELECT b FROM top{i}) ELSE sym END AS sym,
+           COALESCE(LAG(start) OVER (PARTITION BY word ORDER BY pos), 0) AS consumed
+    FROM s{i}
+), t{i + 1} AS MATERIALIZED (
+    SELECT word, cnt,
+           ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+           sym
+    FROM n{i} WHERE consumed = 0
+)""")
+    sql.append(f"""
+, enc AS (
+    SELECT word, COUNT(*) AS n_pieces FROM t{num_merges} GROUP BY word
+), occ AS (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+)
+SELECT o.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(e.n_pieces) AS BIGINT) AS n_bpe_tokens
+FROM occ o JOIN enc e USING (word)
+GROUP BY o.doc_id""")
+    return "".join(sql)
+
+
+@register("llm_bpe_encode", oracle=_bpe_encode_oracle(20), tags=("llm", "scoring", "iterative"))
 def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE ENCODING with the corpus-trained tokenizer (the
     other half of llm_bpe_vocab): 20 merges applied to the distinct-word
     table via pure JVM aggregate walks, occurrences joined back on the
     word key and reassembled in position order (operators/bpe.bpe_encode).
     Output drops the token array (per-doc counts only) to keep the
-    correctness hash on stable scalars; rows-only because the merge loop
-    is not SQL-expressible — token-for-token equality vs the pure-Python
-    reference encoder is pytest-pinned (tests/test_bpe.py)."""
+    correctness hash on stable scalars. Fully oracled since round 7: the
+    training loop is deterministic (lexicographic tie-break), so DuckDB
+    replays all 20 merges as chained CTE stages (_bpe_encode_oracle) —
+    token-for-token equality vs the pure-Python reference encoder is
+    additionally pytest-pinned (tests/test_bpe.py)."""
     from data_pipeline_with_spark_kafka_spark.operators.bpe import bpe_encode, train_bpe_cached
 
     docs = load_table(spark, sf_dir, "documents")

@@ -139,6 +139,10 @@ EXCHANGE_BUDGET = {
     # static plan string repeats persisted subtrees (sigs, exact_novel),
     # so this is far above the ~8 distinct shuffles that actually run.
     "llm_dedup_incremental_near": 88,
+    # the persisted-index deployment shape: corpus-side signature/index
+    # construction is gone from the plan (reads parquet instead), leaving
+    # batch signaturing + bloom + probe joins.
+    "llm_dedup_incremental_near_probe": 57,
     "llm_dedup_minhash_lsh": 4,
     # round-6 distinct-shingle-space rewrite: + the distinct aggregate
     # pair, the hash join-back, and the per-doc signature aggregate —

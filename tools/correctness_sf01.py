@@ -81,40 +81,32 @@ HEAVY = [
     "llm_classifier_eval_auc", "llm_sim_topk_pq", "llm_sim_topk_ivf_pq",
     "llm_classifier_calibration", "ivm_join_maintenance",
     "stats_quantile_discretize", "llm_cluster_aware_split",
+    # round-7: the unrolled-merge-chain BPE oracle
+    "llm_bpe_encode",
     # deep TPC-H joins (value-heavy aggregates)
     "tpch_q9_product_profit", "tpch_q21_waiting_supplier",
 ]
 
-# Value-sensitive oracled queries runnable on the GENERATED scale
-# fixtures (documents/embeddings/events only) — the stretch-#8 set.
-SCALE_FIXTURE_SET = [
-    "llm_dedup_exact", "llm_dedup_ngram_jaccard", "llm_dedup_clusters",
-    "llm_dedup_incremental", "llm_dedup_incremental_near",
-    "llm_remove_repeated_spans", "llm_shared_span_fraction",
-    "llm_fingerprint_winnowing", "llm_dedup_embedding_cosine",
-    "llm_dedup_embedding_cosine_ivf", "llm_knn_join_exact",
-    "events_session_ids", "events_max_concurrency",
-    "ts_gap_fill_interpolate",
-    "llm_dedup_containment", "llm_semdedup_prune",
-    "llm_dedup_embedding_cosine_fast",
-    "text_heavy_hitters", "emb_pca_project", "emb_pca_explained_variance",
-    "llm_dedup_minhash_lsh_md5", "llm_dedup_simhash_md5",
-    "llm_sim_topk_lsh_md5",
-    "llm_bm25_topk", "llm_inverted_index",
-    "llm_token_entropy",
-    # round-6 selection/quantization additions (documents/embeddings only;
-    # the IVF-SQ8 quantizer + oracle share the same committed fixture at
-    # every sf, so the comparison stays closed)
-    "llm_dsir_importance_topk", "llm_sim_topk_sq8", "llm_sim_topk_ivf_sq8",
-    "llm_emb_sq8_error", "llm_mmr_diversified_topk",
-    "llm_mixture_temperature", "llm_hard_negative_mining",
-    "llm_sim_topk_binary", "llm_hybrid_rrf", "llm_retrieval_label_precision",
-    "llm_zipf_fit", "llm_top_pmi_bigrams",
-    # round-6 LM / projection / eval / PQ additions
-    "llm_perplexity_trigram_backoff", "llm_emb_random_projection",
-    "llm_classifier_eval_auc", "llm_sim_topk_pq", "llm_sim_topk_ivf_pq",
-    "llm_classifier_calibration",
-]
+# Oracled queries runnable on the GENERATED scale fixtures are DERIVED,
+# not hand-listed (round-7 task #6 closed the 22-query gap the hand list
+# had grown): any query whose oracle SQL references only the generated
+# tables (documents/embeddings/events) is eligible — the oracle and the
+# Spark side always read the same parquet, so the comparison is closed
+# at any scale.
+GENERATED_TABLES = {"documents", "embeddings", "events"}
+
+
+def scale_fixture_set(qs) -> list[str]:
+    import re
+
+    names = []
+    for name, q in qs.items():
+        if q.oracle is None:
+            continue
+        refs = {t for t in TABLES if re.search(rf"\b{t}\b", q.oracle, re.I)}
+        if refs and refs <= GENERATED_TABLES:
+            names.append(name)
+    return names
 
 
 def main() -> None:
@@ -135,8 +127,8 @@ def main() -> None:
         )
     qs = all_queries()
     # on the generated scale fixtures (documents/embeddings/events only)
-    # restrict to the value-sensitive queries over those tables
-    heavy = HEAVY if len(tables) == len(TABLES) else SCALE_FIXTURE_SET
+    # restrict to the oracled queries over those tables
+    heavy = HEAVY if len(tables) == len(TABLES) else scale_fixture_set(qs)
     out: dict = {}
     t_start = time.time()
     for name in heavy:

@@ -115,24 +115,29 @@ def gen_events(n: int, n_users: int, rng: np.random.Generator) -> pa.Table:
     )
 
 
+def generate(sf: float, out: str, *, seed: int = 42) -> None:
+    """Write documents/embeddings/events parquet for one scale factor.
+
+    ``seed`` parameterizes the whole corpus (round-7 seed-differential
+    fuzz: every correctness claim otherwise rides one seed-42 dataset, so
+    an oracle and query sharing a seed-specific accident would be
+    invisible)."""
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    n_docs, n_vecs = int(DOCS_PER_SF * sf), int(VECS_PER_SF * sf)
+    pq.write_table(gen_documents(n_docs, rng), os.path.join(out, "documents.parquet"))
+    pq.write_table(gen_embeddings(n_vecs, rng), os.path.join(out, "embeddings.parquet"))
+    n_events = int(EVENTS_PER_SF * sf)
+    n_users = int(USERS_PER_SF * sf)
+    pq.write_table(gen_events(n_events, n_users, rng), os.path.join(out, "events.parquet"))
+    print(f"wrote {out}: {n_docs} documents, {n_vecs} embeddings, {n_events} events (seed={seed})")
+
+
 def main() -> None:
     sfs = [float(a) for a in sys.argv[1:]] or [0.5, 1.0]
     root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures", "scale")
     for sf in sfs:
-        out = os.path.join(root, f"sf{sf:g}")
-        os.makedirs(out, exist_ok=True)
-        rng = np.random.default_rng(42)
-        n_docs, n_vecs = int(DOCS_PER_SF * sf), int(VECS_PER_SF * sf)
-        pq.write_table(gen_documents(n_docs, rng), os.path.join(out, "documents.parquet"))
-        pq.write_table(gen_embeddings(n_vecs, rng), os.path.join(out, "embeddings.parquet"))
-        n_events = int(EVENTS_PER_SF * sf)
-        n_users = int(USERS_PER_SF * sf)
-        pq.write_table(
-            gen_events(n_events, n_users, rng), os.path.join(out, "events.parquet")
-        )
-        print(
-            f"wrote {out}: {n_docs} documents, {n_vecs} embeddings, {n_events} events"
-        )
+        generate(sf, os.path.join(root, f"sf{sf:g}"), seed=42)
 
 
 if __name__ == "__main__":
