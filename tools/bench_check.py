@@ -22,13 +22,23 @@ def main() -> int:
         [sys.executable, os.path.join(repo, "bench.py")],
         capture_output=True, text=True, cwd=repo,
     )
-    line = next(
-        (l for l in reversed(out.stdout.splitlines()) if l.startswith("{")), None
-    )
-    if out.returncode != 0 or line is None:
+    # bench.py prints the compact headline LAST (driver tail contract);
+    # the per-query profile is the earlier long line — take the last
+    # parseable line that actually carries "queries".
+    result = None
+    for l in reversed(out.stdout.splitlines()):
+        if not l.startswith("{"):
+            continue
+        try:
+            cand = json.loads(l)
+        except json.JSONDecodeError:
+            continue
+        if "queries" in cand:
+            result = cand
+            break
+    if out.returncode != 0 or result is None:
         print("bench.py failed:\n" + out.stdout[-2000:] + out.stderr[-2000:])
         return 1
-    result = json.loads(line)
     total, sf = result["value"], result["sf"]
     limit = BASELINE_TOTAL_SEC * THRESHOLD
     slowest = sorted(result["queries"].items(), key=lambda kv: -kv[1])[:10]
