@@ -208,29 +208,10 @@ def llm_weighted_quality_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_bpe_vocab", oracle=None, tags=("llm", "scoring", "iterative"))
-def llm_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer-vocabulary induction on the corpus (operators/bpe):
-    10 merges learned via iterative pair-count aggregates over the
-    distinct-word relation — the k-means-style driver loop, one
-    map-side-combined aggregate + one in-array JVM merge per iteration.
-    Deterministic (lexicographic tie-break), merge-for-merge equal to a
-    pure-Python reference (tests/test_bpe.py); rows-only because the loop
-    is not SQL-expressible."""
-    from data_pipeline_with_spark_kafka_spark.operators.bpe import train_bpe
-
-    docs = load_table(spark, sf_dir, "documents")
-    merges = train_bpe(docs, "text", num_merges=10)
-    return spark.createDataFrame(
-        [(i, a, b, a + b, n) for i, (a, b, n) in enumerate(merges)],
-        "rank int, left string, right string, merged string, weighted_count long",
-    )
-
-
-def _bpe_encode_oracle(num_merges: int = 20) -> str:
-    """DuckDB oracle for llm_bpe_encode: the WHOLE training-and-encoding
-    loop unrolled as ``num_merges`` chained CTE stages (the same pattern
-    that oracled MMR's iterative greedy). Stage i over the symbol
+def _bpe_stages_sql(num_merges: int) -> str:
+    """The shared WITH-chain both BPE oracles build on: the WHOLE
+    training loop unrolled as ``num_merges`` chained CTE stages (the same
+    pattern that oracled MMR's iterative greedy). Stage i over the symbol
     relation t_i(word, cnt, pos, sym):
 
     1. adjacent-pair counts + argmax with the trainer's exact tie-break
@@ -243,8 +224,8 @@ def _bpe_encode_oracle(num_merges: int = 20) -> str:
        within each candidate run, drop the following position, renumber"
        reproduces operators/bpe._merge_pair symbol-for-symbol.
 
-    The final stage's per-word piece counts join back to occurrences,
-    exactly mirroring bpe_encode's vocabulary-sized/corpus-sized split."""
+    MATERIALIZED on the multi-referenced CTEs is load-bearing: DuckDB's
+    CTE inlining otherwise re-expands the chain exponentially."""
     sql = [
         """
 WITH words AS (
@@ -268,7 +249,7 @@ WITH words AS (
     FROM t{i} x JOIN t{i} y ON x.word = y.word AND y.pos = x.pos + 1
     GROUP BY 1, 2
 ), top{i} AS MATERIALIZED (
-    SELECT a, b FROM p{i} ORDER BY n DESC, a, b LIMIT 1
+    SELECT a, b, n FROM p{i} ORDER BY n DESC, a, b LIMIT 1
 ), c{i} AS (
     SELECT word, cnt, pos, sym,
            CASE WHEN sym = (SELECT a FROM top{i})
@@ -297,7 +278,14 @@ WITH words AS (
            sym
     FROM n{i} WHERE consumed = 0
 )""")
-    sql.append(f"""
+    return "".join(sql)
+
+
+def _bpe_encode_oracle(num_merges: int = 20) -> str:
+    """llm_bpe_encode oracle: the final stage's per-word piece counts
+    join back to occurrences, exactly mirroring bpe_encode's
+    vocabulary-sized/corpus-sized split."""
+    return _bpe_stages_sql(num_merges) + f"""
 , enc AS (
     SELECT word, COUNT(*) AS n_pieces FROM t{num_merges} GROUP BY word
 ), occ AS (
@@ -307,8 +295,39 @@ SELECT o.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_words,
        CAST(SUM(e.n_pieces) AS BIGINT) AS n_bpe_tokens
 FROM occ o JOIN enc e USING (word)
-GROUP BY o.doc_id""")
-    return "".join(sql)
+GROUP BY o.doc_id"""
+
+
+def _bpe_vocab_oracle(num_merges: int = 10) -> str:
+    """llm_bpe_vocab oracle: each stage's argmax pair IS merge i — union
+    the top{i} rows with their ranks (an empty top{i} contributes no row,
+    matching the trainer's break on pair exhaustion)."""
+    legs = [
+        f"SELECT CAST({i} AS INTEGER) AS rank, a AS \"left\", b AS \"right\", "
+        f"a || b AS merged, CAST(n AS BIGINT) AS weighted_count FROM top{i}"
+        for i in range(num_merges)
+    ]
+    return _bpe_stages_sql(num_merges) + "\n" + "\nUNION ALL\n".join(legs)
+
+
+@register("llm_bpe_vocab", oracle=_bpe_vocab_oracle(10), tags=("llm", "scoring", "iterative"))
+def llm_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-vocabulary induction on the corpus (operators/bpe):
+    10 merges learned via iterative pair-count aggregates over the
+    distinct-word relation — the k-means-style driver loop, one
+    map-side-combined aggregate + one in-array JVM merge per iteration.
+    Deterministic (lexicographic tie-break), merge-for-merge equal to a
+    pure-Python reference (tests/test_bpe.py). Fully oracled since round
+    7: DuckDB replays the training loop as unrolled CTE stages
+    (_bpe_vocab_oracle) and each stage's argmax pair IS merge i."""
+    from data_pipeline_with_spark_kafka_spark.operators.bpe import train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", num_merges=10)
+    return spark.createDataFrame(
+        [(i, a, b, a + b, n) for i, (a, b, n) in enumerate(merges)],
+        "rank int, left string, right string, merged string, weighted_count long",
+    )
 
 
 @register("llm_bpe_encode", oracle=_bpe_encode_oracle(20), tags=("llm", "scoring", "iterative"))
