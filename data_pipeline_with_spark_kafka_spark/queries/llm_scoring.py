@@ -179,15 +179,41 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(F.lit("all_types").alias("scope"), "approx_users", "n_types")
 
 
-@register("llm_weighted_quality_mean", oracle=None, tags=("llm", "pandas-udf", "approx"))
+WEIGHTED_QUALITY_MEAN_ORACLE = """
+WITH t AS (
+    SELECT lang,
+           CAST(n_chars AS DOUBLE) AS c,
+           LENGTH(text) AS lc,
+           string_split(text, ' ') AS toks
+    FROM documents
+), s AS (
+    SELECT lang, c,
+           ROUND(0.4 * LEAST(len(toks) / 50.0, 1.0)
+         + 0.3 * (1.0 - len(list_filter(toks, x -> list_contains(['the', 'a', 'of', 'and', 'to'], x))) * 1.0 / len(toks))
+         + 0.3 * LEAST(((lc - (len(toks) - 1) * 1.0) / len(toks)) / 8.0, 1.0), 4) AS q
+    FROM t
+)
+SELECT lang, ROUND(SUM(c * q) / SUM(q), 4) AS weighted_mean_chars
+FROM s GROUP BY lang
+"""
+
+
+@register(
+    "llm_weighted_quality_mean",
+    oracle=WEIGHTED_QUALITY_MEAN_ORACLE,
+    tags=("llm", "pandas-udf"),
+)
 def llm_weighted_quality_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-agg pandas UDF (the §2.9 GROUPED_AGG surface): per-language
     quality-weighted mean document length — one Arrow batch per group into
-    a numpy reduction. Rows-only: partial-agg ordering makes the float sum
-    engine-specific; equivalence to the exact SQL formula is pinned with
-    tolerance in tests/test_llm_ops.py. (For a pure-SQL weighted mean the
-    codegen path `sum(x*w)/sum(w)` is preferred — this query exists to
-    exercise the vectorized grouped-agg UDF contract.)"""
+    a numpy reduction. Fully oracled since round 7: the quality weight has
+    an exact SQL mirror (llm_text_quality's formula) and the weighted mean
+    is sum(c*q)/sum(q); float partial-agg ordering differs between pandas
+    and DuckDB but the discrepancy (~1e-11 relative on hundreds of docs
+    per group) sits far below the 4-decimal output rounding — so the
+    oracle VERIFIES the UDF contract rather than trusting it. (For a
+    pure-SQL weighted mean the codegen path is preferred; this query
+    exists to exercise the vectorized grouped-agg UDF.)"""
     from pyspark.sql.functions import pandas_udf
 
     from data_pipeline_with_spark_kafka_spark.operators.text import quality_score

@@ -89,7 +89,10 @@ _COVERED_IN_OFFICIAL_ARTIFACTS = frozenset({
     "llm_sim_topk_ivf", "llm_sim_topk_lsh", "llm_stratified_sample",
     "llm_text_fingerprint", "llm_text_langid", "llm_text_quality",
     "llm_text_stats", "llm_tfidf_keywords", "llm_train_val_test_split",
-    "llm_vocab_stats", "llm_weighted_quality_mean", "nulls_semantics",
+    "llm_vocab_stats", "nulls_semantics",
+    # NOTE: llm_weighted_quality_mean (rows-only in its r01-04 row) gained
+    # a full oracle in round 7 — left out so the oracled version gets an
+    # official row.
     "window_lag_lead_orders", "window_rank_customers", "window_running_sum",
     "window_topk_per_group",
     # round 4 (CORRECTNESS_r04.json green rows):

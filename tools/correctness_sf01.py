@@ -81,8 +81,10 @@ HEAVY = [
     "llm_classifier_eval_auc", "llm_sim_topk_pq", "llm_sim_topk_ivf_pq",
     "llm_classifier_calibration", "ivm_join_maintenance",
     "stats_quantile_discretize", "llm_cluster_aware_split",
-    # round-7: the unrolled-merge-chain BPE oracle + persisted-index probe
-    "llm_bpe_encode", "llm_dedup_incremental_near_probe",
+    # round-7: the unrolled-merge-chain BPE oracles + persisted-index
+    # probe + the newly-oracled GROUPED_AGG pandas-UDF weighted mean
+    "llm_bpe_encode", "llm_bpe_vocab", "llm_dedup_incremental_near_probe",
+    "llm_weighted_quality_mean",
     # deep TPC-H joins (value-heavy aggregates)
     "tpch_q9_product_profit", "tpch_q21_waiting_supplier",
 ]
