@@ -316,12 +316,111 @@ def llm_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# In-Spark classifier training (rows-only: iterative GD loop)
+# In-Spark classifier training (iterative GD loop, oracled by unrolling)
 # --------------------------------------------------------------------------
 
 _TRAIN_FEATURES = ["log_tokens", "mean_word_len", "dup_bigram_ratio", "top_token_ratio"]
 _TRAIN_ITERS = 30
 _TRAIN_LR = 1.0
+
+
+def _train_logreg_oracle(iters: int = _TRAIN_ITERS, lr: float = _TRAIN_LR) -> str:
+    """The FULL gradient-descent training loop unrolled as ``iters``
+    chained CTE stages (the pattern that oracled BPE and MMR): stage i
+    holds the 1-row weight state w{i}; g{i} recomputes the k+2 gradient
+    scalars from the standardized feature relation; w{i+1} applies the
+    step. Cross-engine float safety: the feature inputs are bit-identical
+    (gopher metrics are 4dp-rounded on both engines; log10 of the same
+    integer agrees to the ulp), the margin sums in the same left-to-right
+    feature order as operators/classifier_train._margin, and the GD map
+    is contractive on standardized features (|1 - lr*lambda| <= 1), so
+    partial-aggregation-order ulps never grow past the 4dp output
+    rounding. Verified hash-MATCH at sf0.001/sf0.01/sf0.1 and across the
+    3 fuzz seeds."""
+    from data_pipeline_with_spark_kafka_spark.queries.text_extra import GOPHER_ORACLE
+
+    sql = [f"""
+WITH feats AS MATERIALIZED (
+    SELECT CAST(passes AS DOUBLE) AS y,
+           LOG10(CAST(n_tokens AS DOUBLE)) AS f1,
+           CAST(mean_word_len AS DOUBLE) AS f2,
+           CAST(dup_bigram_ratio AS DOUBLE) AS f3,
+           CAST(top_token_ratio AS DOUBLE) AS f4
+    FROM ({GOPHER_ORACLE})
+), stats AS MATERIALIZED (
+    SELECT AVG(f1) AS m1, GREATEST(STDDEV_POP(f1), 1e-12) AS s1,
+           AVG(f2) AS m2, GREATEST(STDDEV_POP(f2), 1e-12) AS s2,
+           AVG(f3) AS m3, GREATEST(STDDEV_POP(f3), 1e-12) AS s3,
+           AVG(f4) AS m4, GREATEST(STDDEV_POP(f4), 1e-12) AS s4,
+           CAST(COUNT(*) AS DOUBLE) AS n
+    FROM feats
+), z AS MATERIALIZED (
+    SELECT y,
+           (f1 - (SELECT m1 FROM stats)) / (SELECT s1 FROM stats) AS z1,
+           (f2 - (SELECT m2 FROM stats)) / (SELECT s2 FROM stats) AS z2,
+           (f3 - (SELECT m3 FROM stats)) / (SELECT s3 FROM stats) AS z3,
+           (f4 - (SELECT m4 FROM stats)) / (SELECT s4 FROM stats) AS z4
+    FROM feats
+), w0 AS MATERIALIZED (
+    SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4,
+           0.0 AS b, 0.0 AS loss
+)"""]
+    for i in range(iters):
+        sql.append(f"""
+, p{i} AS (
+    SELECT y, z1, z2, z3, z4,
+           1.0 / (1.0 + EXP(-((SELECT b FROM w{i})
+               + z1 * (SELECT w1 FROM w{i})
+               + z2 * (SELECT w2 FROM w{i})
+               + z3 * (SELECT w3 FROM w{i})
+               + z4 * (SELECT w4 FROM w{i})))) AS p
+    FROM z
+), g{i} AS (
+    SELECT AVG((p - y) * z1) AS g1, AVG((p - y) * z2) AS g2,
+           AVG((p - y) * z3) AS g3, AVG((p - y) * z4) AS g4,
+           AVG(p - y) AS gb,
+           AVG(-(y * LN(p + 1e-12) + (1.0 - y) * LN(1.0 - p + 1e-12))) AS loss
+    FROM p{i}
+), w{i + 1} AS MATERIALIZED (
+    SELECT w.w1 - {lr} * g.g1 AS w1, w.w2 - {lr} * g.g2 AS w2,
+           w.w3 - {lr} * g.g3 AS w3, w.w4 - {lr} * g.g4 AS w4,
+           w.b - {lr} * g.gb AS b, g.loss AS loss
+    FROM w{i} w, g{i} g
+)""")
+    sql.append(f"""
+, acc AS (
+    SELECT AVG(CASE WHEN (CASE WHEN 1.0 / (1.0 + EXP(-((SELECT b FROM w{iters})
+               + z1 * (SELECT w1 FROM w{iters})
+               + z2 * (SELECT w2 FROM w{iters})
+               + z3 * (SELECT w3 FROM w{iters})
+               + z4 * (SELECT w4 FROM w{iters})))) >= 0.5
+                          THEN 1.0 ELSE 0.0 END) = y
+                    THEN 1.0 ELSE 0.0 END) AS acc
+    FROM z
+)
+SELECT term, value FROM (
+    SELECT 'weight:log_tokens' AS term, ROUND(w1, 4) AS value FROM w{iters}
+    UNION ALL SELECT 'weight:mean_word_len', ROUND(w2, 4) FROM w{iters}
+    UNION ALL SELECT 'weight:dup_bigram_ratio', ROUND(w3, 4) FROM w{iters}
+    UNION ALL SELECT 'weight:top_token_ratio', ROUND(w4, 4) FROM w{iters}
+    UNION ALL SELECT 'bias', ROUND(b, 4) FROM w{iters}
+    UNION ALL SELECT 'final_log_loss', ROUND(loss, 4) FROM w{iters}
+    UNION ALL SELECT 'train_accuracy', ROUND(acc, 4) FROM acc
+    UNION ALL SELECT 'n_rows', (SELECT n FROM stats)
+) ORDER BY term""")
+    return "".join(sql)
+
+
+def _round4_half_away(x: float) -> float:
+    """DuckDB ROUND semantics on a driver-side double: round the scaled
+    product half-away-from-zero (the functions/rounding.round_to contract,
+    applied in Python because the trainer's outputs are collected scalars,
+    not columns). Python's built-in round() is half-even on the exact
+    decimal expansion — it disagrees with the oracle exactly on the .5
+    boundaries this form pins down."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e4 + 0.5), x) / 1e4
 
 
 def _classifier_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,7 +449,7 @@ def classifier_features(g: DataFrame) -> DataFrame:
 
 @register(
     "llm_train_quality_classifier",
-    oracle=None,
+    oracle=_train_logreg_oracle(),
     tags=("llm", "quality", "iterative"),
 )
 def llm_train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,11 +458,14 @@ def llm_train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack into a 4-weight linear model, then report the learned weights
     and the training-set accuracy/loss from one final scoring aggregate.
 
-    Rows-only (the GD loop is iterative, not SQL-expressible); the loop
-    is pinned against a numpy reference in tests/test_classifier_train.py.
-    Each iteration is ONE aggregate returning k+2 doubles — the dataset
-    never leaves the executors, so the loop's cost profile is
-    iterations x one-scan-aggregate, the same as the IVF quantizer."""
+    FULLY ORACLED since round 7: the 30 deterministic GD iterations
+    replay in DuckDB as chained 1-row CTE stages (_train_logreg_oracle —
+    the BPE/MMR unrolling pattern applied to a training loop). The loop
+    is additionally pinned iteration-for-iteration against a numpy
+    reference in tests/test_classifier_train.py. Each iteration is ONE
+    aggregate returning k+2 doubles — the dataset never leaves the
+    executors, so the loop's cost profile is iterations x
+    one-scan-aggregate, the same as the IVF quantizer."""
     from data_pipeline_with_spark_kafka_spark.operators.classifier_train import (
         score_expr,
         train_logreg_cached,
@@ -389,11 +491,11 @@ def llm_train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]
     )
     rows = [
-        (f"weight:{name}", round(w, 4))
+        (f"weight:{name}", _round4_half_away(w))
         for name, w in zip(model.features, model.weights)
     ]
-    rows.append(("bias", round(model.bias, 4)))
-    rows.append(("final_log_loss", round(model.losses[-1], 4)))
-    rows.append(("train_accuracy", round(float(acc_row["acc"]), 4)))
+    rows.append(("bias", _round4_half_away(model.bias)))
+    rows.append(("final_log_loss", _round4_half_away(model.losses[-1])))
+    rows.append(("train_accuracy", _round4_half_away(float(acc_row["acc"]))))
     rows.append(("n_rows", float(model.n_rows)))
     return spark.createDataFrame(rows, "term string, value double").orderBy("term")
