@@ -355,3 +355,88 @@ def events_funnel_ordered_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("t3").alias("n_step3_purchase_after"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Last-touch marketing attribution (round 7)
+# --------------------------------------------------------------------------
+#
+# For every purchase, credit the user's most recent preceding touch event
+# (view/click) within a 7-day lookback — the classic attribution model.
+# The naive form is a per-purchase range join (purchases x touches); the
+# scale form used here is ONE pass: sort each user's events once and
+# carry the last touch forward with an ignore-nulls window, so the cost
+# is a single shuffle on user_id regardless of touch density. Strictly
+# "before" is defined on the (ts, event_id) total order, so same-
+# timestamp ties are deterministic on both engines.
+
+ATTRIBUTION_ORACLE = """
+WITH carried AS (
+    SELECT event_id, user_id, ts, event_type, value,
+           LAST_VALUE(CASE WHEN event_type IN ('view', 'click') THEN ts END
+                      IGNORE NULLS) OVER w AS touch_ts,
+           LAST_VALUE(CASE WHEN event_type IN ('view', 'click') THEN event_type END
+                      IGNORE NULLS) OVER w AS touch_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), attributed AS (
+    SELECT CASE WHEN touch_ts IS NOT NULL
+                     AND touch_ts >= ts - INTERVAL 7 DAY
+                THEN touch_type ELSE 'unattributed' END AS touch_type,
+           value, user_id
+    FROM carried WHERE event_type = 'purchase'
+)
+SELECT touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       ROUND(SUM(value), 4) AS attributed_value
+FROM attributed GROUP BY touch_type
+"""
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle=ATTRIBUTION_ORACLE,
+    tags=("events", "analytics", "window"),
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: per purchase, the user's most recent
+    preceding view/click within 7 days (else 'unattributed'), rolled up
+    to per-touch-type purchase counts, reached users, and value.
+
+    Scale shape: NOT a purchases-x-touches range join — one ignore-nulls
+    last() window carries the latest touch along each user's (ts,
+    event_id)-ordered event stream, so the fact table shuffles once on
+    user_id and the frame never materializes more than the running
+    carry. The rollup is a touch-type-sized aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin("view", "click")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = events.select(
+        "event_id", "user_id", "ts", "event_type", "value",
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w).alias("touch_ts"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+    )
+    attributed = carried.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch_ts").isNotNull()
+            & (F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+            F.col("touch_type"),
+        )
+        .otherwise(F.lit("unattributed"))
+        .alias("touch_type"),
+        "value",
+        "user_id",
+    )
+    return attributed.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        round_to(F.sum("value"), 4).alias("attributed_value"),
+    )

@@ -98,3 +98,101 @@ def drift_psi_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi_term"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# GDPR right-to-erasure cascade (round 7)
+# --------------------------------------------------------------------------
+#
+# The governance operation every large data platform actually runs: a
+# small set of erasure requests (data subjects) must be propagated through
+# every table that references them — directly (orders by customer key,
+# events by user id) and transitively (lineitems of erased orders). The
+# query is the AUDIT form: per-table would-be-erased and surviving counts,
+# which is what a compliance report needs before the destructive rewrite.
+
+_ERASURE_MOD = 97
+
+ERASURE_CASCADE_ORACLE = f"""
+WITH del_c AS (SELECT c_custkey FROM customer WHERE c_custkey % {_ERASURE_MOD} = 0),
+del_o AS (
+    SELECT o_orderkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM del_c)
+)
+SELECT table_name, rows_erased, rows_surviving FROM (
+    SELECT 'customer' AS table_name,
+           CAST((SELECT COUNT(*) FROM del_c) AS BIGINT) AS rows_erased,
+           CAST((SELECT COUNT(*) FROM customer)
+                - (SELECT COUNT(*) FROM del_c) AS BIGINT) AS rows_surviving
+    UNION ALL
+    SELECT 'orders',
+           (SELECT COUNT(*) FROM del_o),
+           (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM del_o)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM del_o)),
+           -- surviving = total - erased, NOT a NOT IN: a NULL key row
+           -- must count as surviving (it matches no tombstone), and
+           -- NOT IN drops it.
+           (SELECT COUNT(*) FROM lineitem)
+           - (SELECT COUNT(*) FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM del_o))
+    UNION ALL
+    SELECT 'events',
+           (SELECT COUNT(*) FROM events
+            WHERE user_id IN (SELECT c_custkey FROM del_c)),
+           (SELECT COUNT(*) FROM events)
+           - (SELECT COUNT(*) FROM events
+              WHERE user_id IN (SELECT c_custkey FROM del_c))
+) ORDER BY table_name
+"""
+
+
+@register(
+    "privacy_erasure_cascade",
+    oracle=ERASURE_CASCADE_ORACLE,
+    tags=("governance", "privacy"),
+)
+def privacy_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR erasure-request cascade audit: per-table erased/surviving row
+    counts for a deterministic tombstone set (c_custkey % 97 == 0 stands
+    in for the regulatory request list), propagated customer -> orders ->
+    lineitem and customer -> events.
+
+    Scale shape (100 TB): the tombstone list is request-bounded (tiny) —
+    it and the cascaded order-key set BROADCAST, so every fact table is
+    scanned exactly ONCE with a map-side hash probe feeding one
+    combinable aggregate: no fact-table shuffle anywhere. The same plan
+    with a .filter(~erased).write() tail is the destructive rewrite;
+    pair with partition pruning on the write path so only affected
+    partitions rewrite."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+
+    tomb_c = customer.filter((F.col("c_custkey") % _ERASURE_MOD) == 0).select(
+        F.col("c_custkey").alias("_tk")
+    )
+    tomb_o = (
+        orders.join(F.broadcast(tomb_c), orders["o_custkey"] == F.col("_tk"), "semi")
+        .select(F.col("o_orderkey").alias("_tk"))
+    )
+
+    def leg(df: DataFrame, key: str, tomb: DataFrame, name: str) -> DataFrame:
+        # Broadcast LEFT join against the (unique-keyed) tombstone set +
+        # one combinable aggregate — one scan, no fact shuffle.
+        j = df.join(F.broadcast(tomb), df[key] == tomb["_tk"], "left")
+        return j.agg(
+            F.sum(F.col("_tk").isNotNull().cast("long")).alias("rows_erased"),
+            F.sum(F.col("_tk").isNull().cast("long")).alias("rows_surviving"),
+        ).select(F.lit(name).alias("table_name"), "rows_erased", "rows_surviving")
+
+    out = (
+        leg(customer, "c_custkey", tomb_c, "customer")
+        .unionAll(leg(orders, "o_custkey", tomb_c, "orders"))
+        .unionAll(leg(lineitem, "l_orderkey", tomb_o, "lineitem"))
+        .unionAll(leg(events, "user_id", tomb_c, "events"))
+    )
+    return out.orderBy("table_name")

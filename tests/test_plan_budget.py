@@ -68,6 +68,9 @@ EXCHANGE_BUDGET = {
     # lag/flag/running-sum windows and the session agg all share the one
     # user_id partitioning.
     "events_session_ids": 1,
+    # one user_id window shuffle carries the last touch; the rollup is a
+    # touch-type-sized aggregate pair. No purchases-x-touches range join.
+    "events_attribution_last_touch": 2,
     "events_retention_cohorts": 4,
     # (day,user) dedup (the only corpus shuffle) + x7 fan-out join to
     # the day spine + the distinct-count agg pair.
@@ -269,6 +272,10 @@ EXCHANGE_BUDGET = {
     "orderby_limit_topk": 0,
     "pivot_status_by_priority": 2,
     "privacy_k_anonymity": 1,
+    # 4 broadcast-probed fact scans -> four 1-row aggregates + the union
+    # sort; every join side is tombstone-sized (5 BroadcastHashJoin, 0
+    # SortMergeJoin — asserted in test_plans.py).
+    "privacy_erasure_cascade": 9,
     # one full-outer key join (exchange per side); hist/keep/close/open
     # branches are projections of that single join, not re-joins.
     "scd2_customer_batch": 2,

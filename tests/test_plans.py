@@ -255,3 +255,24 @@ def test_dehinted_dim_joins_still_broadcast_at_sf01(spark, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_erasure_cascade_all_joins_broadcast(spark, sf_dir):
+    """Every erasure-cascade probe must be a broadcast hash join against
+    the tombstone-sized relation — a SortMergeJoin here would shuffle a
+    fact table to count a handful of deletions."""
+    plan = plan_of(spark, sf_dir, "privacy_erasure_cascade")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_attribution_single_window_pass(spark, sf_dir):
+    """Last-touch attribution must NOT be a purchases-x-touches range
+    join: one user_id window carries the touch forward, and both
+    ignore-nulls last() columns share that single Window node."""
+    plan = plan_of(spark, sf_dir, "events_attribution_last_touch")
+    assert plan.count("Window") >= 1
+    assert "Join" not in plan, plan
+    # Both carried columns ride ONE window (no second sort/shuffle pass).
+    assert plan.count("WindowExec") <= 1 or plan.count("Window ") <= 1, plan
