@@ -440,3 +440,63 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count_distinct(F.col("user_id")).alias("n_users"),
         round_to(F.sum("value"), 4).alias("attributed_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Event-sequence Markov transition matrix (round 7)
+# --------------------------------------------------------------------------
+
+MARKOV_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+    FROM events
+), trans AS (
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type,
+       CAST(n AS BIGINT) AS n_transitions,
+       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 6) AS prob
+FROM trans
+"""
+
+
+@register(
+    "events_markov_transitions",
+    oracle=MARKOV_ORACLE,
+    tags=("events", "analytics", "window"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user journeys: for every
+    consecutive event pair in each user's (ts, event_id)-ordered stream,
+    count prev_type -> next_type transitions and row-normalize into
+    transition probabilities — the model behind next-action prediction
+    and funnel-anomaly alerts.
+
+    Scale shape: one lag() window on the user_id partitioning (the same
+    single corpus shuffle every sequence query here pays), then a
+    type-pair-sized aggregate; the row normalization windows over the
+    |types|^2-row aggregate, never the fact table."""
+    events = load_table(spark, sf_dir, "events")
+    seq = events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("prev_type"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    total = F.sum("n_transitions").over(Window.partitionBy("prev_type"))
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        round_to(F.col("n_transitions") / total, 6).alias("prob"),
+    )

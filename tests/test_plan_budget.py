@@ -71,6 +71,9 @@ EXCHANGE_BUDGET = {
     # one user_id window shuffle carries the last touch; the rollup is a
     # touch-type-sized aggregate pair. No purchases-x-touches range join.
     "events_attribution_last_touch": 2,
+    # lag window (user_id shuffle) + pair agg + the |types|^2-sized
+    # normalization window's exchange.
+    "events_markov_transitions": 3,
     "events_retention_cohorts": 4,
     # (day,user) dedup (the only corpus shuffle) + x7 fan-out join to
     # the day spine + the distinct-count agg pair.
