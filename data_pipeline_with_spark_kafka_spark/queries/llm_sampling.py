@@ -118,6 +118,54 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
 
 
+STRATIFIED_MD5_ORACLE = """
+SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           ('0x' || substr(md5('strat1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS u,
+           CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.5
+                     WHEN 'fr' THEN 1.0 WHEN 'es' THEN 1.0 WHEN 'zh' THEN 1.0
+                     ELSE 0.0 END AS f
+    FROM documents
+) WHERE u < f
+"""
+
+
+@register(
+    "llm_stratified_sample_md5",
+    oracle=STRATIFIED_MD5_ORACLE,
+    tags=("llm", "sampling"),
+)
+def llm_stratified_sample_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified Bernoulli sample with a DETERMINISTIC
+    md5-derived uniform instead of Spark's RNG — the fully-oracled twin
+    of ``llm_stratified_sample`` (same fraction map), completing the
+    twin pattern: every Spark-RNG sampling query now has a cross-engine
+    reproducible counterpart DuckDB replays exactly.
+
+    Scale shape: a pure per-row expression filter — zero shuffles, and
+    (unlike rand(seed), which changes with partitioning) the kept set is
+    a pure function of doc_id: stable across repartitions, retries and
+    engine versions, which is what an auditable corpus release needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("strat1:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    f = (
+        F.when(F.col("lang").isin("en", "de"), F.lit(0.5))
+        .when(F.col("lang").isin("fr", "es", "zh"), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+    )
+    return docs.filter(u < f).select("doc_id", "lang")
+
+
 WEIGHTED_RESERVOIR_K = 200
 
 WEIGHTED_RESERVOIR_ORACLE = f"""

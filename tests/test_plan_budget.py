@@ -74,6 +74,8 @@ EXCHANGE_BUDGET = {
     # lag window (user_id shuffle) + pair agg + the |types|^2-sized
     # normalization window's exchange.
     "events_markov_transitions": 3,
+    # pure per-row md5 filter — zero shuffles by construction.
+    "llm_stratified_sample_md5": 0,
     "events_retention_cohorts": 4,
     # (day,user) dedup (the only corpus shuffle) + x7 fan-out join to
     # the day spine + the distinct-count agg pair.

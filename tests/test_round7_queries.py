@@ -1,0 +1,170 @@
+"""Crafted-edge differential tests for the round-7 analytics additions.
+
+The registry parity test already proves each query matches its oracle on
+the driver's corpus; these tests pin the SEMANTIC edges on data built to
+hit them — same-timestamp attribution ties, lookback expiry, purchases
+with no history, NULL cascade keys — and check Spark and DuckDB agree on
+exactly those rows (the differential harness catches an edge both
+engines would otherwise silently disagree on in some future dataset).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pandas as pd
+import pytest
+
+from data_pipeline_with_spark_kafka_spark.queries import all_queries
+from tests.oracle_compare import assert_matches_oracle
+
+QUERIES = all_queries()
+
+T0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+
+def _write_events(tmp_path, rows):
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df["event_id"] = df["event_id"].astype("int64")
+    df["user_id"] = df["user_id"].astype("int64")
+    df["value"] = df["value"].astype("float64")
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    return str(tmp_path)
+
+
+def _duck_for(sf_dir, tables=("events",)):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.fixture()
+def attribution_sf(tmp_path):
+    h = dt.timedelta(hours=1)
+    d = dt.timedelta(days=1)
+    rows = [
+        # user 1: plain last-touch — click after view, purchase attributes
+        # to the click.
+        (101, T0, 1, "view", 0.0, "{}"),
+        (102, T0 + h, 1, "click", 0.0, "{}"),
+        (103, T0 + 2 * h, 1, "purchase", 10.0, "{}"),
+        # user 2: touch 8 days before the purchase — expired lookback.
+        (201, T0, 2, "click", 0.0, "{}"),
+        (202, T0 + 8 * d, 2, "purchase", 20.0, "{}"),
+        # user 3: purchase with no preceding events at all.
+        (301, T0, 3, "purchase", 30.0, "{}"),
+        # user 4: view and click at the SAME timestamp — the (ts,
+        # event_id) total order must break the tie identically on both
+        # engines (higher event_id is "later", so the click wins).
+        (401, T0, 4, "view", 0.0, "{}"),
+        (402, T0, 4, "click", 0.0, "{}"),
+        (403, T0 + h, 4, "purchase", 40.0, "{}"),
+        # user 5: a view AFTER the purchase must not attribute backward.
+        (501, T0, 5, "purchase", 50.0, "{}"),
+        (502, T0 + h, 5, "view", 0.0, "{}"),
+        # user 5's second purchase right at the 7-day boundary: touch at
+        # exactly ts - 7d is INSIDE the window (>= comparison).
+        (503, T0 + h + 7 * d, 5, "purchase", 60.0, "{}"),
+    ]
+    return _write_events(tmp_path, rows)
+
+
+def test_attribution_edges_match_oracle(spark, attribution_sf):
+    q = QUERIES["events_attribution_last_touch"]
+    con = _duck_for(attribution_sf)
+    assert_matches_oracle(
+        q.builder(spark, attribution_sf), con, q.oracle, name="attribution-edges"
+    )
+
+
+def test_attribution_edge_semantics(spark, attribution_sf):
+    q = QUERIES["events_attribution_last_touch"]
+    out = {
+        r["touch_type"]: r.asDict()
+        for r in q.builder(spark, attribution_sf).collect()
+    }
+    # user 1 -> click; user 4's same-ts tie -> click (higher event_id);
+    # user 5's boundary purchase -> view (exactly 7 days counts).
+    assert out["click"]["n_purchases"] == 2
+    assert out["click"]["attributed_value"] == pytest.approx(50.0)
+    assert out["view"]["n_purchases"] == 1
+    assert out["view"]["attributed_value"] == pytest.approx(60.0)
+    # users 2 (expired) and 3 (no history) and 5's first purchase.
+    assert out["unattributed"]["n_purchases"] == 3
+    assert out["unattributed"]["attributed_value"] == pytest.approx(100.0)
+
+
+def test_markov_single_event_users_and_row_norm(spark, tmp_path):
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: view -> click -> click (two distinct transitions).
+        (1, T0, 1, "view", 0.0, "{}"),
+        (2, T0 + m, 1, "click", 0.0, "{}"),
+        (3, T0 + 2 * m, 1, "click", 0.0, "{}"),
+        # user 2: a single event contributes NO transition.
+        (4, T0, 2, "purchase", 0.0, "{}"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    q = QUERIES["events_markov_transitions"]
+    con = _duck_for(sf)
+    assert_matches_oracle(q.builder(spark, sf), con, q.oracle, name="markov-edges")
+    got = {(r.prev_type, r.next_type): r for r in q.builder(spark, sf).collect()}
+    assert set(got) == {("view", "click"), ("click", "click")}
+    assert got[("view", "click")].prob == pytest.approx(1.0)
+    assert got[("click", "click")].prob == pytest.approx(1.0)
+
+
+def test_erasure_cascade_null_keys_survive(spark, tmp_path):
+    """A NULL foreign key matches no tombstone: it must count as
+    SURVIVING on both engines (the oracle computes surviving as
+    total - erased precisely because NOT IN would drop NULL rows)."""
+    pd.DataFrame(
+        {
+            "c_custkey": pd.array([97, 98, 194], dtype="int64"),
+            "c_name": ["a", "b", "c"],
+            "c_nationkey": pd.array([1, 1, 2], dtype="int32"),
+            "c_acctbal": [0.0, 0.0, 0.0],
+            "c_mktsegment": ["X", "X", "Y"],
+        }
+    ).to_parquet(tmp_path / "customer.parquet", index=False)
+    pd.DataFrame(
+        {
+            "o_orderkey": pd.array([1, 2, 3], dtype="int64"),
+            "o_custkey": pd.array([97, 98, 194], dtype="int64"),
+            "o_orderstatus": ["F", "F", "F"],
+            "o_totalprice": [1.0, 2.0, 3.0],
+            "o_orderdate": [T0, T0, T0],
+            "o_orderpriority": ["1-URGENT"] * 3,
+        }
+    ).to_parquet(tmp_path / "orders.parquet", index=False)
+    pd.DataFrame(
+        {"l_orderkey": pd.array([1, 2, None, 3], dtype="Int64")}
+    ).to_parquet(tmp_path / "lineitem.parquet", index=False)
+    pd.DataFrame(
+        {
+            "event_id": pd.array([1], dtype="int64"),
+            "ts": [T0],
+            "user_id": pd.array([97], dtype="int64"),
+            "event_type": ["view"],
+            "value": [0.0],
+            "props": ["{}"],
+        }
+    ).to_parquet(tmp_path / "events.parquet", index=False)
+
+    sf = str(tmp_path)
+    q = QUERIES["privacy_erasure_cascade"]
+    con = _duck_for(sf, tables=("customer", "orders", "lineitem", "events"))
+    assert_matches_oracle(q.builder(spark, sf), con, q.oracle, name="erasure-nulls")
+    got = {r.table_name: r for r in q.builder(spark, sf).collect()}
+    # tombstones: custkeys 97 and 194 -> orders 1 and 3 -> lineitems 1, 3.
+    assert (got["customer"].rows_erased, got["customer"].rows_surviving) == (2, 1)
+    assert (got["orders"].rows_erased, got["orders"].rows_surviving) == (2, 1)
+    # the NULL l_orderkey row SURVIVES (4 rows total: 2 erased, 2 surviving).
+    assert (got["lineitem"].rows_erased, got["lineitem"].rows_surviving) == (2, 2)
+    assert (got["events"].rows_erased, got["events"].rows_surviving) == (1, 0)

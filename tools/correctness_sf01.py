@@ -85,6 +85,10 @@ HEAVY = [
     # probe + the newly-oracled GROUPED_AGG pandas-UDF weighted mean
     "llm_bpe_encode", "llm_bpe_vocab", "llm_dedup_incremental_near_probe",
     "llm_weighted_quality_mean",
+    # round-7 late wave: the unrolled-GD trainer oracle + the governance/
+    # attribution/sequence additions
+    "llm_train_quality_classifier", "privacy_erasure_cascade",
+    "events_attribution_last_touch", "events_markov_transitions",
     # deep TPC-H joins (value-heavy aggregates)
     "tpch_q9_product_profit", "tpch_q21_waiting_supplier",
 ]
