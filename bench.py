@@ -98,6 +98,20 @@ def main() -> None:
     # (BENCH_r01..r03 all lost their total to the opposite ordering).
     metric_lines: list[str] = [json.dumps(full_payload)]
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json")
+    # Crash insurance (round-7 review finding): the corpus total is fully
+    # computed HERE, minutes before the 45 s streaming bench and the JVM
+    # teardown — a harness timeout/SIGKILL during either would otherwise
+    # lose every stdout metric. Print the corpus line eagerly AND write
+    # the sidecar now (both are re-emitted/re-written in final form
+    # below; the buffered copies still land LAST on stdout so the
+    # driver's tail capture keeps the compact headline).
+    print(json.dumps(full_payload), flush=True)
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(dict(full_payload, headline=headline), f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass
     # Streaming throughput (the reference is a STREAMING pipeline — its
     # headline number belongs in the official artifact, not just docs):
     # the rate-source windowed pipeline from tools/stream_bench.py, run

@@ -224,9 +224,20 @@ def func_cast_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     "func_json_family",
     oracle="""
 SELECT event_id,
-       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
-       json_extract_string(props, '$.missing') AS missing_value,
-       CAST(json_valid(props) AS BOOLEAN) AS is_valid_json
+       -- json_extract_string RAISES on malformed JSON in DuckDB (Spark's
+       -- get_json_object returns NULL) — guard every extraction so the
+       -- oracle never crashes on a corpus with garbage props. Spark's
+       -- from_json('k INT') is STRICT: only JSON integer literals parse
+       -- (quoted "12", 12.7, true all -> NULL), so gate on the path's
+       -- JSON type; TRY_CAST mirrors overflow -> NULL.
+       CASE WHEN json_valid(props)
+                 AND json_type(CAST(props AS JSON), '$.k') IN ('UBIGINT', 'BIGINT')
+            THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k_value,
+       CASE WHEN json_valid(props)
+            THEN json_extract_string(props, '$.missing') END AS missing_value,
+       CASE WHEN props IS NULL THEN NULL
+            WHEN json_valid(props) THEN json_type(CAST(props AS JSON)) = 'OBJECT'
+            ELSE false END AS is_json_object
 FROM events
 """,
     tags=("functions", "json"),
@@ -235,19 +246,26 @@ def func_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """get_json_object / from_json over the events.props JSON column
     (the reference's Kafka-payload parse, ``spark_consumer_kafka.py:66``).
 
-    NULL props propagates NULL for is_valid_json (standard SQL function
-    semantics, matching DuckDB's json_valid(NULL)) — a bare
-    from_json(props).isNotNull() returns FALSE there instead, which the
-    round-7 seed-differential fuzz caught on an all-NULL props corpus
-    (invisible on the driver's seed-42 data, where props is never NULL)."""
+    The validity flag is IS-JSON-OBJECT on both engines, with NULL props
+    propagating NULL (the round-7 seed fuzz caught the NULL edge; the
+    round-7 code review caught the rest: PERMISSIVE from_json(struct)
+    returns a non-null all-null-fields struct even for garbage input, so
+    the old from_json(...).isNotNull() form was TRUE for '123', '[1]'
+    and 'not json' where json_valid is false — invisible on corpora
+    whose props are always well-formed objects or NULL, i.e. every
+    fixture so far). from_json(MAP<STRING,STRING>) is the Spark
+    expression with exact object semantics: NULL for invalid JSON and
+    for valid non-object JSON, non-null for any object (nested values
+    stringify), verified cell-for-cell against DuckDB's
+    json_valid + json_type = 'OBJECT' across the edge matrix."""
     events = load_table(spark, sf_dir, "events")
     return events.select(
         "event_id",
         F.from_json("props", "k INT").getField("k").alias("k_value"),
         F.get_json_object("props", "$.missing").alias("missing_value"),
         F.when(F.col("props").isNull(), F.lit(None).cast("boolean"))
-        .otherwise(F.from_json("props", "k INT").isNotNull())
-        .alias("is_valid_json"),
+        .otherwise(F.from_json("props", "MAP<STRING,STRING>").isNotNull())
+        .alias("is_json_object"),
     )
 
 

@@ -184,9 +184,15 @@ def privacy_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Broadcast LEFT join against the (unique-keyed) tombstone set +
         # one combinable aggregate — one scan, no fact shuffle.
         j = df.join(F.broadcast(tomb), df[key] == tomb["_tk"], "left")
+        # coalesce(0): a zero-row fact table must report (0, 0) like the
+        # oracle's COUNT(*) arithmetic, not (NULL, NULL) from sum-of-none.
         return j.agg(
-            F.sum(F.col("_tk").isNotNull().cast("long")).alias("rows_erased"),
-            F.sum(F.col("_tk").isNull().cast("long")).alias("rows_surviving"),
+            F.coalesce(
+                F.sum(F.col("_tk").isNotNull().cast("long")), F.lit(0)
+            ).alias("rows_erased"),
+            F.coalesce(
+                F.sum(F.col("_tk").isNull().cast("long")), F.lit(0)
+            ).alias("rows_surviving"),
         ).select(F.lit(name).alias("table_name"), "rows_erased", "rows_surviving")
 
     out = (

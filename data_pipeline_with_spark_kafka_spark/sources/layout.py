@@ -112,6 +112,54 @@ def _leq(col_d):
     return lambda x: x <= col_d
 
 
+def _zorder_sort_expr(df: DataFrame, c: str):
+    """A monotone DOUBLE expression for any supported z-column type.
+
+    percentile_approx needs a numeric, but z-columns are routinely
+    strings/dates (country codes, partition dates). A bare
+    cast('double') silently NULLs every string (degenerating that
+    dimension to one bucket with no error) and raises on dates — the
+    round-7 review finding. Each type gets an order-preserving numeric
+    key; cut points and ranks are derived in the SAME transformed space,
+    so bucketing is consistent by construction:
+
+    - numeric/boolean/timestamp: plain cast (timestamp -> epoch seconds,
+      tz-independent);
+    - date: civil days since 1970-01-01 (a date->timestamp cast would be
+      session-timezone-dependent);
+    - string: first 6 codepoints clamped to 255, packed big-endian into
+      48 bits — order-preserving on ASCII prefixes (ties beyond 6 chars
+      or exotic codepoints only coarsen buckets, never corrupt them).
+
+    Unsupported types raise instead of silently degrading the curve."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt = df.schema[c].dataType
+    if isinstance(
+        dt,
+        (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType, T.BooleanType,
+            T.TimestampType, T.TimestampNTZType,
+        ),
+    ):
+        return F.col(c).cast("double")
+    if isinstance(dt, T.DateType):
+        return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+    if isinstance(dt, T.StringType):
+        packed = F.lit(0.0)
+        for i in range(1, 7):
+            cp = F.least(F.ascii(F.substring(F.col(c), i, 1)), F.lit(255))
+            packed = packed * F.lit(256.0) + F.coalesce(cp, F.lit(0)).cast("double")
+        return F.when(F.col(c).isNull(), F.lit(None).cast("double")).otherwise(packed)
+    raise TypeError(
+        f"z-order column {c!r} has unsupported type {dt.simpleString()}: "
+        "provide a numeric/date/timestamp/string column (or pre-derive a "
+        "sortable key)"
+    )
+
+
 def zorder_keyed(df: DataFrame, zorder_cols: list[str], *, bits: int = 10) -> DataFrame:
     """``df`` plus a ``_zkey`` Morton-key column (see ``write_zordered``).
 
@@ -120,10 +168,11 @@ def zorder_keyed(df: DataFrame, zorder_cols: list[str], *, bits: int = 10) -> Da
     was the round-6 weak flag)."""
     from pyspark.sql import functions as F
 
+    sort_exprs = {c: _zorder_sort_expr(df, c) for c in zorder_cols}
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
     cut_row = df.agg(
         *[
-            F.percentile_approx(F.col(c).cast("double"), F.lit(probs), F.lit(10_000)).alias(c)
+            F.percentile_approx(sort_exprs[c], F.lit(probs), F.lit(10_000)).alias(c)
             for c in zorder_cols
         ]
     ).first()
@@ -143,7 +192,7 @@ def zorder_keyed(df: DataFrame, zorder_cols: list[str], *, bits: int = 10) -> Da
             # NB: the filter lambda must be single-arg — a second arg is
             # interpreted by F.filter as the element INDEX.
             cuts_arr = F.lit([float(v) for v in cuts])
-            col_d = F.col(c).cast("double")
+            col_d = sort_exprs[c]
             rank = F.size(F.filter(cuts_arr, _leq(col_d))).cast("long")
         else:  # empty input or all-null column
             rank = F.lit(0).cast("long")

@@ -148,3 +148,47 @@ def test_compact_parquet_dir(spark, tmp_path):
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
     # source untouched (never in place)
     assert spark.read.parquet(src).count() == 5000
+
+
+def test_zorder_string_and_date_columns(spark, sf_dir, tmp_path):
+    """String/date z-columns must RANK, not silently degenerate: a bare
+    cast('double') NULLs every string (one bucket, no error) and raises
+    on dates (round-7 review finding). The type-aware sort key gives
+    every supported type a real quantile curve."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_spark_kafka_spark.sources.layout import zorder_keyed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("o_date"),
+    )
+    keyed = zorder_keyed(orders, ["o_orderpriority", "o_date"], bits=4)
+    # Distinct priorities must land in >1 rank bucket each dimension —
+    # the degenerate all-NULL-cast regression yields exactly 1 zkey per
+    # priority pattern (rank 0 everywhere).
+    n_keys = keyed.select("_zkey").distinct().count()
+    assert n_keys > 4, f"z-key degenerated: {n_keys} distinct keys"
+    # Same priority string must always get the same key contribution:
+    # keys within one (priority, date) pair are constant.
+    per_pair = (
+        keyed.groupBy("o_orderpriority", "o_date")
+        .agg(F.count_distinct("_zkey").alias("nk"))
+        .agg(F.max("nk").alias("mx"))
+        .first()["mx"]
+    )
+    assert per_pair == 1
+
+
+def test_zorder_unsupported_type_raises(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_spark_kafka_spark.sources.layout import zorder_keyed
+
+    df = spark.range(10).select(F.array(F.col("id")).alias("arr"), "id")
+    try:
+        zorder_keyed(df, ["arr"], bits=4)
+        raise AssertionError("expected TypeError for array z-column")
+    except TypeError as e:
+        assert "unsupported type" in str(e)

@@ -168,3 +168,43 @@ def test_erasure_cascade_null_keys_survive(spark, tmp_path):
     # the NULL l_orderkey row SURVIVES (4 rows total: 2 erased, 2 surviving).
     assert (got["lineitem"].rows_erased, got["lineitem"].rows_surviving) == (2, 2)
     assert (got["events"].rows_erased, got["events"].rows_surviving) == (1, 0)
+
+
+def test_json_object_flag_edge_matrix(spark, tmp_path):
+    """is_json_object must agree cross-engine on the FULL edge matrix:
+    NULL, objects, scalars, arrays, bare null, garbage, nested values,
+    surrounding whitespace. (PERMISSIVE from_json(struct).isNotNull() was
+    TRUE for garbage — round-7 review finding; the MAP form is exact.)"""
+    vals = [
+        None, '{"k":1}', "{}", "123", "[1]", '"s"', "null",
+        "not json", '{"k":{"a":1}}', '  {"k":2} ',
+        # strict-INT edges: quoted number / float / bool k must be NULL
+        # k_value on BOTH engines (Spark from_json only parses integer
+        # literals; the oracle gates on the path's JSON type).
+        '{"k":"12"}', '{"k":12.7}', '{"k":true}', '{"k":[1]}',
+    ]
+    pd.DataFrame(
+        {
+            "event_id": pd.array(range(len(vals)), dtype="int64"),
+            "ts": [T0] * len(vals),
+            "user_id": pd.array([1] * len(vals), dtype="int64"),
+            "event_type": ["view"] * len(vals),
+            "value": [0.0] * len(vals),
+            "props": vals,
+        }
+    ).to_parquet(tmp_path / "events.parquet", index=False)
+    sf = str(tmp_path)
+    q = QUERIES["func_json_family"]
+    con = _duck_for(sf)
+    assert_matches_oracle(q.builder(spark, sf), con, q.oracle, name="json-edges")
+    rows = {r.event_id: r for r in q.builder(spark, sf).collect()}
+    assert {i: rows[i].is_json_object for i in rows} == {
+        0: None, 1: True, 2: True, 3: False, 4: False, 5: False,
+        6: False, 7: False, 8: True, 9: True,
+        10: True, 11: True, 12: True, 13: True,
+    }
+    assert {i: rows[i].k_value for i in rows} == {
+        0: None, 1: 1, 2: None, 3: None, 4: None, 5: None,
+        6: None, 7: None, 8: None, 9: 2,
+        10: None, 11: None, 12: None, 13: None,
+    }

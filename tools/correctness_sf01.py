@@ -105,13 +105,21 @@ GENERATED_TABLES = {"documents", "embeddings", "events"}
 def scale_fixture_set(qs) -> list[str]:
     import re
 
-    names = []
+    names, dropped = [], []
     for name, q in qs.items():
         if q.oracle is None:
             continue
-        refs = {t for t in TABLES if re.search(rf"\b{t}\b", q.oracle, re.I)}
+        # Strip SQL comments first: a table name inside a `-- ...` remark
+        # must not add a phantom reference (round-7 review finding — it
+        # would silently drop the query from the scale sweep).
+        sql = re.sub(r"--[^\n]*", "", q.oracle)
+        refs = {t for t in TABLES if re.search(rf"\b{t}\b", sql, re.I)}
         if refs and refs <= GENERATED_TABLES:
             names.append(name)
+        elif refs - GENERATED_TABLES:
+            dropped.append(name)
+    print(f"# scale-fixture set: {len(names)} eligible, "
+          f"{len(dropped)} reference non-generated tables (skipped)")
     return names
 
 
