@@ -228,7 +228,11 @@ def _two_phase_swap(out, target: str) -> None:
     tmp = f"{target}.tmp-{tag}"
     out.write.mode("overwrite").parquet(tmp)
     backup = f"{target}.old-{tag}"
-    had_old = os.path.isdir(target)
+    # The target may be a parquet DIRECTORY (our own writes) or a single
+    # parquet FILE (the driver's fixture layout): os.path.exists covers
+    # both — a file target left in place would make the tmp-dir rename
+    # fail with NotADirectoryError (round-7 erase-CLI finding).
+    had_old = os.path.exists(target)
     if had_old:
         os.rename(target, backup)
     try:
@@ -238,7 +242,7 @@ def _two_phase_swap(out, target: str) -> None:
             os.rename(backup, target)
         raise
     if had_old:
-        shutil.rmtree(backup)
+        shutil.rmtree(backup) if os.path.isdir(backup) else os.remove(backup)
 
 
 def cmd_maintain(spark: SparkSession, args: argparse.Namespace) -> None:
@@ -317,6 +321,70 @@ def cmd_maintain_incremental(spark: SparkSession, args: argparse.Namespace) -> N
               f"partition(s) {handled} -> {args.snapshot}")
     else:
         print("maintain-incremental: no new partitions — no-op")
+
+
+def cmd_erase(spark: SparkSession, args: argparse.Namespace) -> None:
+    """GDPR right-to-erasure APPLY — the destructive half of the
+    ``privacy_erasure_cascade`` audit query: delete the given data
+    subjects from every referencing table (customer/orders/events by
+    subject key, lineitem transitively via the subjects' orders), each
+    table rewritten two-phase (never a destroy-first window).
+
+    Discipline:
+    - the tombstone relations are request-bounded and BROADCAST, so each
+      fact table is one scan + broadcast anti-join — no fact shuffle;
+    - processing is leaf-first (lineitem before orders): the cascade key
+      set is planned lazily against the PRE-erasure parent, and executes
+      during the lineitem rewrite while the orders dir is still intact;
+    - idempotent: re-running (including resuming after a crash between
+      table swaps) erases nothing further — erased keys simply match no
+      rows. --dry-run prints the audit counts without rewriting."""
+    import os
+
+    from data_pipeline_with_spark_kafka_spark.sources.tables import table_row_count
+
+    subjects = [int(s) for s in args.subject_ids.split(",") if s.strip()]
+    if not subjects:
+        raise SystemExit("erase: --subject-ids is empty")
+    sdf = F.broadcast(
+        spark.createDataFrame([(s,) for s in subjects], "subject bigint")
+    )
+    paths = {
+        t: os.path.join(args.data_dir, f"{t}.parquet")
+        for t in ("customer", "orders", "lineitem", "events")
+    }
+    orders_pre = (
+        spark.read.parquet(paths["orders"]) if os.path.exists(paths["orders"]) else None
+    )
+    tomb_o = (
+        F.broadcast(
+            orders_pre.join(sdf, orders_pre["o_custkey"] == F.col("subject"), "semi")
+            .select(F.col("o_orderkey").alias("subject"))
+        )
+        if orders_pre is not None
+        else None
+    )
+    plan = [
+        ("lineitem", "l_orderkey", tomb_o),
+        ("orders", "o_custkey", sdf),
+        ("customer", "c_custkey", sdf),
+        ("events", "user_id", sdf),
+    ]
+    for name, key, tomb in plan:
+        path = paths[name]
+        if tomb is None or not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        before = table_row_count(args.data_dir, name)
+        survivors = df.join(tomb, df[key] == tomb["subject"], "anti")
+        if args.dry_run:
+            after = survivors.count()
+            note = " (dry-run)"
+        else:
+            _two_phase_swap(survivors, path)
+            after = table_row_count(args.data_dir, name)
+            note = ""
+        print(f"{name}: {before - after} erased, {after} surviving{note}")
 
 
 def cmd_e2e(spark: SparkSession, args: argparse.Namespace) -> None:
@@ -470,6 +538,14 @@ def make_parser() -> argparse.ArgumentParser:
         "--crash-after-swap", action="store_true", help=argparse.SUPPRESS
     )  # test hook: die in the swap-done/ledger-pending window
 
+    era = sub.add_parser(
+        "erase",
+        help="GDPR erasure: delete data subjects across all referencing tables, two-phase",
+    )
+    era.add_argument("--data-dir", required=True, help="dir holding customer/orders/lineitem/events parquet")
+    era.add_argument("--subject-ids", required=True, help="comma-separated customer keys to erase")
+    era.add_argument("--dry-run", action="store_true", help="print audit counts, rewrite nothing")
+
     e2e = sub.add_parser("e2e", help="produce -> consume, file-based, no broker")
     e2e.add_argument("--input", required=True)
     e2e.add_argument("--stage-dir", required=True, help="dir for the produced micro-batch files")
@@ -523,6 +599,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> No
         "train-quality": cmd_train_quality,
         "maintain": cmd_maintain,
         "maintain-incremental": cmd_maintain_incremental,
+        "erase": cmd_erase,
         "e2e": cmd_e2e,
         "orchestrate": cmd_orchestrate,
     }[args.cmd](spark, args)

@@ -120,10 +120,10 @@ def test_markov_single_event_users_and_row_norm(spark, tmp_path):
     assert got[("click", "click")].prob == pytest.approx(1.0)
 
 
-def test_erasure_cascade_null_keys_survive(spark, tmp_path):
-    """A NULL foreign key matches no tombstone: it must count as
-    SURVIVING on both engines (the oracle computes surviving as
-    total - erased precisely because NOT IN would drop NULL rows)."""
+def _write_erasure_universe(tmp_path):
+    """customer(97, 98, 194) / their orders / lineitems (incl. a NULL
+    orderkey) / one event for subject 97 — shared by the audit-query edge
+    test and the erase-CLI apply test."""
     pd.DataFrame(
         {
             "c_custkey": pd.array([97, 98, 194], dtype="int64"),
@@ -156,8 +156,14 @@ def test_erasure_cascade_null_keys_survive(spark, tmp_path):
             "props": ["{}"],
         }
     ).to_parquet(tmp_path / "events.parquet", index=False)
+    return str(tmp_path)
 
-    sf = str(tmp_path)
+
+def test_erasure_cascade_null_keys_survive(spark, tmp_path):
+    """A NULL foreign key matches no tombstone: it must count as
+    SURVIVING on both engines (the oracle computes surviving as
+    total - erased precisely because NOT IN would drop NULL rows)."""
+    sf = _write_erasure_universe(tmp_path)
     q = QUERIES["privacy_erasure_cascade"]
     con = _duck_for(sf, tables=("customer", "orders", "lineitem", "events"))
     assert_matches_oracle(q.builder(spark, sf), con, q.oracle, name="erasure-nulls")
@@ -208,3 +214,39 @@ def test_json_object_flag_edge_matrix(spark, tmp_path):
         6: None, 7: None, 8: None, 9: 2,
         10: None, 11: None, 12: None, 13: None,
     }
+
+
+def test_erase_cli_applies_cascade_and_is_idempotent(spark, tmp_path, capsys):
+    """run.py erase = the destructive half of the audit query: subjects
+    97+194 vanish from customer/orders/events, their lineitems vanish
+    transitively, the NULL-key lineitem survives, and a second run is a
+    no-op (idempotent resume contract)."""
+    from data_pipeline_with_spark_kafka_spark.run import main
+
+    sf = _write_erasure_universe(tmp_path)
+
+    # dry-run: counts only, nothing rewritten
+    main(["erase", "--data-dir", sf, "--subject-ids", "97,194", "--dry-run"],
+         spark=spark)
+    assert "customer: 2 erased, 1 surviving (dry-run)" in capsys.readouterr().out
+    assert spark.read.parquet(f"{sf}/customer.parquet").count() == 3
+
+    main(["erase", "--data-dir", sf, "--subject-ids", "97,194"], spark=spark)
+    out = capsys.readouterr().out
+    assert "lineitem: 2 erased, 2 surviving" in out
+    assert "orders: 2 erased, 1 surviving" in out
+    assert "customer: 2 erased, 1 surviving" in out
+    assert "events: 1 erased, 0 surviving" in out
+
+    assert sorted(
+        r.c_custkey for r in spark.read.parquet(f"{sf}/customer.parquet").collect()
+    ) == [98]
+    li = [r.l_orderkey for r in spark.read.parquet(f"{sf}/lineitem.parquet").collect()]
+    assert sorted(x for x in li if x is not None) == [2]
+    assert None in li  # the NULL-key row survived the rewrite
+
+    # idempotent second run: all zero erased
+    main(["erase", "--data-dir", sf, "--subject-ids", "97,194"], spark=spark)
+    out2 = capsys.readouterr().out
+    for t in ("lineitem", "orders", "customer", "events"):
+        assert f"{t}: 0 erased" in out2
