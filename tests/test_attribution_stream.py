@@ -165,3 +165,21 @@ def test_attribution_state_evicts_after_lookback(spark, tmp_path):
     emitted = _run(spark, src, ckpt, lookback="7 days", watermark="1 second")
     verdicts = {eid: t for _, _, eid, t, _ in emitted}
     assert verdicts == {4: "unattributed"}
+
+
+def test_attribution_survives_restart(spark, tmp_path):
+    """A second run against the same checkpoint recovers the carried
+    touch: a purchase arriving after restart still attributes to a touch
+    seen before the restart."""
+    src = tmp_path / "rs_in"
+    ckpt = tmp_path / "rs_ck"
+    src.mkdir()
+    (src / "f1.json").write_text(_line(1, "2024-06-01 10:00:00", 1, "click"))
+    os.utime(src / "f1.json", (1, 1))
+    first = _run(spark, src, ckpt, lookback="7 days", watermark="1 second")
+    assert first == []  # a lone touch emits nothing
+
+    (src / "f2.json").write_text(_line(2, "2024-06-01 11:00:00", 1, "purchase", 9.0))
+    os.utime(src / "f2.json", (2, 2))
+    second = _run(spark, src, ckpt, lookback="7 days", watermark="1 second")
+    assert [(eid, t) for _, _, eid, t, _ in second] == [(2, "click")]
