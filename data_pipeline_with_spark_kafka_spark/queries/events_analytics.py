@@ -500,3 +500,77 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_transitions",
         round_to(F.col("n_transitions") / total, 6).alias("prob"),
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal (day-of-week) volume anomaly detection (round 7)
+# --------------------------------------------------------------------------
+
+DOW_ANOMALY_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+    FROM events GROUP BY 1
+), keyed AS (
+    -- engine-neutral day-of-week: 1970-01-01 is a Thursday, so
+    -- (epoch_days + 4) % 7 gives 0=Sunday on ANY engine (Spark's
+    -- dayofweek() is 1-based, DuckDB's 0-based — don't touch either).
+    SELECT d, cnt, (datediff('day', DATE '1970-01-01', d) + 4) % 7 AS dow
+    FROM daily
+), stats AS (
+    SELECT dow, AVG(cnt) AS mu, STDDEV_SAMP(cnt) AS sigma, COUNT(*) AS n_days
+    FROM keyed GROUP BY dow
+)
+SELECT CAST(k.d AS VARCHAR) AS day, CAST(k.cnt AS BIGINT) AS n_events,
+       CAST(k.dow AS INT) AS dow,
+       CASE WHEN s.sigma IS NULL OR s.sigma = 0 THEN NULL
+            ELSE ROUND((k.cnt - s.mu) / s.sigma, 4) END AS z,
+       CASE WHEN s.sigma IS NULL OR s.sigma = 0 THEN false
+            ELSE ABS((k.cnt - s.mu) / s.sigma) > 2 END AS is_anomaly
+FROM keyed k JOIN stats s USING (dow)
+"""
+
+
+@register(
+    "events_anomaly_dow",
+    oracle=DOW_ANOMALY_ORACLE,
+    tags=("events", "monitoring"),
+)
+def events_anomaly_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal volume anomaly detection: each day's event count scored
+    against ITS OWN day-of-week baseline (weekends vs weekdays have
+    different normals — a global z-score flags every Saturday). The
+    monitoring alarm a streaming ingest dashboard runs.
+
+    Scale shape: one map-side-combinable daily aggregate over the fact
+    table, then day-of-week stats and the join both operate on
+    calendar-sized relations (365 rows/year) — nothing corpus-sized
+    shuffles twice. Day-of-week derives from epoch days ((days+4) % 7,
+    0=Sunday) because Spark's dayofweek() is 1-based and DuckDB's
+    0-based — the arithmetic form is engine-neutral by construction."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    keyed = daily.withColumn(
+        "dow", (F.datediff("d", F.lit("1970-01-01")) + F.lit(4)) % 7
+    )
+    stats = keyed.groupBy("dow").agg(
+        F.avg("cnt").alias("mu"),
+        F.stddev_samp("cnt").alias("sigma"),
+    )
+    j = keyed.join(F.broadcast(stats), "dow")
+    z_raw = (F.col("cnt") - F.col("mu")) / F.col("sigma")
+    degenerate = F.col("sigma").isNull() | (F.col("sigma") == 0)
+    return j.select(
+        # string form: pandas renders a DuckDB DATE as a midnight
+        # Timestamp, so a date-typed column hash-mismatches the canon.
+        F.col("d").cast("string").alias("day"),
+        F.col("cnt").alias("n_events"),
+        F.col("dow").cast("int").alias("dow"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(round_to(z_raw, 4))
+        .alias("z"),
+        F.when(degenerate, F.lit(False))
+        .otherwise(F.abs(z_raw) > 2)
+        .alias("is_anomaly"),
+    )

@@ -76,6 +76,9 @@ EXCHANGE_BUDGET = {
     "events_markov_transitions": 3,
     # pure per-row md5 filter — zero shuffles by construction.
     "llm_stratified_sample_md5": 0,
+    # daily agg (the only corpus shuffle) + dow-stats agg pair + the
+    # broadcast back to the calendar-sized relation.
+    "events_anomaly_dow": 4,
     "events_retention_cohorts": 4,
     # (day,user) dedup (the only corpus shuffle) + x7 fan-out join to
     # the day spine + the distinct-count agg pair.
