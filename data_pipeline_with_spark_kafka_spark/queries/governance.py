@@ -160,13 +160,18 @@ def privacy_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     in for the regulatory request list), propagated customer -> orders ->
     lineitem and customer -> events.
 
-    Scale shape (100 TB): the tombstone list is request-bounded (tiny) —
-    it and the cascaded order-key set BROADCAST, so every fact table is
-    scanned exactly ONCE with a map-side hash probe feeding one
-    combinable aggregate: no fact-table shuffle anywhere. The same plan
-    with a .filter(~erased).write() tail is the destructive rewrite;
-    pair with partition pruning on the write path so only affected
-    partitions rewrite."""
+    Scale shape (100 TB): a real erasure-request list is external and
+    tiny, but THIS query's deterministic stand-in (a modulus filter) is
+    sf-PROPORTIONAL — so the joins carry no broadcast hints (the
+    q22/q14 de-hinting contract, enforced by
+    test_no_broadcast_hint_on_sf_scaled_table): stats + AQE elect the
+    broadcast while the tombstone relation fits the threshold (it does
+    at every test scale, plan-asserted) and fall back to shuffle
+    semi/anti joins when a 1%-of-customers list no longer does. Either
+    way each fact table is scanned exactly once into one combinable
+    aggregate. The same plan with a .filter(~erased).write() tail is
+    the destructive rewrite (run.py erase), where the CLI's
+    --subject-ids list IS request-bounded and broadcasts by hint."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
@@ -176,14 +181,16 @@ def privacy_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("_tk")
     )
     tomb_o = (
-        orders.join(F.broadcast(tomb_c), orders["o_custkey"] == F.col("_tk"), "semi")
+        orders.join(tomb_c, orders["o_custkey"] == F.col("_tk"), "semi")
         .select(F.col("o_orderkey").alias("_tk"))
     )
 
     def leg(df: DataFrame, key: str, tomb: DataFrame, name: str) -> DataFrame:
         # Broadcast LEFT join against the (unique-keyed) tombstone set +
         # one combinable aggregate — one scan, no fact shuffle.
-        j = df.join(F.broadcast(tomb), df[key] == tomb["_tk"], "left")
+        # No broadcast hint (see docstring): the planner elects it while
+        # the tombstone relation fits, and can demote at scale.
+        j = df.join(tomb, df[key] == tomb["_tk"], "left")
         # coalesce(0): a zero-row fact table must report (0, 0) like the
         # oracle's COUNT(*) arithmetic, not (NULL, NULL) from sum-of-none.
         return j.agg(

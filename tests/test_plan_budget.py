@@ -280,9 +280,10 @@ EXCHANGE_BUDGET = {
     "orderby_limit_topk": 0,
     "pivot_status_by_priority": 2,
     "privacy_k_anonymity": 1,
-    # 4 broadcast-probed fact scans -> four 1-row aggregates + the union
-    # sort; every join side is tombstone-sized (5 BroadcastHashJoin, 0
-    # SortMergeJoin — asserted in test_plans.py).
+    # 4 tombstone-probed fact scans -> four 1-row aggregates + the union
+    # sort; no broadcast HINTS (sf-proportional stand-in list) — the
+    # planner elects BroadcastHashJoin at test scale (asserted in
+    # test_plans.py) and may demote to shuffle joins at 100 TB.
     "privacy_erasure_cascade": 9,
     # one full-outer key join (exchange per side); hist/keep/close/open
     # branches are projections of that single join, not re-joins.

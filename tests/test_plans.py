@@ -130,8 +130,10 @@ _SF_MARKERS = (
     "c_custkey", "s_suppkey", "p_partkey", "o_orderkey", "l_orderkey",
     "event_id", "doc_id", "vec_id",
 )
-# Grouping keys whose cardinality is bounded by the cluster, not the data.
-_BOUNDED_GROUP_KEYS = {"_pid"}
+# Grouping keys whose cardinality is bounded by the cluster, not the data
+# (_pid: partition ids), or by the calendar (dow: 7 day-of-week values —
+# the events_anomaly_dow stats relation is <= 7 rows at ANY corpus size).
+_BOUNDED_GROUP_KEYS = {"_pid", "dow"}
 
 
 def _node_depth(line: str) -> int:
