@@ -574,3 +574,73 @@ def events_anomaly_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.abs(z_raw) > 2)
         .alias("is_anomaly"),
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel time-to-convert distribution (round 7)
+# --------------------------------------------------------------------------
+
+TIME_TO_CONVERT_ORACLE = """
+WITH s AS (
+    SELECT user_id, MIN(ts) AS signup_ts
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+), conv AS (
+    SELECT e.user_id,
+           (epoch_us(MIN(e.ts)) - epoch_us(s.signup_ts)) / 3600000000.0 AS hours
+    FROM events e JOIN s USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > s.signup_ts
+    GROUP BY e.user_id, s.signup_ts
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       ROUND(quantile_cont(hours, 0.5), 4) AS median_hours,
+       ROUND(quantile_cont(hours, 0.9), 4) AS p90_hours,
+       ROUND(AVG(hours), 4) AS mean_hours
+FROM conv
+"""
+
+
+@register(
+    "events_time_to_convert",
+    oracle=TIME_TO_CONVERT_ORACLE,
+    tags=("events", "analytics"),
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup -> first-purchase latency distribution: hours from each
+    user's first signup to their first purchase strictly after it;
+    median / p90 / mean over converting users — the funnel metric
+    product teams actually track (events_funnel_conversion counts WHO
+    converts; this measures HOW FAST).
+
+    Scale shape: two user-keyed aggregates and one user-keyed join (the
+    signup relation is per-user, joined back to purchases on the same
+    user_id hashing), then one exact-percentile aggregate over the
+    per-user latency relation (constant state). No windows."""
+    events = load_table(spark, sf_dir, "events")
+    s = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    conv = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("ts").alias("first_purchase"))
+        .select(
+            # timestampdiff is CIVIL arithmetic, defined for TIMESTAMP_NTZ
+            # (events.ts is NTZ under a vanilla driver session, where
+            # unix_micros would not resolve) and exactly mirrors DuckDB's
+            # epoch_us difference on its tz-less TIMESTAMP.
+            (
+                F.expr("timestampdiff(MICROSECOND, signup_ts, first_purchase)")
+                / F.lit(3_600_000_000.0)
+            ).alias("hours")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        round_to(F.percentile("hours", F.lit(0.5)), 4).alias("median_hours"),
+        round_to(F.percentile("hours", F.lit(0.9)), 4).alias("p90_hours"),
+        round_to(F.avg("hours"), 4).alias("mean_hours"),
+    )

@@ -580,3 +580,97 @@ def stats_quantile_discretize(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_to(F.max("x"), 4).alias("hi"),
         round_to(F.avg("x"), 4).alias("mean_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (round 7)
+# --------------------------------------------------------------------------
+#
+# The classic CRM segmentation: per-customer Recency / Frequency /
+# Monetary metrics, quartile-coded 1..4 per dimension, rolled up to
+# segment sizes. The quartile coding deliberately reuses the
+# stats_quantile_discretize discipline — exact interpolated percentile
+# CUT POINTS (one constant-state aggregate, 4dp-rounded on both engines)
+# compared per row — instead of ntile(4), whose unpartitioned window
+# would sort the whole per-customer relation on one task at scale.
+
+RFM_ORACLE = """
+WITH maxd AS (SELECT MAX(o_orderdate) AS d FROM orders),
+rfm AS (
+    SELECT o_custkey,
+           date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                     CAST((SELECT d FROM maxd) AS DATE)) AS recency,
+           COUNT(*) AS frequency,
+           ROUND(SUM(o_totalprice), 4) AS monetary
+    FROM orders GROUP BY o_custkey
+), cuts AS (
+    SELECT [ROUND(c, 4) FOR c IN quantile_cont(recency, [0.25, 0.5, 0.75])] AS rc,
+           [ROUND(c, 4) FOR c IN quantile_cont(frequency, [0.25, 0.5, 0.75])] AS fc,
+           [ROUND(c, 4) FOR c IN quantile_cont(monetary, [0.25, 0.5, 0.75])] AS mc
+    FROM rfm
+), coded AS (
+    SELECT CAST(len(list_filter(cuts.rc, c -> r.recency > c)) + 1 AS INT) AS r_code,
+           CAST(len(list_filter(cuts.fc, c -> r.frequency > c)) + 1 AS INT) AS f_code,
+           CAST(len(list_filter(cuts.mc, c -> r.monetary > c)) + 1 AS INT) AS m_code,
+           r.recency AS recency, r.monetary AS monetary
+    FROM rfm r, cuts
+)
+SELECT r_code, f_code, m_code,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(AVG(recency), 4) AS avg_recency_days,
+       ROUND(AVG(monetary), 4) AS avg_monetary
+FROM coded GROUP BY r_code, f_code, m_code
+"""
+
+
+@register("stats_rfm_segments", oracle=RFM_ORACLE, tags=("stats", "analytics"))
+def stats_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency (days since last order, vs the corpus
+    max date), frequency (order count), monetary (total spend, 4dp) per
+    customer; each dimension quartile-coded 1..4 via exact percentile
+    cut points (code = cuts strictly below + 1, so code 1 = most recent
+    / least frequent / lowest spend quartile); segments rolled up.
+
+    Scale shape: one per-customer aggregate (the only fact shuffle), a
+    1-row max-date broadcast, a 1-row cut-point broadcast, and a
+    <=64-row segment rollup. No ntile window anywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("maxd"))
+    rfm = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            round_to(F.sum("o_totalprice"), 4).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            F.datediff(F.col("maxd").cast("date"), F.col("last_order").cast("date"))
+            .cast("long")
+            .alias("recency"),
+            "frequency",
+            "monetary",
+        )
+    )
+    qs = [0.25, 0.5, 0.75]
+    qarr = F.array(*[F.lit(q) for q in qs])
+    cuts = rfm.agg(
+        F.transform(F.percentile("recency", qarr), lambda c: round_to(c, 4)).alias("rc"),
+        F.transform(F.percentile("frequency", qarr), lambda c: round_to(c, 4)).alias("fc"),
+        F.transform(F.percentile("monetary", qarr), lambda c: round_to(c, 4)).alias("mc"),
+    )
+    code = lambda cs, v: (  # noqa: E731 — local expression builder
+        F.size(F.filter(cs, lambda c: v > c)) + F.lit(1)
+    ).cast("int")
+    coded = rfm.crossJoin(F.broadcast(cuts)).select(
+        code(F.col("rc"), F.col("recency")).alias("r_code"),
+        code(F.col("fc"), F.col("frequency")).alias("f_code"),
+        code(F.col("mc"), F.col("monetary")).alias("m_code"),
+        "recency",
+        "monetary",
+    )
+    return coded.groupBy("r_code", "f_code", "m_code").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        round_to(F.avg("recency"), 4).alias("avg_recency_days"),
+        round_to(F.avg("monetary"), 4).alias("avg_monetary"),
+    )

@@ -62,6 +62,35 @@ def orc_source(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def binary_file_source(
+    spark: SparkSession,
+    path: str,
+    *,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-media directory scan via Spark's built-in ``binaryFile``
+    format: one row per file with (path, modificationTime, length,
+    content binary) — the ingest edge of the multimodal stack
+    (operators/multimodal.py decodes the ``content`` column exactly like
+    a parquet-stored media blob).
+
+    Scale notes: ``pathGlobFilter`` prunes by NAME before any byte is
+    read; ``max_bytes`` pushes a ``length``-predicate that binaryFile
+    evaluates from file STATUS (skip-before-read — oversized media never
+    enters the scan); files are split-proof (one file = one row), so
+    partitioning is by file, which is what you want for whole-file
+    decoders. For billions of small files, compact into parquet blobs
+    first (this source is the one that does that compaction read)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df
+
+
 def write_batch(
     df: DataFrame,
     path: str,

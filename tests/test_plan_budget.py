@@ -79,6 +79,12 @@ EXCHANGE_BUDGET = {
     # daily agg (the only corpus shuffle) + dow-stats agg pair + the
     # broadcast back to the calendar-sized relation.
     "events_anomaly_dow": 4,
+    # per-customer RFM agg (the only fact shuffle) + the 1-row max-date /
+    # cut-point broadcasts + the <=64-row segment rollup.
+    "stats_rfm_segments": 9,
+    # signup agg + the user-keyed purchase join + latency agg + the 1-row
+    # percentile aggregate.
+    "events_time_to_convert": 4,
     "events_retention_cohorts": 4,
     # (day,user) dedup (the only corpus shuffle) + x7 fan-out join to
     # the day spine + the distinct-count agg pair.

@@ -114,3 +114,41 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     # new-column filter: old files contribute nothing, no error
     import pyspark.sql.functions as F
     assert merged.filter(F.col("score") > 0.6).count() == 1
+
+
+def test_binary_file_source_feeds_multimodal_decode(spark, tmp_path):
+    """binaryFile directory scan -> (path, length, content) rows; the
+    content column decodes with the SAME codec the parquet-blob multimodal
+    path uses, glob prunes by name, and max_bytes skips oversized media
+    on file STATUS (length predicate, no content read needed)."""
+    import numpy as np
+
+    from data_pipeline_with_spark_kafka_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+    from data_pipeline_with_spark_kafka_spark.sources.readers import (
+        binary_file_source,
+    )
+
+    media = tmp_path / "media"
+    media.mkdir()
+    imgs = {}
+    for i in range(3):
+        arr = np.full((4, 5, 3), i * 40, dtype=np.uint8)
+        (media / f"img{i}.bmp").write_bytes(encode_bmp(arr))
+        imgs[f"img{i}.bmp"] = arr
+    (media / "notes.txt").write_text("not media")
+    (media / "huge.bmp").write_bytes(b"x" * 10_000)
+
+    bmp_len = len(encode_bmp(np.zeros((4, 5, 3), dtype=np.uint8)))
+    df = binary_file_source(spark, str(media), glob="*.bmp", max_bytes=bmp_len)
+    rows = df.collect()
+    # glob dropped notes.txt; max_bytes dropped huge.bmp.
+    assert sorted(r.path.rsplit("/", 1)[1] for r in rows) == [
+        "img0.bmp", "img1.bmp", "img2.bmp"
+    ]
+    for r in rows:
+        name = r.path.rsplit("/", 1)[1]
+        assert r.length == bmp_len
+        assert (decode_bmp(bytes(r.content)) == imgs[name]).all()

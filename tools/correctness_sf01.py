@@ -89,7 +89,7 @@ HEAVY = [
     # attribution/sequence additions
     "llm_train_quality_classifier", "privacy_erasure_cascade",
     "events_attribution_last_touch", "events_markov_transitions",
-    "events_anomaly_dow",
+    "events_anomaly_dow", "stats_rfm_segments", "events_time_to_convert",
     # deep TPC-H joins (value-heavy aggregates)
     "tpch_q9_product_profit", "tpch_q21_waiting_supplier",
 ]
