@@ -104,8 +104,11 @@ def main() -> None:
     # lose every stdout metric. Print the corpus line eagerly AND write
     # the sidecar now (both are re-emitted/re-written in final form
     # below; the buffered copies still land LAST on stdout so the
-    # driver's tail capture keeps the compact headline).
-    print(json.dumps(full_payload), flush=True)
+    # driver's tail capture keeps the compact headline). The eager copy is
+    # tagged "provisional" so a consumer that aggregates ALL metric lines
+    # (rather than keeping the last occurrence per metric) can skip it
+    # instead of double-counting the corpus total (round-8 advice).
+    print(json.dumps(dict(full_payload, provisional=True)), flush=True)
     try:
         with open(detail_path, "w") as f:
             json.dump(dict(full_payload, headline=headline), f, indent=1, sort_keys=True)

@@ -502,6 +502,58 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_markov_transitions_bucketed",
+    oracle=MARKOV_ORACLE,
+    tags=("events", "analytics", "window", "skew"),
+)
+def events_markov_transitions_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-user-safe Markov transitions (round 8): EXACTLY the same result
+    as ``events_markov_transitions`` (same oracle — the hash match is the
+    exactness proof), but the per-user sequence window is split by calendar
+    day, so a pathological bot user that owns 90% of all events costs one
+    sort per (user, day) instead of one unsplittable lifetime partition
+    (AQE can split skewed joins, never Window partitions).
+
+    Markov admits this split because it only needs ADJACENT pairs: a
+    within-day lag() on the (user_id, day) partitioning yields all pairs
+    inside a day, and the pairs that cross day boundaries are recovered
+    from a combinable per-(user, day) first/last-event aggregate — last
+    event of the user's previous ACTIVE day -> first event of this day via
+    a lag() over the per-day relation (bounded by active days, not
+    events). Measured crossover in BASELINE.md ("hot-user sequence-window
+    bound"); for nastier bots the bucket drops to hours — same algebra."""
+    events = load_table(spark, sf_dir, "events")
+    keyed = events.select(
+        "user_id", "event_type", "ts", "event_id", F.to_date("ts").alias("d")
+    )
+    w_local = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+    local = keyed.select(
+        F.lag("event_type").over(w_local).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    )
+    day_edges = keyed.groupBy("user_id", "d").agg(
+        F.min(F.struct("ts", "event_id", "event_type")).alias("first_ev"),
+        F.max(F.struct("ts", "event_id", "event_type")).alias("last_ev"),
+    )
+    w_days = Window.partitionBy("user_id").orderBy("d")
+    boundary = day_edges.select(
+        F.lag(F.col("last_ev.event_type")).over(w_days).alias("prev_type"),
+        F.col("first_ev.event_type").alias("next_type"),
+    )
+    pairs = local.unionByName(boundary).filter(F.col("prev_type").isNotNull())
+    trans = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    total = F.sum("n_transitions").over(Window.partitionBy("prev_type"))
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        round_to(F.col("n_transitions") / total, 6).alias("prob"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Seasonal (day-of-week) volume anomaly detection (round 7)
 # --------------------------------------------------------------------------

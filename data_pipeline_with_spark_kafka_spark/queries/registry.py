@@ -154,6 +154,15 @@ _COVERED_IN_OFFICIAL_ARTIFACTS = frozenset({
     "stats_gini_revenue", "stats_mad_outliers", "stats_winsorize_prices",
     "ts_gap_fill_interpolate", "window_distribution_funcs",
     "window_nth_value",
+    # round 7 (green rows in CORRECTNESS_r07.json):
+    "cdc_derive_changes", "events_anomaly_dow",
+    "events_attribution_last_touch", "events_markov_transitions",
+    "events_time_to_convert", "llm_bpe_encode", "llm_bpe_vocab",
+    "llm_dedup_incremental_near_probe", "llm_stratified_sample_md5",
+    "llm_token_entropy", "llm_top_pmi_bigrams",
+    "llm_train_quality_classifier", "llm_weighted_quality_mean",
+    "llm_zipf_fit", "privacy_erasure_cascade", "stats_quantile_discretize",
+    "stats_rfm_segments", "text_heavy_hitters",
 })
 
 
@@ -161,7 +170,19 @@ def all_queries() -> dict[str, Query]:
     # Import side-effect populates the registry.
     import data_pipeline_with_spark_kafka_spark.queries  # noqa: F401
 
-    # Never-officially-oracled queries first (this includes every query
-    # added this round), stable registration order within each group.
-    names = sorted(_REGISTRY, key=lambda n: n in _COVERED_IN_OFFICIAL_ARTIFACTS)
+    # Sample-order contract (the round driver takes the first 50):
+    #   1. never-officially-covered ORACLED queries (every new query lands
+    #      here, so the newest/riskiest code is audited first);
+    #   2. already-covered oracled queries (stable rotation backlog);
+    #   3. intrinsically rows-only queries (oracle is None) LAST — a driver
+    #      slot spent on one can only ever report ``err: "no_oracle"`` on a
+    #      healthy query (their correctness is pinned pair-for-pair against
+    #      fully-oracled twins in pytest), so they never burn sample budget.
+    # Stable registration order within each group.
+    def rank(n: str) -> int:
+        if _REGISTRY[n].oracle is None:
+            return 2
+        return 1 if n in _COVERED_IN_OFFICIAL_ARTIFACTS else 0
+
+    names = sorted(_REGISTRY, key=rank)
     return {n: _REGISTRY[n] for n in names}

@@ -245,6 +245,45 @@ def _two_phase_swap(out, target: str) -> None:
         shutil.rmtree(backup) if os.path.isdir(backup) else os.remove(backup)
 
 
+def _recover_two_phase_leftovers(target: str) -> list[str]:
+    """Repair the aftermath of a hard crash inside :func:`_two_phase_swap`.
+
+    Crash windows and their signatures:
+    - mid tmp write (target intact, ``.tmp-*`` sibling): delete the partial
+      tmp;
+    - between the two renames (target ABSENT, ``.old-*`` backup present):
+      restore the backup — without this a re-run would silently skip the
+      missing table while reporting success for the others (round-8 advice);
+    - after the second rename, before backup cleanup (target intact,
+      ``.old-*`` sibling): delete the stale backup.
+
+    Returns human-readable notes of the actions taken; raises if the target
+    is missing and no backup exists to restore (manual recovery needed).
+    """
+    import glob
+    import os
+    import shutil
+
+    notes: list[str] = []
+    olds = sorted(glob.glob(glob.escape(target) + ".old-*"))
+    tmps = sorted(glob.glob(glob.escape(target) + ".tmp-*"))
+    if not os.path.exists(target):
+        if olds:
+            os.rename(olds[0], target)
+            notes.append(f"restored {target} from interrupted-swap backup {olds[0]}")
+            olds = olds[1:]
+        elif tmps:
+            raise RuntimeError(
+                f"{target} is missing and only tmp sibling(s) {tmps} remain "
+                f"from an interrupted swap; refusing to guess — inspect and "
+                f"rename the completed tmp into place manually"
+            )
+    for leftover in olds + tmps:
+        shutil.rmtree(leftover) if os.path.isdir(leftover) else os.remove(leftover)
+        notes.append(f"removed interrupted-swap leftover {leftover}")
+    return notes
+
+
 def cmd_maintain(spark: SparkSession, args: argparse.Namespace) -> None:
     """Dimension maintenance: apply an update batch (scd2 mode: versioned
     type-2 history) or a CDC I/U/D feed (cdc mode) to a parquet snapshot,
@@ -353,6 +392,13 @@ def cmd_erase(spark: SparkSession, args: argparse.Namespace) -> None:
         t: os.path.join(args.data_dir, f"{t}.parquet")
         for t in ("customer", "orders", "lineitem", "events")
     }
+    # Before reading anything, repair any interrupted prior run: a crash
+    # between _two_phase_swap's two renames leaves a table absent with only
+    # .old-/.tmp- siblings, and the os.path.exists() skips below would then
+    # silently report success with one table missing (round-8 advice).
+    for t, p in paths.items():
+        for note in _recover_two_phase_leftovers(p):
+            print(f"{t}: {note}")
     orders_pre = (
         spark.read.parquet(paths["orders"]) if os.path.exists(paths["orders"]) else None
     )
@@ -377,9 +423,16 @@ def cmd_erase(spark: SparkSession, args: argparse.Namespace) -> None:
         df = spark.read.parquet(path)
         before = table_row_count(args.data_dir, name)
         survivors = df.join(tomb, df[key] == tomb["subject"], "anti")
+        # One count() against the broadcast anti-join is cheap relative to
+        # a full two-phase rewrite — so a zero-match table (e.g. the
+        # idempotent second run) skips the rewrite entirely, which also
+        # preserves single-file parquet fixtures instead of converting
+        # them into directories as a side effect (round-8 advice).
+        after = survivors.count()
         if args.dry_run:
-            after = survivors.count()
             note = " (dry-run)"
+        elif after == before:
+            note = " (no matches — rewrite skipped)"
         else:
             _two_phase_swap(survivors, path)
             after = table_row_count(args.data_dir, name)

@@ -46,8 +46,22 @@ _UNIT_MS = {"second": 1_000, "minute": 60_000, "hour": 3_600_000, "day": 86_400_
 
 
 def _duration_ms(spec: str) -> int:
-    qty, unit = spec.strip().split()
-    return int(qty) * _UNIT_MS[unit.rstrip("s")]
+    supported = ", ".join(f"{u}(s)" for u in _UNIT_MS)
+    parts = spec.strip().split()
+    if len(parts) != 2:
+        raise ValueError(
+            f"invalid duration {spec!r}: expected '<count> <unit>' with unit "
+            f"one of {supported}"
+        )
+    qty_s, unit = parts
+    if not qty_s.isdigit() or int(qty_s) <= 0:
+        raise ValueError(f"invalid duration {spec!r}: count must be a positive integer")
+    if unit.rstrip("s") not in _UNIT_MS:
+        raise ValueError(
+            f"invalid duration {spec!r}: unsupported unit {unit!r} "
+            f"(supported: {supported})"
+        )
+    return int(qty_s) * _UNIT_MS[unit.rstrip("s")]
 
 
 def _make_update(lookback_ms: int, touch_types: tuple[str, ...]):

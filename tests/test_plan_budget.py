@@ -74,6 +74,11 @@ EXCHANGE_BUDGET = {
     # lag window (user_id shuffle) + pair agg + the |types|^2-sized
     # normalization window's exchange.
     "events_markov_transitions": 3,
+    # hot-user-safe twin (round 8): (user_id, day) local window + the
+    # combinable day-edges agg pair + user_id days window + union pair
+    # agg + normalization window. More shuffles by design — each is
+    # splittable; the lifetime user partition is not.
+    "events_markov_transitions_bucketed": 10,
     # pure per-row md5 filter — zero shuffles by construction.
     "llm_stratified_sample_md5": 0,
     # daily agg (the only corpus shuffle) + dow-stats agg pair + the
@@ -282,6 +287,9 @@ EXCHANGE_BUDGET = {
     # exchange; 1 covers the limit's single-partition collect exchange.
     "llm_weighted_reservoir": 1,
     "llm_weighted_quality_mean": 1,
+    # one partial/final agg exchange on ext + the output sort; the scan
+    # is file STATUS only (path+length, content pruned) — round 8.
+    "media_ingest_audit": 2,
     "nulls_semantics": 1,
     "orderby_limit_topk": 0,
     "pivot_status_by_priority": 2,

@@ -131,9 +131,17 @@ _SF_MARKERS = (
     "event_id", "doc_id", "vec_id",
 )
 # Grouping keys whose cardinality is bounded by the cluster, not the data
-# (_pid: partition ids), or by the calendar (dow: 7 day-of-week values —
-# the events_anomaly_dow stats relation is <= 7 rows at ANY corpus size).
-_BOUNDED_GROUP_KEYS = {"_pid", "dow"}
+# (_pid: partition ids) — global because partition ids are cluster-bounded
+# in EVERY query.
+_BOUNDED_GROUP_KEYS = {"_pid"}
+# Per-QUERY exemptions for keys that are only bounded in that query's own
+# derivation (round-7 advice: a global "dow" entry would silently whitelist
+# any future query grouping an sf-proportional column that happens to share
+# the name). events_anomaly_dow derives dow from a date -> <= 7 values at
+# ANY corpus size.
+_QUERY_BOUNDED_GROUP_KEYS: dict[str, set[str]] = {
+    "events_anomaly_dow": {"dow"},
+}
 
 
 def _node_depth(line: str) -> int:
@@ -174,7 +182,8 @@ def _aggregate_grouping(line: str) -> str | None:
     return first if rest.lstrip().startswith(", [") else ""
 
 
-def _broadcast_hint_violations(analyzed: str) -> list[str]:
+def _broadcast_hint_violations(analyzed: str, extra_bounded_keys: set[str] = frozenset()) -> list[str]:
+    bounded_keys = _BOUNDED_GROUP_KEYS | set(extra_bounded_keys)
     lines = analyzed.splitlines()
     bad: list[str] = []
     for i, line in enumerate(lines):
@@ -206,7 +215,7 @@ def _broadcast_hint_violations(analyzed: str) -> list[str]:
             if grouping == "":
                 continue  # global aggregate -> 1-row build side
             keys = {k.split("#")[0].strip() for k in grouping.split(",")}
-            if keys <= _BOUNDED_GROUP_KEYS:
+            if keys <= bounded_keys:
                 continue  # partition-id-grouped -> bounded by cluster width
         bad.append(line.strip())
     return bad
@@ -216,7 +225,9 @@ def _broadcast_hint_violations(analyzed: str) -> list[str]:
 def test_no_broadcast_hint_on_sf_scaled_table(spark, sf_dir, name):
     df = QUERIES[name].builder(spark, sf_dir)
     analyzed = df._jdf.queryExecution().analyzed().toString()
-    violations = _broadcast_hint_violations(analyzed)
+    violations = _broadcast_hint_violations(
+        analyzed, _QUERY_BOUNDED_GROUP_KEYS.get(name, set())
+    )
     assert not violations, (
         f"{name} applies an explicit broadcast hint to an sf-proportional "
         f"relation (AQE cannot demote it at scale): {violations}"

@@ -152,3 +152,45 @@ def test_binary_file_source_feeds_multimodal_decode(spark, tmp_path):
         name = r.path.rsplit("/", 1)[1]
         assert r.length == bmp_len
         assert (decode_bmp(bytes(r.content)) == imgs[name]).all()
+
+
+def test_media_fixture_snapshot_matches_directory(spark):
+    """fixtures/media_listing.parquet (the DuckDB oracle's side of
+    media_ingest_audit) must exactly mirror a fresh binaryFile listing of
+    fixtures/media — name, extension, and byte length per file. If either
+    side is regenerated without the other, this fails instead of the
+    correctness gate silently comparing different bytes."""
+    from data_pipeline_with_spark_kafka_spark.queries.media_ingest import (
+        _MEDIA_DIR,
+        _FIXTURES_DIR,
+    )
+    from data_pipeline_with_spark_kafka_spark.sources.readers import (
+        binary_file_source,
+    )
+
+    fresh = {
+        r.path.rsplit("/", 1)[1]: r.length
+        for r in binary_file_source(spark, _MEDIA_DIR).select("path", "length").collect()
+    }
+    snap = spark.read.parquet(f"{_FIXTURES_DIR}/media_listing.parquet").collect()
+    assert {r.file_name: r.length for r in snap} == fresh
+    assert all(r.ext == r.file_name.rsplit(".", 1)[1] for r in snap)
+    assert len(fresh) == 10
+
+
+def test_media_ingest_audit_is_metadata_only(spark):
+    """The audit query's scan must read (path, length) ONLY — never the
+    content column (whole file bytes). At 100 TB of media this is the
+    difference between a directory listing and a full data scan."""
+    from data_pipeline_with_spark_kafka_spark.queries import all_queries
+
+    df = all_queries()["media_ingest_audit"].builder(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "Scan binaryFile" in l]
+    assert scan_lines, plan
+    # The scan's output column list (the pruned ReadSchema) must be
+    # path+length only — the logical Relation node always prints the full
+    # source schema, so assert on the physical scan line.
+    for line in scan_lines:
+        assert "content" not in line, line
+        assert "path" in line and "length" in line, line

@@ -1,0 +1,106 @@
+"""Measure the hot-user bound of the sequence-window family (round-8
+verdict task #3).
+
+Every sequence query here (last-touch attribution, Markov transitions,
+sessionization ids) partitions its window by ``user_id`` — the standard
+shape for sequence analytics in every engine. AQE can split skewed JOIN
+partitions but **cannot split a Window partition**, so one pathological
+bot user that owns 50–90% of all events becomes ONE sort task at 100 TB.
+This tool puts numbers on that straggler: events tables where the hot
+user owns {0%, 50%, 90%} of rows, each run through the three registered
+sequence queries plus the day-bucketed Markov mitigation
+(``events_markov_transitions_bucketed`` — exact: same oracle, but the
+per-user window is split by calendar day so the worst partition is the
+hot user's busiest DAY, not their lifetime).
+
+    python tools/hot_user_skew.py [n_rows ...]     # default 5_000_000
+
+Results + guidance land in BASELINE.md ("hot-user sequence-window bound").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from data_pipeline_with_spark_kafka_spark.queries import all_queries
+from data_pipeline_with_spark_kafka_spark.session import get_spark
+
+EVENT_TYPES = np.array(["view", "click", "purchase", "signup"])
+QUERY_NAMES = (
+    "events_attribution_last_touch",
+    "events_markov_transitions",
+    "events_markov_transitions_bucketed",
+    "events_session_ids",
+)
+
+
+def gen_events(root: str, n: int, hot_frac: float, n_users: int = 50_000) -> str:
+    """Events table where user 0 owns ``hot_frac`` of all rows; the rest
+    are uniform over ``n_users`` (same schema/span as the driver tables)."""
+    out = os.path.join(root, f"hot{int(hot_frac * 100):02d}")
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(8)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    span_us = 30 * 24 * 3600 * 1_000_000
+    users = rng.integers(1, n_users, size=n)
+    users[rng.random(n) < hot_frac] = 0
+    table = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(
+                base + rng.integers(0, span_us, size=n).astype("timedelta64[us]"),
+                type=pa.timestamp("us"),
+            ),
+            "user_id": pa.array(users, type=pa.int64()),
+            "event_type": pa.array(rng.choice(EVENT_TYPES, size=n)),
+            "value": pa.array(rng.gamma(2.0, 10.0, size=n)),
+            "props": pa.array([None] * n, type=pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(out, "events.parquet"))
+    return out
+
+
+def run_one(spark, name: str, sf_dir: str) -> float:
+    builder = all_queries()[name].builder
+    t0 = time.monotonic()
+    builder(spark, sf_dir).collect()
+    return round(time.monotonic() - t0, 3)
+
+
+def main() -> None:
+    sizes = [int(a) for a in sys.argv[1:]] or [5_000_000]
+    spark = get_spark(app_name="hot-user-skew")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="hotuser_")
+    results: list[dict] = []
+    try:
+        for n in sizes:
+            for hot in (0.0, 0.5, 0.9):
+                sf_dir = gen_events(root, n, hot)
+                row: dict = {"rows": n, "hot_frac": hot}
+                for q in QUERY_NAMES:
+                    # warm the scan cache once per (dir, query) pair is
+                    # overkill at these sizes; single measured run.
+                    row[q] = run_one(spark, q, sf_dir)
+                results.append(row)
+                print(json.dumps(row), flush=True)
+                shutil.rmtree(sf_dir, ignore_errors=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps({"metric": "hot_user_skew", "results": results}))
+
+
+if __name__ == "__main__":
+    main()
