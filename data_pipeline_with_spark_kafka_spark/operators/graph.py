@@ -340,3 +340,36 @@ def label_propagation_reference(edge_list, iterations: int = 10):
             return new
         labels = new
     return labels
+
+
+def co_occurrence_pairs(
+    df: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """All unordered distinct item pairs (a < b) within each group, as
+    (pa, pb) rows — the basket-pair primitive behind market-basket
+    affinity and the co-purchase edge graph.
+
+    Scale shape (round-8 rewrite): ONE shuffle — ``collect_set`` per
+    group dedupes (group, item) in the same aggregate, then the a<b
+    pairs are generated EXPRESSION-side from the sorted array (nested
+    ``transform`` + ``slice`` + ``flatten`` + ``explode``), replacing
+    the previous distinct + group-keyed self-join + pair projection
+    (three shuffles of the pairs relation). The per-group array is
+    bounded by the group's line count (single digits in order data),
+    never by the catalog — a pathological mega-group should be capped
+    upstream before calling this."""
+    per_group = df.groupBy(group_col).agg(
+        F.sort_array(F.collect_set(item_col)).alias("items")
+    )
+    pair = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(items, (x, i) -> "
+                "transform(slice(items, i + 2, size(items)), "
+                "y -> struct(x AS pa, y AS pb)))"
+            )
+        )
+    ).alias("pair")
+    return per_group.select(pair).select(
+        F.col("pair.pa").alias("pa"), F.col("pair.pb").alias("pb")
+    )

@@ -6,9 +6,11 @@ operators/graph.py, connected components in operators/dedup.py) with a
 non-iterative graph measure the DuckDB oracle can verify exactly.
 
 Scale notes: the edge list is derived by the same bounded per-order
-self-join as `affinity_part_pairs` (≤C(7,2) pairs per order), then
-thresholded on co-occurrence support — the graph is catalog-sized, not
-fact-sized. Triangles enumerate via the canonical a<b<c ordered
+pair expansion as `affinity_part_pairs` (≤C(lines-per-order, 2) pairs
+per order; round 8: one collect_set shuffle + expression-side pair
+explode via `operators/graph.co_occurrence_pairs`, replacing the old
+three-shuffle self-join), then thresholded on co-occurrence support —
+the graph is catalog-sized, not fact-sized. Triangles enumerate via the canonical a<b<c ordered
 two-hop join (each triangle counted exactly once, no permutation
 dedup); wedges come from the degree relation. The edge relation is
 persisted: it feeds three self-join arms plus the degree and count
@@ -64,18 +66,19 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (3·triangles / wedges) of the co-purchase part graph (edges =
     pairs co-ordered in >= 2 orders). Canonical a<b<c enumeration —
     one ordered two-hop join, each triangle counted once."""
+    from data_pipeline_with_spark_kafka_spark.operators.graph import (
+        co_occurrence_pairs,
+    )
+
     lineitem = load_table(spark, sf_dir, "lineitem")
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
+    # Pair derivation (round-8 rewrite): co_occurrence_pairs collapses the
+    # old distinct + orderkey self-join + pair-agg (three shuffles of the
+    # pairs relation) into ONE collect_set aggregate + expression-side
+    # pair explode; the array is bounded by lines-per-order, never the
+    # catalog.
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        co_occurrence_pairs(lineitem, "l_orderkey", "l_partkey")
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= MIN_SUPPORT)
         .select("pa", "pb")

@@ -397,20 +397,18 @@ LIMIT 25
 @register("affinity_part_pairs", oracle=AFFINITY_ORACLE, tags=("analytics", "join"))
 def affinity_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: the 25 part pairs most often ordered
-    together. The self-join is keyed on l_orderkey, whose group size is
-    bounded by the lines-per-order cap (7 in TPC-H) — so the pair
-    expansion is <= C(7,2) per order, a bounded blow-up, not a
-    cartesian. Top-k via TakeOrderedAndProject with a full tiebreak."""
+    together. Pair expansion is <= C(lines-per-order, 2) per order — a
+    bounded blow-up, not a cartesian — via the round-8 single-shuffle
+    ``co_occurrence_pairs`` primitive (collect_set + expression-side
+    pair explode; the old order-keyed self-join paid three shuffles).
+    Top-k via TakeOrderedAndProject with a full tiebreak."""
+    from data_pipeline_with_spark_kafka_spark.operators.graph import (
+        co_occurrence_pairs,
+    )
+
     lineitem = load_table(spark, sf_dir, "lineitem")
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    pairs = co_occurrence_pairs(lineitem, "l_orderkey", "l_partkey").select(
+        F.col("pa").alias("part_a"), F.col("pb").alias("part_b")
     )
     return (
         pairs.groupBy("part_a", "part_b")
@@ -590,9 +588,16 @@ def stats_quantile_discretize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Monetary metrics, quartile-coded 1..4 per dimension, rolled up to
 # segment sizes. The quartile coding deliberately reuses the
 # stats_quantile_discretize discipline — exact interpolated percentile
-# CUT POINTS (one constant-state aggregate, 4dp-rounded on both engines)
+# CUT POINTS (one constant-state aggregate, rounded on both engines)
 # compared per row — instead of ntile(4), whose unpartitioned window
 # would sort the whole per-customer relation on one task at scale.
+#
+# Money rounds at CENTS (2dp), not 4dp: monetary sums reach ~1e6-1e7,
+# where double partial-agg order costs ~1e-8 absolute — a 4dp round
+# (tie at 5e-5) can land Spark and DuckDB on opposite sides of the
+# half-way point. Caught by the round-8 TPC-H-twin seed fuzz
+# (seed 7: avg_monetary 2668914.1633 vs .1632); 2dp leaves 5e-3 of
+# headroom. Recency/frequency are small-magnitude, 4dp is safe there.
 
 RFM_ORACLE = """
 WITH maxd AS (SELECT MAX(o_orderdate) AS d FROM orders),
@@ -601,12 +606,12 @@ rfm AS (
            date_diff('day', CAST(MAX(o_orderdate) AS DATE),
                      CAST((SELECT d FROM maxd) AS DATE)) AS recency,
            COUNT(*) AS frequency,
-           ROUND(SUM(o_totalprice), 4) AS monetary
+           ROUND(SUM(o_totalprice), 2) AS monetary
     FROM orders GROUP BY o_custkey
 ), cuts AS (
     SELECT [ROUND(c, 4) FOR c IN quantile_cont(recency, [0.25, 0.5, 0.75])] AS rc,
            [ROUND(c, 4) FOR c IN quantile_cont(frequency, [0.25, 0.5, 0.75])] AS fc,
-           [ROUND(c, 4) FOR c IN quantile_cont(monetary, [0.25, 0.5, 0.75])] AS mc
+           [ROUND(c, 2) FOR c IN quantile_cont(monetary, [0.25, 0.5, 0.75])] AS mc
     FROM rfm
 ), coded AS (
     SELECT CAST(len(list_filter(cuts.rc, c -> r.recency > c)) + 1 AS INT) AS r_code,
@@ -618,7 +623,7 @@ rfm AS (
 SELECT r_code, f_code, m_code,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
        ROUND(AVG(recency), 4) AS avg_recency_days,
-       ROUND(AVG(monetary), 4) AS avg_monetary
+       ROUND(AVG(monetary), 2) AS avg_monetary
 FROM coded GROUP BY r_code, f_code, m_code
 """
 
@@ -626,7 +631,7 @@ FROM coded GROUP BY r_code, f_code, m_code
 @register("stats_rfm_segments", oracle=RFM_ORACLE, tags=("stats", "analytics"))
 def stats_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: recency (days since last order, vs the corpus
-    max date), frequency (order count), monetary (total spend, 4dp) per
+    max date), frequency (order count), monetary (total spend, cents) per
     customer; each dimension quartile-coded 1..4 via exact percentile
     cut points (code = cuts strictly below + 1, so code 1 = most recent
     / least frequent / lowest spend quartile); segments rolled up.
@@ -641,7 +646,7 @@ def stats_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("o_orderdate").alias("last_order"),
             F.count(F.lit(1)).alias("frequency"),
-            round_to(F.sum("o_totalprice"), 4).alias("monetary"),
+            round_to(F.sum("o_totalprice"), 2).alias("monetary"),
         )
         .crossJoin(F.broadcast(maxd))
         .select(
@@ -657,7 +662,7 @@ def stats_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts = rfm.agg(
         F.transform(F.percentile("recency", qarr), lambda c: round_to(c, 4)).alias("rc"),
         F.transform(F.percentile("frequency", qarr), lambda c: round_to(c, 4)).alias("fc"),
-        F.transform(F.percentile("monetary", qarr), lambda c: round_to(c, 4)).alias("mc"),
+        F.transform(F.percentile("monetary", qarr), lambda c: round_to(c, 2)).alias("mc"),
     )
     code = lambda cs, v: (  # noqa: E731 — local expression builder
         F.size(F.filter(cs, lambda c: v > c)) + F.lit(1)
@@ -672,5 +677,5 @@ def stats_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coded.groupBy("r_code", "f_code", "m_code").agg(
         F.count(F.lit(1)).alias("n_customers"),
         round_to(F.avg("recency"), 4).alias("avg_recency_days"),
-        round_to(F.avg("monetary"), 4).alias("avg_monetary"),
+        round_to(F.avg("monetary"), 2).alias("avg_monetary"),
     )

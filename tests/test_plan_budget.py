@@ -24,9 +24,9 @@ EXCHANGE_BUDGET = {
     "agg_approx_percentile": 1,
     # six running sums reduce map-side; one partial/final agg exchange.
     "agg_corr_covar": 1,
-    # distinct pass + the order-keyed self-join (equi on l_orderkey,
-    # pair inequality as residual) + pair agg; top-k is TakeOrdered.
-    "affinity_part_pairs": 4,
+    # round-8 rewrite: ONE collect_set shuffle + expression-side pair
+    # explode (co_occurrence_pairs) + pair agg; top-k is TakeOrdered.
+    "affinity_part_pairs": 2,
     "agg_boolean_family": 1,
     "agg_cube_flag_status": 1,
     "agg_global_stats": 2,
@@ -107,8 +107,10 @@ EXCHANGE_BUDGET = {
     "func_struct_map_family": 0,
     # the persisted edge relation feeds five consumers (three triangle
     # arms, degrees, count); the static plan string repeats that subtree
-    # per consumer, so this is far above the ~6 shuffles that run.
-    "graph_triangle_count": 34,
+    # per consumer, so this is far above the shuffles that run. Round-8
+    # co_occurrence_pairs rewrite: 34 -> 20 (self-join pair derivation
+    # replaced by one collect_set shuffle per repeated subtree).
+    "graph_triangle_count": 20,
     # snapshot agg + delta agg merged by a key join; the two aggregates
     # share the ship_day partitioning with the join at runtime.
     "ivm_rollup_maintenance": 2,

@@ -1,0 +1,162 @@
+"""Crafted-edge differential sweep — CORRECTNESS_EDGE.json (round-8
+verdict task #6).
+
+Round 7's erasure-cascade empty-table bug was caught by a hand-written
+edge test; this tool makes that class of check a COMMITTED ARTIFACT over
+the whole oracled registry. Four edge corpora, each derived from the
+driver's sf0.001 tables so schemas can never drift:
+
+- ``empty``      every table with 0 rows;
+- ``single_row`` every table cut to its first row (most joins go empty);
+- ``one_group``  first 120 rows with every non-key grouping column
+                 (statuses, types, segments, langs, user_id, label)
+                 collapsed to ONE value — one group everywhere;
+- ``all_null``   first 120 rows with every nullable non-key column set
+                 to NULL (measures NULL propagation through every
+                 expression on both engines at once).
+
+Per corpus, every oracled query runs on Spark AND DuckDB with the
+driver-strict comparator. A query that RAISES on an edge corpus while its
+oracle returns rows is recorded as an error (and counted) — robustness
+defects, not just value divergences, are the target.
+
+    python tools/edge_sweep.py               # all four corpora
+    python tools/edge_sweep.py empty         # one corpus
+
+Writes CORRECTNESS_EDGE.json next to the official artifacts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+DRIVER_SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+# Never nulled / never collapsed: join keys and unique ids (collapsing a
+# PRIMARY key would break more than it probes; user_id IS a grouping
+# column, so it collapses).
+KEY_COLS = {
+    "r_regionkey", "n_nationkey", "n_regionkey", "c_custkey", "c_nationkey",
+    "s_suppkey", "s_nationkey", "p_partkey", "o_orderkey", "o_custkey",
+    "l_orderkey", "l_partkey", "l_suppkey", "event_id", "doc_id", "vec_id",
+}
+EDGES = ("empty", "single_row", "one_group", "all_null")
+
+
+def build_corpus(kind: str, out: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        src = pq.read_table(os.path.join(DRIVER_SF, f"{t}.parquet"))
+        if kind == "empty":
+            tab = src.slice(0, 0)
+        elif kind == "single_row":
+            tab = src.slice(0, 1)
+        else:
+            tab = src.slice(0, min(120, src.num_rows))
+            cols = {}
+            for field in tab.schema:
+                col = tab.column(field.name)
+                if field.name in KEY_COLS:
+                    cols[field.name] = col
+                elif kind == "all_null":
+                    cols[field.name] = pa.nulls(len(tab), type=field.type)
+                else:  # one_group: collapse to the first non-null value
+                    first = next((v for v in col.to_pylist() if v is not None), None)
+                    cols[field.name] = pa.array([first] * len(tab), type=field.type)
+            tab = pa.table(cols)
+        pq.write_table(tab, os.path.join(out, f"{t}.parquet"))
+
+
+def run_corpus(spark, qs, kind: str, root: str) -> dict:
+    import duckdb
+
+    from oracle_compare import normalize
+
+    sf_dir = os.path.join(root, kind)
+    build_corpus(kind, sf_dir)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    results: dict = {}
+    for name, q in qs.items():
+        if q.oracle is None:
+            continue
+        rec: dict = {"hash_match": None, "err": None}
+        try:
+            sr = normalize(q.builder(spark, sf_dir).toPandas())
+            orr = normalize(con.execute(q.oracle).df())
+            rec["spark_rows"], rec["oracle_rows"] = len(sr), len(orr)
+            rec["hash_match"] = sr == orr
+        except Exception as exc:  # noqa: BLE001
+            rec["err"] = f"{type(exc).__name__}: {str(exc)[:240]}"
+        results[name] = rec
+        spark.catalog.clearCache()
+        if not rec["hash_match"]:
+            print(
+                f"  {kind} {name}: "
+                f"{'ERR ' + rec['err'] if rec['err'] else 'MISMATCH'}",
+                flush=True,
+            )
+    con.close()
+    n_match = sum(1 for r in results.values() if r["hash_match"])
+    print(f"{kind}: {n_match}/{len(results)} match", flush=True)
+    return {
+        "n_queries": len(results),
+        "n_match": n_match,
+        "failures": {n: r for n, r in results.items() if not r["hash_match"]},
+    }
+
+
+def main() -> None:
+    from data_pipeline_with_spark_kafka_spark.queries import all_queries
+    from data_pipeline_with_spark_kafka_spark.session import get_spark
+
+    kinds = [a for a in sys.argv[1:] if a in EDGES] or list(EDGES)
+    spark = get_spark("edge-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    root = tempfile.mkdtemp(prefix="edge-sweep-")
+    t0 = time.time()
+    per_edge: dict = {}
+    try:
+        for kind in kinds:
+            per_edge[kind] = run_corpus(spark, qs, kind, root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+    payload = {
+        "comparator": "tests/oracle_compare.normalize (driver-strict)",
+        "corpora": "empty / single_row / one_group / all_null derivations "
+                   "of the driver sf0.001 tables (tools/edge_sweep.py)",
+        "elapsed_sec": round(time.time() - t0, 1),
+        "edges": per_edge,
+        "total_failures": sum(len(e["failures"]) for e in per_edge.values()),
+    }
+    with open(os.path.join(REPO, "CORRECTNESS_EDGE.json"), "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(
+        f"total failures across {len(kinds)} edge corpora: "
+        f"{payload['total_failures']} -> CORRECTNESS_EDGE.json"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -115,6 +115,104 @@ def gen_events(n: int, n_users: int, rng: np.random.Generator) -> pa.Table:
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H-profile twins (round-8 verdict task #5): same schemas, key ranges,
+# and categorical vocabularies as the driver's seed-invariant TPC-H tables
+# (profiled from /root/testdata/sf0.01), fresh value draws per seed — so the
+# ~80 relational/stats queries stop being single-dataset-verified. The
+# differential harness reads the SAME files on both engines, so distribution
+# fidelity only matters for keeping filters/joins non-degenerate.
+# ---------------------------------------------------------------------------
+
+REGION_NAMES = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+P_ADJ = ["blue", "cold", "hot", "large", "new", "old", "red", "small"]
+P_NOUN = ["anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget"]
+P_TYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+CUST_PER_SF = 150_000
+SUPP_PER_SF = 10_000
+PART_PER_SF = 200_000
+ORDERS_PER_SF = 1_500_000
+LINEITEM_PER_SF = 6_000_000
+
+
+def _dates(rng, n, start: str, end: str):
+    s = np.datetime64(start, "D")
+    days = int((np.datetime64(end, "D") - s) / np.timedelta64(1, "D"))
+    return (s + rng.integers(0, days + 1, size=n).astype("timedelta64[D]")).astype(
+        "datetime64[us]"
+    )
+
+
+def gen_tpch(sf: float, out: str, rng: np.random.Generator) -> None:
+    """Write the seven TPC-H-shaped tables for one scale factor."""
+    n_cust = int(CUST_PER_SF * sf)
+    n_supp = int(SUPP_PER_SF * sf)
+    n_part = int(PART_PER_SF * sf)
+    n_ord = int(ORDERS_PER_SF * sf)
+    n_li = int(LINEITEM_PER_SF * sf)
+
+    def w(name, table):
+        pq.write_table(table, os.path.join(out, f"{name}.parquet"))
+
+    w("region", pa.table({
+        "r_regionkey": pa.array(range(5), type=pa.int32()),
+        "r_name": pa.array(REGION_NAMES),
+    }))
+    w("nation", pa.table({
+        "n_nationkey": pa.array(range(25), type=pa.int32()),
+        "n_name": pa.array([f"NATION_{i}" for i in range(25)]),
+        "n_regionkey": pa.array([i % 5 for i in range(25)], type=pa.int32()),
+    }))
+    w("customer", pa.table({
+        "c_custkey": pa.array(np.arange(n_cust, dtype=np.int64)),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(n_cust)]),
+        "c_nationkey": pa.array(rng.integers(0, 25, size=n_cust).astype(np.int32)),
+        "c_acctbal": pa.array(np.round(rng.uniform(-1000, 10000, size=n_cust), 2)),
+        "c_mktsegment": pa.array(rng.choice(SEGMENTS, size=n_cust)),
+    }))
+    w("supplier", pa.table({
+        "s_suppkey": pa.array(np.arange(n_supp, dtype=np.int64)),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n_supp)]),
+        "s_nationkey": pa.array(rng.integers(0, 25, size=n_supp).astype(np.int32)),
+        "s_acctbal": pa.array(np.round(rng.uniform(-1000, 10000, size=n_supp), 2)),
+    }))
+    adj = rng.choice(P_ADJ, size=n_part)
+    noun = rng.choice(P_NOUN, size=n_part)
+    w("part", pa.table({
+        "p_partkey": pa.array(np.arange(n_part, dtype=np.int64)),
+        "p_name": pa.array([f"{a} {b}" for a, b in zip(adj, noun)]),
+        "p_brand": pa.array([f"Brand#{i}" for i in rng.integers(1, 26, size=n_part)]),
+        "p_type": pa.array(rng.choice(P_TYPES, size=n_part)),
+        "p_size": pa.array(rng.integers(1, 51, size=n_part).astype(np.int32)),
+        "p_retailprice": pa.array(np.round(rng.uniform(900, 1000, size=n_part), 2)),
+    }))
+    w("orders", pa.table({
+        "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
+        "o_custkey": pa.array(rng.integers(0, n_cust, size=n_ord)),
+        "o_orderstatus": pa.array(rng.choice(["F", "O", "P"], size=n_ord, p=[0.49, 0.49, 0.02])),
+        "o_totalprice": pa.array(np.round(rng.uniform(1000, 500000, size=n_ord), 2)),
+        "o_orderdate": pa.array(_dates(rng, n_ord, "1995-01-01", "2001-08-01"),
+                                type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(rng.choice(PRIORITIES, size=n_ord)),
+    }))
+    w("lineitem", pa.table({
+        "l_orderkey": pa.array(rng.integers(0, n_ord, size=n_li)),
+        "l_partkey": pa.array(rng.integers(0, n_part, size=n_li)),
+        "l_suppkey": pa.array(rng.integers(0, n_supp, size=n_li)),
+        "l_linenumber": pa.array(rng.integers(1, 8, size=n_li).astype(np.int32)),
+        "l_quantity": pa.array(rng.integers(1, 51, size=n_li).astype(np.float64)),
+        "l_extendedprice": pa.array(np.round(rng.uniform(900, 105000, size=n_li), 2)),
+        "l_discount": pa.array(np.round(rng.integers(0, 11, size=n_li) / 100.0, 2)),
+        "l_tax": pa.array(np.round(rng.integers(0, 9, size=n_li) / 100.0, 2)),
+        "l_returnflag": pa.array(rng.choice(["R", "A", "N"], size=n_li, p=[0.25, 0.25, 0.5])),
+        "l_linestatus": pa.array(rng.choice(["O", "F"], size=n_li)),
+        "l_shipdate": pa.array(_dates(rng, n_li, "1995-01-02", "2001-11-04"),
+                               type=pa.timestamp("us")),
+    }))
+
+
 def generate(sf: float, out: str, *, seed: int = 42) -> None:
     """Write documents/embeddings/events parquet for one scale factor.
 

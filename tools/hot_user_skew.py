@@ -13,9 +13,14 @@ sequence queries plus the day-bucketed Markov mitigation
 per-user window is split by calendar day so the worst partition is the
 hot user's busiest DAY, not their lifetime).
 
-    python tools/hot_user_skew.py [n_rows ...]     # default 5_000_000
+    python tools/hot_user_skew.py [n_rows ...]              # default 5_000_000
+    python tools/hot_user_skew.py --hot 0.9 [n_rows ...]    # one hot level
 
-Results + guidance land in BASELINE.md ("hot-user sequence-window bound").
+Each (dataset, query) pair is run twice and the MIN reported — the first
+execution in a session carries codegen/JIT warmup that mis-attributes tens
+of seconds to whichever query runs first (observed: 59 s cold vs 4.5 s
+warm for the same plan). Results + guidance land in BASELINE.md
+("hot-user sequence-window bound").
 """
 
 from __future__ import annotations
@@ -74,25 +79,35 @@ def gen_events(root: str, n: int, hot_frac: float, n_users: int = 50_000) -> str
 
 def run_one(spark, name: str, sf_dir: str) -> float:
     builder = all_queries()[name].builder
-    t0 = time.monotonic()
-    builder(spark, sf_dir).collect()
-    return round(time.monotonic() - t0, 3)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        # noop sink: full execution without driver-side collection —
+        # events_session_ids emits ~1 session per event on this synthetic
+        # spread, and collect() would measure 5M-row driver serialization
+        # instead of the window computation under test.
+        builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.monotonic() - t0)
+    return round(best, 3)
 
 
 def main() -> None:
-    sizes = [int(a) for a in sys.argv[1:]] or [5_000_000]
+    argv = sys.argv[1:]
+    hots = (0.0, 0.5, 0.9)
+    if argv and argv[0] == "--hot":
+        hots = (float(argv[1]),)
+        argv = argv[2:]
+    sizes = [int(a) for a in argv] or [5_000_000]
     spark = get_spark(app_name="hot-user-skew")
     spark.sparkContext.setLogLevel("ERROR")
     root = tempfile.mkdtemp(prefix="hotuser_")
     results: list[dict] = []
     try:
         for n in sizes:
-            for hot in (0.0, 0.5, 0.9):
+            for hot in hots:
                 sf_dir = gen_events(root, n, hot)
                 row: dict = {"rows": n, "hot_frac": hot}
                 for q in QUERY_NAMES:
-                    # warm the scan cache once per (dir, query) pair is
-                    # overkill at these sizes; single measured run.
                     row[q] = run_one(spark, q, sf_dir)
                 results.append(row)
                 print(json.dumps(row), flush=True)

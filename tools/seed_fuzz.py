@@ -1,15 +1,19 @@
-"""Seed-differential oracle fuzz (round-7 task #5).
+"""Seed-differential oracle fuzz (round-7 task #5; TPC-H twins round 8).
 
 Every correctness artifact through round 6 rides the driver's single
 seed-42 dataset: a query and its DuckDB oracle that share a
 seed-specific accident (a value collision, a tie that never happens, a
 bucket that stays empty) would pass forever. This tool regenerates the
-sf0.01-shaped corpus tables (documents/embeddings/events, via
-``tools/gen_scale_fixtures.generate``) under FRESH seeds, borrows the
-driver's sf0.01 TPC-H tables (the generator doesn't model those; they
-are identical across seeds), and runs the driver-strict comparator
+FULL sf0.01-shaped table set under FRESH seeds — the corpus tables
+(documents/embeddings/events, ``gen_scale_fixtures.generate``) AND,
+since round 8, seeded TPC-H-profile twins (same schemas / key ranges /
+categorical vocabularies, fresh value draws,
+``gen_scale_fixtures.gen_tpch``) — and runs the driver-strict comparator
 (tests/oracle_compare.normalize) over the FULL oracled registry per
-seed.
+seed. Round 7 borrowed the driver's seed-invariant TPC-H tables, which
+left the ~80 relational/stats queries single-dataset-verified — exactly
+the blind spot that hid the round-7 ``func_json_family`` divergence on
+the corpus side.
 
     python tools/seed_fuzz.py            # seeds 7, 123, 20240815
     python tools/seed_fuzz.py 5 11       # custom seed list
@@ -32,7 +36,6 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
-DRIVER_SF001 = "/root/testdata/sf0.01"
 TPCH_TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
 GENERATED = ["documents", "embeddings", "events"]
 DEFAULT_SEEDS = [7, 123, 20240815]
@@ -40,17 +43,16 @@ DEFAULT_SEEDS = [7, 123, 20240815]
 
 def run_seed(spark, qs, seed: int, root: str) -> dict:
     import duckdb
+    import numpy as np
 
-    from gen_scale_fixtures import generate
+    from gen_scale_fixtures import gen_tpch, generate
     from oracle_compare import normalize
 
     sf_dir = os.path.join(root, f"seed{seed}")
     generate(0.01, sf_dir, seed=seed)
-    for t in TPCH_TABLES:
-        shutil.copyfile(
-            os.path.join(DRIVER_SF001, f"{t}.parquet"),
-            os.path.join(sf_dir, f"{t}.parquet"),
-        )
+    # Round 8: TPC-H-profile twins under the same seed (offset stream so
+    # the twin tables don't share draws with the corpus tables).
+    gen_tpch(0.01, sf_dir, np.random.default_rng(seed + 1_000_003))
 
     con = duckdb.connect()
     for t in TPCH_TABLES + GENERATED:
@@ -106,7 +108,8 @@ def main() -> None:
     payload = {
         "comparator": "tests/oracle_compare.normalize (driver-strict)",
         "corpus": "sf0.01-shaped generated documents/embeddings/events per seed "
-                  "+ driver sf0.01 TPC-H tables (seed-invariant)",
+                  "+ seeded TPC-H-profile twins (same schemas/key ranges/"
+                  "vocabularies, fresh value draws — round 8)",
         "elapsed_sec": round(time.time() - t0, 1),
         "seeds": per_seed,
         "total_mismatches": sum(
