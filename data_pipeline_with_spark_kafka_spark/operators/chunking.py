@@ -44,6 +44,10 @@ def chunk_documents(
     if not 0 < stride <= size:
         raise ValueError("stride must be in (0, size]")
 
+    # NULL-text docs yield no chunks (there is nothing to window; both
+    # engines otherwise disagree on how NULL propagates through the
+    # window arithmetic — round-8 all-NULL edge corpus).
+    df = df.filter(F.col(text_col).isNotNull())
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     # Number of windows: 1 + ceil(max(n - size, 0) / stride). The greatest()

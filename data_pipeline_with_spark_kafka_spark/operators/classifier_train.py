@@ -68,6 +68,11 @@ def standardization_stats(
         aggs.append(F.avg(c).alias(f"m_{c}"))
         aggs.append(F.stddev_pop(c).alias(f"s_{c}"))
     row = df.agg(*aggs).collect()[0]  # 2k scalars — feature-bounded
+    if row[f"m_{feature_cols[0]}"] is None:
+        raise ValueError(
+            "cannot train on an empty (or all-NULL-feature) corpus: "
+            "standardization stats are undefined — check the input filter"
+        )
     means = [float(row[f"m_{c}"]) for c in feature_cols]
     stds = [max(float(row[f"s_{c}"] or 0.0), 1e-12) for c in feature_cols]
     return means, stds

@@ -16,9 +16,11 @@ from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
 
 # Violation counts, mirrored check-for-check; metric = violations (0 = clean).
 DQ_ORDERS_ORACLE = """
+-- COALESCE: SUM over an EMPTY table is NULL in SQL, but the Spark suite
+-- counts violations (0 on empty) — and an empty batch PASSES a DQ gate.
 SELECT 'not_null(o_orderkey)' AS check_name,
-       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS metric,
-       SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+       CAST(COALESCE(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS metric,
+       COALESCE(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0) = 0 AS passed
 FROM orders
 UNION ALL
 SELECT 'unique(o_orderkey)',
@@ -27,13 +29,13 @@ SELECT 'unique(o_orderkey)',
 FROM orders
 UNION ALL
 SELECT 'in_range(o_totalprice)',
-       CAST(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000 THEN 1 ELSE 0 END) AS BIGINT),
-       SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000 THEN 1 ELSE 0 END) = 0
+       CAST(COALESCE(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000 THEN 1 ELSE 0 END), 0) AS BIGINT),
+       COALESCE(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000 THEN 1 ELSE 0 END), 0) = 0
 FROM orders
 UNION ALL
 SELECT 'in_set(o_orderstatus)',
-       CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS BIGINT),
-       SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) = 0
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END), 0) AS BIGINT),
+       COALESCE(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END), 0) = 0
 FROM orders
 UNION ALL
 SELECT 'ref(o_custkey)',

@@ -74,8 +74,10 @@ avgsq AS (
     SELECT AVG(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS a2
     FROM embeddings
 )
-SELECT comp_id, ROUND(var, 6) AS variance,
-       ROUND(var / ((SELECT a2 FROM avgsq) - (SELECT m2 FROM musq)), 6) AS var_ratio
+-- GREATEST/NULLIF: degenerate-corpus guards mirroring the Spark side
+-- (constant embeddings -> variance is float noise; see the builder).
+SELECT comp_id, ROUND(GREATEST(var, 0), 6) AS variance,
+       ROUND(GREATEST(var, 0) / NULLIF(ROUND((SELECT a2 FROM avgsq) - (SELECT m2 FROM musq), 9), 0), 6) AS var_ratio
 FROM pervar
 """
 
@@ -121,12 +123,19 @@ def emb_pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("c") * F.col("c")).alias("m2"))
         .limit(1)
     )
+    # Degenerate-corpus guards (round-8 one-group edge corpus): on a
+    # CONSTANT embedding column both var and total variance are float
+    # noise around +-1e-17 — greatest(var, 0) pins the mathematical
+    # var >= 0 (and kills -0.0), and dividing by nullif(round(total, 9), 0)
+    # makes var_ratio NULL instead of noise/noise garbage. No-ops on any
+    # real corpus (total variance is O(dim)).
+    total = F.nullif(F.round(F.col("a2") - F.col("m2"), 9), F.lit(0.0))
     return (
         pervar.join(F.broadcast(avgsq))
         .join(F.broadcast(musq))
         .select(
             "comp_id",
-            round_to("var", 6).alias("variance"),
-            round_to(F.col("var") / (F.col("a2") - F.col("m2")), 6).alias("var_ratio"),
+            round_to(F.greatest(F.col("var"), F.lit(0.0)), 6).alias("variance"),
+            round_to(F.greatest(F.col("var"), F.lit(0.0)) / total, 6).alias("var_ratio"),
         )
     )

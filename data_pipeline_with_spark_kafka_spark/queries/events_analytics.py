@@ -138,12 +138,17 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     to AQE, which measures the post-agg size and elects the broadcast at
     runtime (the q22/q14 de-hinting discipline). Comparison happens on
     the ROUNDED z so both engines admit identical rows despite last-ulp
-    aggregate differences."""
+    aggregate differences. nullif(sd, 0): a CONSTANT value column has
+    sd=0, which ANSI Spark turns into a DIVIDE_BY_ZERO crash while
+    DuckDB's float x/0 yields NULL — z becomes NULL on both and the
+    filter drops the rows (round-8 one-group edge corpus)."""
     events = load_table(spark, sf_dir, "events")
     stats = events.groupBy("event_type").agg(
         F.avg("value").alias("m"), F.stddev_samp("value").alias("sd")
     )
-    z = round_to((F.col("value") - F.col("m")) / F.col("sd"), 4)
+    z = round_to(
+        (F.col("value") - F.col("m")) / F.nullif(F.col("sd"), F.lit(0.0)), 4
+    )
     return (
         events.join(stats, "event_type")
         .select("event_id", "event_type", "value", z.alias("z"))

@@ -34,7 +34,9 @@ SELECT p_partkey,
        string_split(p_name, ' ')[1] AS first_word,
        REGEXP_EXTRACT(p_brand, '([0-9]+)', 1) AS brand_num,
        REPLACE(p_name, ' ', '_') AS name_snake,
-       TRIM(CONCAT(' ', p_name, ' ')) AS name_trimmed,
+       -- '||' not CONCAT: DuckDB's CONCAT treats NULL args as '' (would
+       -- yield '' where Spark's concat propagates NULL); '||' propagates.
+       TRIM(' ' || p_name || ' ') AS name_trimmed,
        LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
        CONTAINS(p_name, 'widget') AS is_widget,
        STARTS_WITH(p_type, 'PROMO') AS is_promo
@@ -157,7 +159,11 @@ SELECT o_orderkey,
             WHEN o_totalprice >= 100000 THEN 'mid'
             ELSE 'low' END AS price_tier,
        COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_display,
-       CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN TRUE ELSE FALSE END AS is_urgent,
+       -- bare IN (no CASE wrapper): NULL priority -> NULL is_urgent on
+       -- both engines; a CASE ... ELSE FALSE would coerce SQL's
+       -- three-valued unknown to FALSE where Spark's isin keeps NULL
+       -- (round-8 all-NULL edge corpus).
+       o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_urgent,
        IF(o_orderstatus = 'O', 1, 0) AS open_flag
 FROM orders
 """,
@@ -336,18 +342,27 @@ def func_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        to_json({'lang': lang, 'source': source}) AS meta_json,
        MAP(['lang','source'],[lang,source])['lang'][1] AS lang_from_map,
-       CONCAT(lang, ':', source) AS lang_source
+       CONCAT_WS(':', lang, source) AS lang_source
 FROM documents
 """,
     tags=("functions", "struct", "map"),
 )
 def func_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """struct construction (serialized to JSON — raw struct cells normalize
-    differently across engine->pandas paths) + map construction/extraction."""
+    differently across engine->pandas paths) + map construction/extraction.
+
+    NULL-edge alignment (round-8 all-NULL corpus): to_json keeps null
+    fields (Spark's default silently DROPS them — '{}' vs DuckDB's
+    '{"lang":null,...}'), and the oracle uses CONCAT_WS (skip-null +
+    skip-separator, Spark's concat_ws semantics) rather than CONCAT
+    (DuckDB treats NULL as '' and keeps the ':')."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.to_json(F.struct(F.col("lang"), F.col("source"))).alias("meta_json"),
+        F.to_json(
+            F.struct(F.col("lang"), F.col("source")),
+            {"ignoreNullFields": "false"},
+        ).alias("meta_json"),
         F.element_at(
             F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")), "lang"
         ).alias("lang_from_map"),

@@ -268,9 +268,12 @@ def llm_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 INCREMENTAL_ORACLE = """
-WITH split AS (SELECT CAST(FLOOR(MAX(doc_id) / 2) AS BIGINT) AS half FROM documents),
-known AS (SELECT text FROM documents, split WHERE doc_id < half),
-batch AS (SELECT doc_id, text, lang, source, n_chars FROM documents, split WHERE doc_id >= half),
+-- docs: NULL text cannot be fingerprinted; such rows are excluded from
+-- dedup on BOTH engines (round-8 all-NULL edge corpus).
+WITH docs AS (SELECT * FROM documents WHERE text IS NOT NULL),
+split AS (SELECT CAST(FLOOR(MAX(doc_id) / 2) AS BIGINT) AS half FROM docs),
+known AS (SELECT text FROM docs, split WHERE doc_id < half),
+batch AS (SELECT doc_id, text, lang, source, n_chars FROM docs, split WHERE doc_id >= half),
 novel AS (
     SELECT b.* FROM batch b
     WHERE NOT EXISTS (SELECT 1 FROM known k WHERE k.text = b.text)
@@ -293,7 +296,9 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle expresses (no false negatives by construction)."""
     from data_pipeline_with_spark_kafka_spark.operators.incremental import incremental_novel
 
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL text cannot be fingerprinted -> excluded from dedup (mirrors
+    # the oracle's docs CTE; no-op on real corpora).
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     half_row = docs.agg(F.floor(F.max("doc_id") / 2).cast("long").alias("half"))
     # The split point is a 1-row scalar: broadcast cross join (plan-lint
     # allowed — bounded by construction).
@@ -305,9 +310,12 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 INCREMENTAL_NEAR_ORACLE = """
-WITH split AS (SELECT CAST(FLOOR(MAX(doc_id) / 2) AS BIGINT) AS half FROM documents),
-known AS (SELECT doc_id, text FROM documents, split WHERE doc_id < half),
-batch AS (SELECT doc_id, text, lang, source, n_chars FROM documents, split WHERE doc_id >= half),
+-- docs: NULL text cannot be fingerprinted; excluded from dedup on BOTH
+-- engines (round-8 all-NULL edge corpus).
+WITH docs AS (SELECT * FROM documents WHERE text IS NOT NULL),
+split AS (SELECT CAST(FLOOR(MAX(doc_id) / 2) AS BIGINT) AS half FROM docs),
+known AS (SELECT doc_id, text FROM docs, split WHERE doc_id < half),
+batch AS (SELECT doc_id, text, lang, source, n_chars FROM docs, split WHERE doc_id >= half),
 novel AS (
     SELECT b.* FROM batch b
     WHERE NOT EXISTS (SELECT 1 FROM known k WHERE k.text = b.text)
@@ -362,7 +370,9 @@ def llm_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental_novel_near,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL text cannot be fingerprinted -> excluded from dedup (mirrors
+    # the oracle's docs CTE; no-op on real corpora).
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     half_row = docs.agg(F.floor(F.max("doc_id") / 2).cast("long").alias("half"))
     with_half = docs.crossJoin(F.broadcast(half_row))
     batch = with_half.filter(F.col("doc_id") >= F.col("half")).drop("half")
@@ -395,7 +405,9 @@ def llm_dedup_incremental_near_probe(spark: SparkSession, sf_dir: str) -> DataFr
         incremental_novel_near,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL text cannot be fingerprinted -> excluded from dedup (mirrors
+    # the oracle's docs CTE; no-op on real corpora).
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     half_row = docs.agg(F.floor(F.max("doc_id") / 2).cast("long").alias("half"))
     with_half = docs.crossJoin(F.broadcast(half_row))
     batch = with_half.filter(F.col("doc_id") >= F.col("half")).drop("half")
@@ -452,7 +464,9 @@ def llm_dedup_incremental_near_probe(spark: SparkSession, sf_dir: str) -> DataFr
 
 CHUNK_ORACLE = """
 WITH toks AS (
-    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    -- NULL text -> no chunks (mirrors operators/chunking.py)
+    SELECT doc_id, string_split(text, ' ') AS t
+    FROM documents WHERE text IS NOT NULL
 ),
 wins AS (
     SELECT doc_id, t,

@@ -101,7 +101,8 @@ totals AS (SELECT doc_id, CAST(ceil(len(t) / {W}.0) AS BIGINT) AS n_segs FROM to
 SELECT t.doc_id,
        coalesce(r.text_clean, '') AS text_clean,
        CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
-       CAST(t.n_segs - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+       -- coalesce(n_segs): NULL text has 0 segments, not NULL arithmetic
+       CAST(coalesce(t.n_segs, 0) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
 FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 """
 

@@ -218,9 +218,13 @@ def llm_weighted_quality_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from data_pipeline_with_spark_kafka_spark.operators.text import quality_score
 
-    def _wmean(chars: pd.Series, weight: pd.Series) -> float:
+    def _wmean(chars: pd.Series, weight: pd.Series) -> float | None:
+        # zero/all-NaN weight mass -> NULL, matching SQL's SUM(c*q)/SUM(q)
+        # (pandas .sum() skipna's an all-NaN series to 0.0, which would
+        # silently emit 0.0 where both engines' SQL says NULL — round-8
+        # all-NULL edge corpus).
         total = float(weight.sum())
-        return float((chars * weight).sum() / total) if total else 0.0
+        return float((chars * weight).sum() / total) if total else None
 
     wmean = pandas_udf(_wmean, "double")
     docs = load_table(spark, sf_dir, "documents")

@@ -18,7 +18,10 @@ from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
 
 DSIR_ORACLE = """
 WITH toks AS (
-    SELECT doc_id, lang = 'en' AS is_tgt, string_split(text, ' ') AS t FROM documents
+    -- NULL text has no n-grams -> no importance weight; excluded on both
+    -- engines (round-8 all-NULL edge corpus).
+    SELECT doc_id, lang = 'en' AS is_tgt, string_split(text, ' ') AS t
+    FROM documents WHERE text IS NOT NULL
 ), grams AS (
     SELECT doc_id, is_tgt, unnest(t) AS g FROM toks
     UNION ALL
@@ -55,7 +58,7 @@ def llm_dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigrams+bigrams (target = lang='en'), keep the top 50. Stats pass is
     a 256-group aggregate; scoring is a zero-shuffle expression fold
     against the bucket-weight literal (`operators/importance.py`)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return importance.dsir_topk(
         docs,
         "doc_id",

@@ -235,6 +235,11 @@ SELECT o_orderstatus, o_orderpriority,
        ROUND(SUM(o_totalprice), 4) AS sum_price
 FROM orders
 GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+-- no-op on real data (every grouping-set row aggregates >= 1 input row);
+-- on an EMPTY table standard SQL still emits the grand-total row with
+-- COUNT(*)=0 while Spark's rollup/cube emit nothing — this pins the
+-- oracle to Spark's empty-input behavior (round-8 edge sweep).
+HAVING COUNT(*) > 0
 """,
     tags=("agg", "rollup"),
 )
@@ -257,6 +262,7 @@ SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 4) AS sum_qty
 FROM lineitem
 GROUP BY CUBE(l_returnflag, l_linestatus)
+HAVING COUNT(*) > 0  -- see the rollup oracle's empty-table note
 """,
     tags=("agg", "cube"),
 )

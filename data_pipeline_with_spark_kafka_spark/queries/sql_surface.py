@@ -21,7 +21,13 @@ SELECT o_orderstatus, o_orderpriority,
        COUNT(*) AS n_orders
 FROM {orders}
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+HAVING COUNT(*) > 0
 """
+# The HAVING is a no-op on real data (every grouping-set row aggregates
+# >= 1 input row) and exists for the EMPTY-table edge: standard SQL still
+# emits the () grand-total row with COUNT(*)=0, Spark emits nothing — the
+# shared template pins both engines to the 0-row behavior (round-8 edge
+# sweep).
 
 
 @register(
@@ -72,14 +78,18 @@ def sql_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide -> long reshape (``DataFrame.unpivot`` / SQL UNPIVOT, the
     inverse of pivot): per-customer metric columns melted into
     (metric, value) rows. Narrow per-row op — no shuffle; output is
-    2x rows, half the columns."""
+    2x rows, half the columns. The isNotNull filter pins standard SQL
+    UNPIVOT semantics (NULL cells produce no row — DuckDB's behavior);
+    Spark's DataFrame.unpivot KEEPS them (round-8 all-NULL corpus)."""
     customer = load_table(spark, sf_dir, "customer")
     wide = customer.select(
         "c_custkey",
         F.col("c_acctbal").cast("double").alias("acctbal"),
         F.col("c_nationkey").cast("double").alias("nationkey"),
     )
-    return wide.unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")
+    return wide.unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value").filter(
+        F.col("value").isNotNull()
+    )
 
 
 POSEXPLODE_ORACLE = """

@@ -69,12 +69,20 @@ GROUP BY l_returnflag
 def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bivariate statistics of quantity vs extended price per return
     flag: Pearson correlation, sample/population covariance, and the
-    least-squares fit (slope + intercept). One combinable aggregate."""
+    least-squares fit (slope + intercept). One combinable aggregate.
+
+    corr is computed as covar_pop / nullif(stddev_pop*stddev_pop, 0) —
+    the same Welford co-moments F.corr reduces, but null-safe: ANSI
+    Spark's corr() raises DIVIDE_BY_ZERO on a zero-variance column
+    where DuckDB's CORR yields NULL (round-8 one-group edge corpus)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    corr_safe = F.covar_pop(q, p) / F.nullif(
+        F.stddev_pop(q) * F.stddev_pop(p), F.lit(0.0)
+    )
     return lineitem.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        round_to(F.corr(q, p), 6).alias("qty_price_corr"),
+        round_to(corr_safe, 6).alias("qty_price_corr"),
         round_to(F.covar_samp(q, p), 4).alias("qty_price_covar"),
         round_to(F.covar_pop(q, p), 4).alias("qty_price_covar_pop"),
         round_to(F.regr_slope(p, q), 4).alias("price_per_qty_slope"),
@@ -257,7 +265,10 @@ def agg_string_concat_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation (LISTAGG/string_agg): the distinct
     market segments present per nation, '|'-joined in sorted order —
     deterministic because the order is explicit on both engines. Spark:
-    sort_array(collect_set) + array_join (one combinable aggregate)."""
+    sort_array(collect_set) + array_join (one combinable aggregate).
+    All-NULL group -> NULL (string_agg semantics): collect_set drops
+    NULLs, so an empty set means no non-null input — emit NULL, not ''
+    (round-8 all-NULL edge corpus)."""
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     pairs = (
@@ -265,10 +276,9 @@ def agg_string_concat_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", "c_mktsegment")
         .distinct()
     )
+    segs = F.sort_array(F.collect_set("c_mktsegment"))
     return pairs.groupBy("n_name").agg(
-        F.array_join(F.sort_array(F.collect_set("c_mktsegment")), "|").alias(
-            "segments_sorted"
-        ),
+        F.when(F.size(segs) > 0, F.array_join(segs, "|")).alias("segments_sorted"),
         F.count(F.lit(1)).alias("n_segments"),
     )
 
@@ -488,7 +498,9 @@ WITH spend AS (
          SUM(revenue) OVER () AS total
   FROM spend
 )
-SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+-- COALESCE: MAX over the empty ranked relation is NULL, but the Spark
+-- side counts customers (0 on an empty orders table).
+SELECT CAST(COALESCE(MAX(n), 0) AS BIGINT) AS n_customers,
        ROUND(MAX(total), 4) AS total_revenue,
        ROUND(2.0 * SUM(i * revenue) / (MAX(n) * MAX(total))
              - (MAX(n) + 1.0) / MAX(n), 6) AS gini

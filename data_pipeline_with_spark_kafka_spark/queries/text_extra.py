@@ -109,7 +109,10 @@ def llm_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 GOPHER_ORACLE = """
 WITH toks AS (
-    SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+    -- NULL-text docs have no tokens and no metrics: excluded on both
+    -- engines (the dq suite is where missing text gets flagged).
+    SELECT doc_id, text, string_split(text, ' ') AS t
+    FROM documents WHERE text IS NOT NULL
 ), base AS (
     SELECT doc_id,
            len(t) AS n_tokens,
@@ -175,8 +178,10 @@ def gopher_metrics(docs: DataFrame) -> DataFrame:
     # Staged projections (the winnowing lesson, llm_fingerprint_winnowing
     # above): each stage binds expensive arrays/scalars to attributes so
     # downstream references — `passes` alone re-derives every metric —
-    # never re-inline the split()/shingle work.
-    d = docs.select(
+    # never re-inline the split()/shingle work. NULL-text docs are
+    # excluded (no tokens -> no metrics; round-8 all-NULL edge corpus —
+    # missing text is a dq-suite violation, not a quality score).
+    d = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", F.length("text").alias("_len"), tokens(F.col("text")).alias("_t")
     )
     d = d.select(

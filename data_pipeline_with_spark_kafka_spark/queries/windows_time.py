@@ -15,7 +15,11 @@ from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
 
 SLIDING_ORACLE = """
 WITH e AS (
+    -- ts IS NOT NULL: rows without event time cannot be windowed —
+    -- Spark's window()/session_window silently exclude them; the
+    -- oracle must too (round-8 all-NULL edge corpus).
     SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+    WHERE ts IS NOT NULL
 ), expanded AS (
     SELECT ts, event_type, value,
            UNNEST([CAST(to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)) AS TIMESTAMP),
@@ -57,6 +61,7 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_ORACLE = """
 WITH e AS (
     SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    WHERE ts IS NOT NULL  -- see the sliding oracle's note
 ), flagged AS (
     SELECT user_id, ts, value,
            CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE

@@ -153,3 +153,59 @@ def test_dow_group_key_exemption_is_query_scoped():
 
     assert "dow" not in _BOUNDED_GROUP_KEYS
     assert _QUERY_BOUNDED_GROUP_KEYS == {"events_anomaly_dow": {"dow"}}
+
+
+def test_trainer_raises_descriptive_error_on_empty_corpus(spark):
+    """Training on an empty corpus must fail fast with a clear message,
+    not a TypeError from float(None) (round-8 empty edge corpus)."""
+    from data_pipeline_with_spark_kafka_spark.operators.classifier_train import (
+        standardization_stats,
+    )
+
+    empty = spark.createDataFrame([], "f1 double, f2 double, label int")
+    with pytest.raises(ValueError, match="empty"):
+        standardization_stats(empty, ["f1", "f2"])
+
+
+def test_constant_column_stats_are_null_not_crash(spark, tmp_path):
+    """Degenerate (constant-column) inputs: corr family yields NULL and the
+    z-score filter yields no rows — never an ANSI DIVIDE_BY_ZERO crash
+    (round-8 one-group edge corpus)."""
+    import pandas as pd
+
+    from data_pipeline_with_spark_kafka_spark.queries import all_queries
+
+    tmpdir = str(tmp_path)
+    li = pd.DataFrame(
+        {
+            "l_orderkey": pd.array([1, 2, 3, 4], dtype="int64"),
+            "l_partkey": pd.array([1, 1, 1, 1], dtype="int64"),
+            "l_suppkey": pd.array([1, 1, 1, 1], dtype="int64"),
+            "l_linenumber": pd.array([1, 1, 1, 1], dtype="int32"),
+            "l_quantity": [5.0, 5.0, 5.0, 5.0],       # constant -> var 0
+            "l_extendedprice": [9.0, 9.0, 9.0, 9.0],  # constant -> var 0
+            "l_discount": [0.0] * 4,
+            "l_tax": [0.0] * 4,
+            "l_returnflag": ["N"] * 4,
+            "l_linestatus": ["O"] * 4,
+            "l_shipdate": pd.to_datetime(["2024-01-01"] * 4),
+        }
+    )
+    li.to_parquet(f"{tmpdir}/lineitem.parquet", index=False)
+    ev = pd.DataFrame(
+        {
+            "event_id": pd.array([1, 2, 3], dtype="int64"),
+            "ts": pd.to_datetime(["2024-01-01 10:00:00"] * 3),
+            "user_id": pd.array([1, 2, 3], dtype="int64"),
+            "event_type": ["view"] * 3,
+            "value": [7.0, 7.0, 7.0],  # constant -> sd 0
+            "props": ["{}"] * 3,
+        }
+    )
+    ev.to_parquet(f"{tmpdir}/events.parquet", index=False)
+
+    rows = all_queries()["agg_corr_covar"].builder(spark, tmpdir).collect()
+    assert len(rows) == 1
+    assert rows[0].qty_price_corr is None  # NULL, like DuckDB CORR
+    z = all_queries()["events_zscore_outliers"].builder(spark, tmpdir).collect()
+    assert z == []  # sd=0 -> NULL z -> filtered, not DIVIDE_BY_ZERO
