@@ -40,6 +40,15 @@ def main() -> None:
         gen_tpch(1.0, root, np.random.default_rng(8))
         if os.path.exists(SF1_EVENTS):
             shutil.copyfile(SF1_EVENTS, os.path.join(root, "events.parquet"))
+        else:
+            import pyarrow.parquet as pq
+
+            from gen_scale_fixtures import EVENTS_PER_SF, USERS_PER_SF, gen_events
+
+            pq.write_table(
+                gen_events(EVENTS_PER_SF, USERS_PER_SF, np.random.default_rng(8)),
+                os.path.join(root, "events.parquet"),
+            )
         gen_s = round(time.monotonic() - t0, 1)
         # subjects spread across the key range (deterministic)
         subjects = ",".join(str(k) for k in range(0, 150_000, 150_000 // n_subjects))
@@ -47,7 +56,7 @@ def main() -> None:
         for label, extra in (("dry_run", ["--dry-run"]), ("apply", []), ("idempotent_rerun", [])):
             t0 = time.monotonic()
             out = subprocess.run(
-                [sys.executable, os.path.join(REPO, "data_pipeline_with_spark_kafka_spark", "run.py"),
+                [sys.executable, "-m", "data_pipeline_with_spark_kafka_spark.run",
                  "erase", "--data-dir", root, "--subject-ids", subjects, *extra],
                 capture_output=True, text=True, check=True, cwd=REPO,
             )
