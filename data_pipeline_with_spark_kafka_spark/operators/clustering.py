@@ -235,3 +235,122 @@ def ivf_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def kmeans_verified(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 8,
+    iterations: int = 5,
+    seed: int = 42,
+    round_dp: int = 6,
+) -> list[tuple[int, int, float, int]]:
+    """Lloyd's k-means with per-iteration centroid QUANTIZATION — the
+    cross-engine-verifiable twin of ``kmeans()`` (which trains the IVF
+    quantizer and stays unrounded).
+
+    Differences that make the training loop itself oracle-able in DuckDB
+    (queries/emb_analytics.py unrolls the iterations as chained
+    MATERIALIZED CTE stages, the BPE/GD pattern):
+
+    - init: the k vectors with the smallest ``(xxhash64(id, seed), id)``
+      — mirrorable since round 8 via the pure-SQL XXH64
+      (queries/xxh64_sql.py);
+    - after every mean recomputation the centroids are ROUNDED to
+      ``round_dp`` decimals on the DRIVER, so both engines enter the
+      next assignment with bit-identical centroid literals. Residual
+      risk is only a vector sitting within ~1e-15 of an exact
+      two-centroid tie (the discrete analogue of the GD trainer's
+      contractive-map argument; distances to distinct centroids on this
+      corpus differ at >=1e-3);
+    - empty clusters keep their previous centroid (COALESCE in SQL).
+
+    Scale shape: identical to ``kmeans()`` — each iteration is ONE
+    argmin-assignment scan + ONE per-(cid,dim) mean aggregate; k*d
+    doubles travel to the driver per iteration, never rows. The argmin
+    runs over k literal arrays (single Literal nodes), so assignment
+    stays in whole-stage codegen with no join at all — one fewer
+    shuffle per iteration than the crossJoin form.
+
+    Returns final ``[(cid, dim, centroid_val, cluster_n), ...]`` rows
+    (cid 1-based, dim 0-based), cluster_n from the LAST assignment.
+    """
+    import numpy as np
+
+    q = 10**round_dp
+
+    def rnd(x: float) -> float:
+        # DuckDB ROUND = half-away-from-zero on the scaled product (the
+        # functions/rounding contract, applied driver-side).
+        import math
+
+        return math.copysign(math.floor(abs(x) * q + 0.5), x) / q
+
+    # NULL-vector contract (the NULL-text rule from the edge sweep):
+    # rows without an embedding are excluded explicitly on BOTH engines.
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
+    )
+    init_rows = (
+        base.withColumn("_h", F.xxhash64(F.col("_id"), F.lit(seed)))
+        .orderBy("_h", "_id")
+        .limit(k)
+        .collect()
+    )
+    if not init_rows:
+        return []
+    cents = [[rnd(float(x)) for x in r["_v"]] for r in init_rows]
+    dim = len(cents[0])
+    counts = {c: 0 for c in range(1, len(cents) + 1)}
+    base = base.persist()
+    try:
+        for _ in range(iterations):
+            # Two projections: F.struct silently renames fields to
+            # col1/col2 when a field is a higher-order-function
+            # expression (the F.aggregate distance fold), so distances
+            # land as named columns first and the argmin struct is
+            # built over plain column refs.
+            dists = base.select(
+                "_v",
+                *[
+                    _sq_dist(F.col("_v"), F.lit(np.asarray(c, dtype=np.float64))).alias(
+                        f"_d{j}"
+                    )
+                    for j, c in enumerate(cents)
+                ],
+            )
+            choices = F.array(
+                *[
+                    F.struct(F.col(f"_d{j}").alias("d"), F.lit(j + 1).alias("cid"))
+                    for j in range(len(cents))
+                ]
+            )
+            assigned = dists.select(
+                F.array_min(choices)["cid"].alias("cid"), F.posexplode("_v")
+            )
+            rows = (
+                assigned.groupBy("cid", "pos")
+                .agg(F.avg("col").alias("m"), F.count("*").alias("n"))
+                .collect()
+            )  # k*d scalars — feature-bounded, never row-bounded
+            means = {(r["cid"], r["pos"]): float(r["m"]) for r in rows}
+            counts = {c: 0 for c in range(1, len(cents) + 1)}
+            for r in rows:
+                if r["pos"] == 0:
+                    counts[r["cid"]] = int(r["n"])
+            cents = [
+                [
+                    rnd(means[(j + 1, p)]) if (j + 1, p) in means else cents[j][p]
+                    for p in range(dim)
+                ]
+                for j in range(len(cents))
+            ]
+    finally:
+        base.unpersist()
+    return [
+        (j + 1, p, cents[j][p], counts[j + 1])
+        for j in range(len(cents))
+        for p in range(dim)
+    ]

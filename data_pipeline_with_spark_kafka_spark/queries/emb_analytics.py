@@ -86,3 +86,111 @@ def emb_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("avg_sq_norm") - F.col("centroid_norm") * F.col("centroid_norm"), 4
         ).alias("dispersion"),
     )
+
+
+def _kmeans_train_oracle(*, k: int = 8, iterations: int = 5, dim: int = 64) -> str:
+    """Unrolled-Lloyd oracle (the BPE/GD stage-chain pattern applied to
+    clustering): init = k smallest (xxhash64(vec_id, 42), vec_id) — the
+    hash replayed by the pure-SQL XXH64 compiler — then per iteration an
+    argmin assignment (QUALIFY row_number ORDER BY d, cid: the same
+    (distance, cid) struct-min tie-break as Spark) and a per-(cid, dim)
+    mean LEFT-JOINed over the previous stage so empty clusters keep
+    their centroid. Centroids round to 6dp at every stage boundary on
+    both engines, so each assignment starts from bit-identical centroid
+    literals (see operators/clustering.kmeans_verified)."""
+    from data_pipeline_with_spark_kafka_spark.queries.xxh64_sql import (
+        Emitter,
+        to_signed,
+        to_unsigned,
+    )
+
+    em = Emitter("g")
+    h1 = em.hash_long("vu", 42)
+    h2 = em.hash_int("42", h1)
+    ih_body = em.wrap(f"SELECT vec_id, {to_unsigned('vec_id')} AS vu FROM e")
+
+    sql = [
+        f"""
+WITH RECURSIVE e AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    WHERE embedding IS NOT NULL
+), ih AS MATERIALIZED (
+    SELECT vec_id, {to_signed(h2)} AS hs FROM ({ih_body}) ihz
+), init AS MATERIALIZED (
+    SELECT CAST(row_number() OVER (ORDER BY hs, vec_id) AS INT) AS cid, vec_id
+    FROM (SELECT vec_id, hs FROM ih ORDER BY hs, vec_id LIMIT {k}) seedz
+), ed AS MATERIALIZED (
+    SELECT vec_id, CAST(d.i AS INT) AS dim, v[CAST(d.i AS INT) + 1] AS x
+    FROM e, (SELECT unnest(range(0, {dim})) AS i) d
+), c0 AS MATERIALIZED (
+    SELECT i.cid, ed.dim, ROUND(ed.x, 6) AS c
+    FROM init i JOIN ed ON ed.vec_id = i.vec_id
+)"""
+    ]
+    for t in range(1, iterations + 1):
+        sql.append(f"""
+, d{t} AS (
+    SELECT ed.vec_id, c.cid, SUM((ed.x - c.c) * (ed.x - c.c)) AS d
+    FROM ed JOIN c{t - 1} c ON c.dim = ed.dim
+    GROUP BY ed.vec_id, c.cid
+), a{t} AS MATERIALIZED (
+    SELECT vec_id, cid FROM d{t}
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+), c{t} AS MATERIALIZED (
+    SELECT g.cid, g.dim, COALESCE(ROUND(m.m, 6), g.c) AS c
+    FROM c{t - 1} g LEFT JOIN (
+        SELECT a.cid, ed.dim, AVG(ed.x) AS m
+        FROM a{t} a JOIN ed ON ed.vec_id = a.vec_id
+        GROUP BY a.cid, ed.dim
+    ) m ON m.cid = g.cid AND m.dim = g.dim
+)""")
+    sql.append(f"""
+SELECT c.cid, c.dim, c.c AS centroid, COALESCE(n.n, 0) AS cluster_n
+FROM c{iterations} c LEFT JOIN (
+    SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM a{iterations} GROUP BY cid
+) n ON n.cid = c.cid""")
+    return "".join(sql)
+
+
+# Train-once memo (the kmeans_centroids_cached pattern), staleness-guarded
+# by the parquet footprint like the incremental near-dup index.
+_KMEANS_TRAIN_CACHE: dict = {}
+
+
+@register(
+    "emb_kmeans_train",
+    oracle=_kmeans_train_oracle(),
+    tags=("llm", "embedding", "iterative"),
+)
+def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a k=8 Lloyd's k-means IN Spark over the embedding corpus and
+    report the final centroids (cid, dim, value) plus cluster sizes.
+
+    FULLY ORACLED from birth (round 8): all 5 iterations replay in
+    DuckDB as chained MATERIALIZED CTE stages, the hash-seeded init
+    mirrored by the pure-SQL XXH64 compiler (queries/xxh64_sql.py), and
+    per-iteration 6dp centroid quantization keeps the two engines'
+    assignment inputs bit-identical — the clustering counterpart of the
+    oracled GD trainer (llm_train_quality_classifier). The unrounded
+    production quantizer (operators/clustering.kmeans) remains the IVF
+    path; this is its verified twin, same per-iteration job profile
+    (one codegen argmin scan + one (cid,dim) aggregate; k*d doubles to
+    the driver, never rows)."""
+    import os
+
+    from data_pipeline_with_spark_kafka_spark.operators.clustering import kmeans_verified
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    stamp = None
+    if os.path.isfile(path):
+        st = os.stat(path)
+        stamp = (st.st_size, st.st_mtime_ns)
+    key = (os.path.abspath(sf_dir), stamp, 8, 5, 42)
+    rows = _KMEANS_TRAIN_CACHE.get(key)
+    if rows is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        rows = kmeans_verified(emb, "vec_id", "embedding", k=8, iterations=5, seed=42)
+        _KMEANS_TRAIN_CACHE[key] = rows
+    return spark.createDataFrame(
+        rows, "cid int, dim int, centroid double, cluster_n bigint"
+    )

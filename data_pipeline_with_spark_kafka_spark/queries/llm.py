@@ -24,6 +24,10 @@ from data_pipeline_with_spark_kafka_spark.operators.text import (
 )
 from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
 from data_pipeline_with_spark_kafka_spark.queries.registry import register
+from data_pipeline_with_spark_kafka_spark.queries.xxh64_oracles import (
+    minhash_lsh_xxh64_oracle,
+    simhash_xxh64_oracle,
+)
 from data_pipeline_with_spark_kafka_spark.sources.tables import load_table, table_row_count
 
 # --------------------------------------------------------------------------
@@ -165,12 +169,19 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_dedup_minhash_lsh", oracle=None, tags=("llm", "dedup", "approx"))
+@register("llm_dedup_minhash_lsh", oracle=minhash_lsh_xxh64_oracle(), tags=("llm", "dedup"))
 def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(16 bands) near-dup pairs, exact-Jaccard verified.
     Same semantics as llm_dedup_ngram_jaccard but candidate generation is
     O(bucket collisions), not O(shared-shingle pairs) — the 100 TB path.
-    Recall vs the exact tier is asserted in tests/test_llm_ops.py."""
+    Recall vs the exact tier is asserted in tests/test_llm_ops.py.
+
+    Fully oracled since round 8: the DuckDB oracle reproduces Spark's
+    xxhash64 (XXH64, seed 42) bit-for-bit in pure SQL
+    (queries/xxh64_sql.py), mirroring the shingle hash, all 32 seeded
+    rehashes, the band-bucket hash chain, AND the exact-Jaccard
+    verification — the production tier is hash-verified, not just its
+    md5 twin."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
 
@@ -230,9 +241,14 @@ def llm_dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs_md5(docs, "doc_id", "text", k=3, threshold=0.8)
 
 
-@register("llm_dedup_simhash", oracle=None, tags=("llm", "dedup", "approx"))
+@register("llm_dedup_simhash", oracle=simhash_xxh64_oracle(), tags=("llm", "dedup"))
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints (expression-only, no UDF)."""
+    """64-bit SimHash fingerprints (expression-only, no UDF).
+
+    Fully oracled since round 8: the DuckDB oracle hashes every token
+    occurrence with a pure-SQL XXH64 (queries/xxh64_sql.py) and replays
+    the same sign-fold into bit (63 - i) — the production fingerprints
+    are hash-verified against DuckDB, not just the md5 twin."""
     return dedup.simhash(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
@@ -472,9 +488,57 @@ def llm_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_sim_topk_lsh", oracle=None, tags=("llm", "similarity", "approx"))
+def _lsh_seeded_planes_oracle() -> str:
+    """Oracle for the seeded-RNG LSH tier: the Rademacher planes come
+    from ``make_planes(64, 6, 42)`` — a DRIVER-side numpy draw baked
+    into the Spark plan as literals, so the oracle embeds the same
+    values as literals too (the committed-fixture pattern: centroids,
+    PQ codebooks, and PCA components are already oracled this way).
+    numpy's legacy ``RandomState`` is bit-stable across versions, so
+    both sides derive identical planes forever. Everything downstream
+    (sign projection, MSB-first bucket fold, radius-1 probe, exact
+    cosine rerank) mirrors SIM_LSH_MD5_ORACLE."""
+    planes = similarity.make_planes(64, 6, 42)
+    rows = " UNION ALL ".join(
+        "SELECT {p} AS p, [{w}]::DOUBLE[] AS w".format(
+            p=p, w=", ".join(f"{v:.1f}" for v in plane)
+        )
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+WITH planes AS (
+    {rows}
+), e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), proj AS (
+    SELECT e.vec_id, pl.p, list_dot_product(e.v, pl.w) AS s
+    FROM e CROSS JOIN planes pl
+), buck AS (
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN s >= 0 THEN (1 << (5 - p)) ELSE 0 END) AS BIGINT) AS bucket
+    FROM proj GROUP BY vec_id
+), q AS (
+    SELECT e.v AS qv, b.bucket AS qbucket
+    FROM e JOIN buck b USING (vec_id) WHERE e.vec_id = 0
+)
+SELECT e.vec_id,
+       ROUND(list_dot_product(e.v, q.qv)
+             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+FROM e JOIN buck b ON b.vec_id = e.vec_id, q
+WHERE bit_count(xor(b.bucket, q.qbucket)) <= 1
+ORDER BY cosine DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@register("llm_sim_topk_lsh", oracle=_lsh_seeded_planes_oracle(), tags=("llm", "similarity"))
 def llm_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-10 (recall tested vs brute force)."""
+    """LSH-bucketed approximate top-10 (recall tested vs brute force).
+
+    Fully oracled since round 8: the seeded-numpy Rademacher planes are
+    driver-side literals in the Spark plan, so the DuckDB oracle embeds
+    the identical literals (committed-fixture pattern) and mirrors the
+    projection/bucket/probe/rerank end to end."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(
         emb, "vec_id", "embedding", emb.filter(F.col("vec_id") == 0), k=10, n_planes=6

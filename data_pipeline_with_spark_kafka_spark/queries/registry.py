@@ -78,7 +78,11 @@ _COVERED_IN_OFFICIAL_ARTIFACTS = frozenset({
     "llm_contamination_overlap", "llm_curated_corpus", "llm_dedup_clusters",
     "llm_dedup_corpus_segments", "llm_dedup_embedding_cosine",
     "llm_dedup_embedding_cosine_fast", "llm_dedup_exact",
-    "llm_dedup_minhash_lsh", "llm_dedup_ngram_jaccard", "llm_dedup_simhash",
+    # NOTE: llm_dedup_minhash_lsh and llm_dedup_simhash were sampled in
+    # early rounds as rows-only; round 8 gave them full DuckDB oracles
+    # (pure-SQL XXH64, queries/xxh64_sql.py) — left out of this set so the
+    # oracled versions get official rows.
+    "llm_dedup_ngram_jaccard",
     "llm_deterministic_shuffle", "llm_domain_mixture",
     "llm_multimodal_audio_features", "llm_multimodal_decode_features",
     "llm_multimodal_image_features", "llm_multimodal_metadata",
@@ -86,7 +90,10 @@ _COVERED_IN_OFFICIAL_ARTIFACTS = frozenset({
     "llm_quality_percentile_filter", "llm_quality_weighted_sample",
     "llm_repetition_metrics", "llm_seeded_sample", "llm_sequence_packing",
     "llm_shared_span_fraction", "llm_sim_topk_bruteforce",
-    "llm_sim_topk_ivf", "llm_sim_topk_lsh", "llm_stratified_sample",
+    # NOTE: llm_sim_topk_lsh (rows-only in its early row) gained a full
+    # oracle in round 8 (seeded planes embedded as literals) — left out
+    # so the oracled version gets an official row.
+    "llm_sim_topk_ivf", "llm_stratified_sample",
     "llm_text_fingerprint", "llm_text_langid", "llm_text_quality",
     "llm_text_stats", "llm_tfidf_keywords", "llm_train_val_test_split",
     "llm_vocab_stats", "nulls_semantics",

@@ -610,6 +610,14 @@ def stats_quantile_discretize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # half-way point. Caught by the round-8 TPC-H-twin seed fuzz
 # (seed 7: avg_monetary 2668914.1633 vs .1632); 2dp leaves 5e-3 of
 # headroom. Recency/frequency are small-magnitude, 4dp is safe there.
+#
+# avg_monetary additionally averages EXACT INTEGER CENTS, not the 2dp
+# doubles: a segment of n customers can put the TRUE average exactly on
+# a half cent (total cents ≡ n*50 mod n*100), where summation order —
+# not magnitude — decides the rounding side. From an exact integer sum
+# both engines perform the same exactly-rounded IEEE divisions and land
+# on the identical double. Caught by the round-8 streaming-RFM twin
+# equality test (segment (3,1,2): 2058392.36 vs .37).
 
 RFM_ORACLE = """
 WITH maxd AS (SELECT MAX(o_orderdate) AS d FROM orders),
@@ -635,7 +643,8 @@ rfm AS (
 SELECT r_code, f_code, m_code,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
        ROUND(AVG(recency), 4) AS avg_recency_days,
-       ROUND(AVG(monetary), 2) AS avg_monetary
+       ROUND(CAST(SUM(CAST(ROUND(monetary * 100) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / 100.0, 2) AS avg_monetary
 FROM coded GROUP BY r_code, f_code, m_code
 """
 
@@ -689,5 +698,10 @@ def stats_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coded.groupBy("r_code", "f_code", "m_code").agg(
         F.count(F.lit(1)).alias("n_customers"),
         round_to(F.avg("recency"), 4).alias("avg_recency_days"),
-        round_to(F.avg("monetary"), 2).alias("avg_monetary"),
+        round_to(
+            F.sum(F.round(F.col("monetary") * 100).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(100.0),
+            2,
+        ).alias("avg_monetary"),
     )

@@ -1,0 +1,161 @@
+"""Streaming RFM maintenance: the incremental twin of the batch
+``stats_rfm_segments`` query (the round-8 stretch pairing — Markov got
+its streaming twin in ``markov_stream.py``; RFM is the other natural
+incremental form the round-7 verdict named).
+
+The RFM BASE is a per-customer running aggregate, all three dimensions
+additive or max-monotone:
+
+- recency   <- max(order epoch-day)         (max is monotone),
+- frequency <- count of orders              (additive),
+- monetary  <- sum of order cents           (additive integers).
+
+So one carried state row per customer maintains the exact base
+relation; QUARTILE CODING is corpus-wide (cut points move with every
+order) and stays a cheap derivation over the maintained ledger — the
+same split as the batch query, where cut points are a 1-row broadcast
+over the per-customer aggregate.
+
+Design notes:
+
+- state per customer = (last_order_days, frequency, monetary_cents):
+  O(1) per KEY; total state is bounded by |customers| (the dimension),
+  never by order volume — there is NO eviction horizon because lifetime
+  aggregates are the semantics (unlike attribution/Markov, whose state
+  bounds come from lookback/idle windows).
+- monetary accumulates in INTEGER CENTS (each order's 2-dp price is
+  exact in cents), so replay/batch-boundary reordering can never move a
+  float sum across the 2-dp rounding boundary the batch query rounds
+  at — the round-8 RFM money-rounding fix carried into the stream.
+- emitted rows are ABSOLUTE per-customer aggregates (not deltas), so
+  the foreachBatch ledger upsert is idempotent under checkpoint replay
+  with no epoch bookkeeping (contrast: the Markov ledger folds additive
+  pair rows and must dedupe epochs).
+- under any delivery order the final ledger equals the batch aggregate
+  over the same orders (max/sum/count are order-insensitive) — stronger
+  than the attribution/Markov twins, whose at-event-time semantics
+  diverge under reordering; pinned in tests/test_rfm_stream.py.
+
+No counterpart in the 319-LoC reference (its only streaming agg is a
+windowed sum, ``spark_consumer_kafka.py:113-127``); [EXT] surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "last_days long, frequency long, cents long"
+OUTPUT_SCHEMA = "o_custkey long, last_order_days long, frequency long, monetary_cents long"
+
+_EPOCH = pd.Timestamp("1970-01-01")
+
+
+def _update(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (custkey,) = key
+    last_days, freq, cents = state.get if state.exists else (None, 0, 0)
+    for pdf in batches:
+        for r in pdf.itertuples(index=False):
+            days = int((pd.Timestamp(r.o_orderdate).normalize() - _EPOCH).days)
+            last_days = days if last_days is None else max(last_days, days)
+            freq += 1
+            # each order price is an exact 2-dp value: cents are exact ints
+            cents += int(round(float(r.o_totalprice) * 100))
+    if last_days is not None:
+        state.update((last_days, freq, cents))
+        yield pd.DataFrame(
+            [(custkey, last_days, freq, cents)],
+            columns=["o_custkey", "last_order_days", "frequency", "monetary_cents"],
+        )
+
+
+def rfm_base_stream(orders: DataFrame) -> DataFrame:
+    """Update-mode stream of ABSOLUTE per-customer RFM base rows.
+
+    ``orders`` must carry (o_orderkey, o_orderdate timestamp,
+    o_custkey, o_totalprice) — the fixture schema with the order date as
+    the event time. No watermark/timeout: lifetime aggregates never
+    expire, and state is customer-bounded by construction."""
+    keyed = orders.select("o_custkey", "o_orderdate", "o_totalprice").groupBy("o_custkey")
+    return keyed.applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_rfm_ledger(stream: DataFrame, checkpoint: str, ledger: dict) -> None:
+    """foreachBatch upsert of the absolute per-customer rows —
+    idempotent under epoch replay because values are absolute."""
+
+    def upsert(df: DataFrame, epoch: int) -> None:
+        for r in df.collect():
+            ledger[int(r.o_custkey)] = (
+                int(r.last_order_days),
+                int(r.frequency),
+                int(r.monetary_cents),
+            )
+
+    q = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def segments_from_ledger(spark, ledger: dict) -> DataFrame:
+    """Quartile-code the maintained ledger with the SAME cut-point
+    derivation as the batch query (stats_extra.stats_rfm_segments):
+    recency vs the ledger-wide max day, exact percentiles rounded at the
+    batch query's precisions, code = cuts strictly below + 1."""
+    from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
+
+    rows = [
+        (int(k), int(d), int(f), round(c / 100.0, 2)) for k, (d, f, c) in ledger.items()
+    ]
+    base = spark.createDataFrame(
+        rows, "o_custkey long, last_days long, frequency long, monetary double"
+    )
+    maxd = base.agg(F.max("last_days").alias("maxd"))
+    rfm = base.crossJoin(F.broadcast(maxd)).select(
+        (F.col("maxd") - F.col("last_days")).cast("long").alias("recency"),
+        "frequency",
+        "monetary",
+    )
+    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    cuts = rfm.agg(
+        F.transform(F.percentile("recency", qs), lambda c: round_to(c, 4)).alias("rc"),
+        F.transform(F.percentile("frequency", qs), lambda c: round_to(c, 4)).alias("fc"),
+        F.transform(F.percentile("monetary", qs), lambda c: round_to(c, 2)).alias("mc"),
+    )
+    code = lambda cs, v: (  # noqa: E731 — local expression builder
+        F.size(F.filter(cs, lambda c: v > c)) + F.lit(1)
+    ).cast("int")
+    coded = rfm.crossJoin(F.broadcast(cuts)).select(
+        code(F.col("rc"), F.col("recency")).alias("r_code"),
+        code(F.col("fc"), F.col("frequency")).alias("f_code"),
+        code(F.col("mc"), F.col("monetary")).alias("m_code"),
+        "recency",
+        "monetary",
+    )
+    return coded.groupBy("r_code", "f_code", "m_code").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        round_to(F.avg("recency"), 4).alias("avg_recency_days"),
+        round_to(
+            F.sum(F.round(F.col("monetary") * 100).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(100.0),
+            2,
+        ).alias("avg_monetary"),
+    )

@@ -239,6 +239,10 @@ EXCHANGE_BUDGET = {
     # the GD loop runs at build (memoized artifact); the emitted weight
     # relation is a local createDataFrame + one orderBy (round 6).
     "llm_train_quality_classifier": 1,
+    # the Lloyd iterations run at build (memoized; each iteration is one
+    # codegen argmin scan + one (cid,dim) aggregate — per-iteration
+    # Exchanges live in those jobs, not the returned local relation).
+    "emb_kmeans_train": 0,
     # classifier prob agg + gopher label exprs + score join, the 4dp
     # score-group agg, the bounded-group rank window, two 1-row final
     # aggs (round 6).

@@ -80,7 +80,8 @@ EXPECTED_DIVERGENCES: dict[tuple[str, str], str] = {
         for q in (
             "emb_pca_project", "emb_pca_explained_variance",
             "llm_sim_topk_bruteforce", "llm_knn_join_exact",
-            "llm_sim_topk_lsh_md5", "llm_dedup_embedding_cosine_fast",
+            "llm_sim_topk_lsh_md5", "llm_sim_topk_lsh",
+            "llm_dedup_embedding_cosine_fast",
             "llm_dedup_embedding_cosine_ivf", "llm_semdedup_prune",
             "llm_emb_random_projection", "llm_hybrid_rrf",
             "llm_retrieval_label_precision", "llm_sim_topk_sq8",
