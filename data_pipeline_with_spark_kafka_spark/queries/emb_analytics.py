@@ -130,7 +130,13 @@ WITH RECURSIVE e AS MATERIALIZED (
     for t in range(1, iterations + 1):
         sql.append(f"""
 , d{t} AS (
-    SELECT ed.vec_id, c.cid, SUM((ed.x - c.c) * (ed.x - c.c)) AS d
+    -- ordered sequential fold, NOT SUM: a parallel hash-agg SUM
+    -- accumulates each (vec,cid) group in its own arrival order, so
+    -- EXACTLY tied inputs (identical centroids) yield ULP-different
+    -- distances per cid and the tie-break diverges from Spark's
+    -- deterministic per-row fold (caught by the one_group edge corpus)
+    SELECT ed.vec_id, c.cid,
+           list_sum(list((ed.x - c.c) * (ed.x - c.c) ORDER BY ed.dim)) AS d
     FROM ed JOIN c{t - 1} c ON c.dim = ed.dim
     GROUP BY ed.vec_id, c.cid
 ), a{t} AS MATERIALIZED (

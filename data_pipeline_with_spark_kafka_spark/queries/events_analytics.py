@@ -559,6 +559,84 @@ def events_markov_transitions_bucketed(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+@register(
+    "events_attribution_last_touch_bucketed",
+    oracle=ATTRIBUTION_ORACLE,
+    tags=("events", "analytics", "window", "skew"),
+)
+def events_attribution_last_touch_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-user-safe last-touch attribution (round 8): EXACTLY the same
+    result as ``events_attribution_last_touch`` (same oracle — the hash
+    match is the exactness proof), but the per-user carry window is split
+    by calendar day, completing the skew-safe pair with the bucketed
+    Markov twin (AQE can split skewed joins, never Window partitions).
+
+    Attribution admits this split because the 7-DAY LOOKBACK bounds how
+    far the carry reaches: the most recent preceding touch is either
+    (a) same-day — a (user_id, day)-partitioned ignore-nulls last()
+    window, or (b) the latest daily-last-touch among the 7 PRIOR days —
+    a combinable per-(user, day) max(struct(ts, event_id, type))
+    aggregate probed with a 7-way day-offset explode (any touch
+    satisfying ts' >= ts - 7d lives in days D-7..D, so the probe is
+    complete; a most-recent touch OLDER than 7 days and no touch at all
+    both yield 'unattributed', exactly like the lifetime carry). The
+    same 7-day filter then applies to the winning candidate."""
+    events = load_table(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin("view", "click")
+    keyed = events.select(
+        "event_id", "user_id", "ts", "event_type", "value", F.to_date("ts").alias("d")
+    )
+    w_local = (
+        Window.partitionBy("user_id", "d")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = keyed.select(
+        "event_id", "user_id", "ts", "event_type", "value", "d",
+        F.last(
+            F.when(is_touch, F.struct("ts", "event_id", "event_type")), ignorenulls=True
+        )
+        .over(w_local)
+        .alias("sd_touch"),
+    )
+    purchases = carried.filter(F.col("event_type") == "purchase")
+    daily = (
+        keyed.filter(is_touch)
+        .groupBy("user_id", "d")
+        .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("lt"))
+    )
+    probe = purchases.withColumn("k", F.explode(F.sequence(F.lit(1), F.lit(7)))).select(
+        "event_id", "user_id", "ts", "value", "sd_touch",
+        F.date_sub(F.col("d"), F.col("k")).alias("pd"),
+    )
+    prior = (
+        probe.join(
+            daily.withColumnRenamed("d", "pd"),
+            ["user_id", "pd"],
+            "left",
+        )
+        .groupBy("event_id", "user_id", "ts", "value", "sd_touch")
+        .agg(F.max("lt").alias("prior_touch"))
+    )
+    best = F.coalesce(F.col("sd_touch"), F.col("prior_touch"))
+    attributed = prior.select(
+        F.when(
+            best.isNotNull()
+            & (best["ts"] >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+            best["event_type"],
+        )
+        .otherwise(F.lit("unattributed"))
+        .alias("touch_type"),
+        "value",
+        "user_id",
+    )
+    return attributed.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        round_to(F.sum("value"), 4).alias("attributed_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Seasonal (day-of-week) volume anomaly detection (round 7)
 # --------------------------------------------------------------------------

@@ -705,3 +705,103 @@ def stats_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("avg_monetary"),
     )
+
+
+# --------------------------------------------------------------------------
+# KMV distinct-count sketch (round 8) — the ORACLED approximate-distinct
+# --------------------------------------------------------------------------
+#
+# HLL (agg_hll_sketch_merge) is the classic mergeable distinct sketch but
+# its estimates are implementation-internal — rows-only forever. KMV
+# (k-minimum-values / bottom-k) gives the same mergeable-sketch pattern
+# with a FULLY deterministic, engine-neutral estimate: hash every
+# distinct key with xxhash64, keep the k smallest normalized hashes per
+# group, estimate distinct = (k-1) / max(kth smallest u). The sketch is
+# just k doubles — union-merge = concat + re-top-k — and since round 8
+# the oracle can replay Spark's xxhash64 in pure SQL, so the estimator
+# hash-matches DuckDB end to end.
+#
+# Scale shape: distinct -> per-group bottom-k via a rank window (Spark
+# plans WindowGroupLimit: partial top-k before the shuffle) -> one tiny
+# per-group aggregate. The merged '__all__' row demonstrates sketch
+# merging: the global bottom-k is the bottom-k of the per-group unions.
+#
+# Float parity: u = h_signed / 2^64 + 0.5 — an exactly-rounded division
+# by a power of two of identical integers, so both engines hold
+# bit-identical u; MAX and (k-1)/u are then deterministic (rounded 4dp
+# only for display stability).
+
+_KMV_K = 64
+
+
+def _kmv_oracle() -> str:
+    from data_pipeline_with_spark_kafka_spark.queries.xxh64_sql import (
+        long_hash_wrap,
+        to_signed,
+        to_unsigned,
+    )
+
+    hash_sql, hcol = long_hash_wrap(
+        "SELECT DISTINCT l_returnflag, " + to_unsigned("l_partkey") + " AS vu, l_partkey"
+        " FROM lineitem",
+        "vu",
+    )
+    return f"""
+WITH hashed AS MATERIALIZED (
+    SELECT l_returnflag, l_partkey,
+           CAST({to_signed(hcol)} AS DOUBLE) / 18446744073709551616.0 + 0.5 AS u
+    FROM ({hash_sql}) hz
+), unioned AS (
+    SELECT l_returnflag, l_partkey, u FROM hashed
+    UNION ALL
+    -- sketch merge = SET union of hash values (dedupe before re-top-k:
+    -- a key present in several groups must count once globally)
+    SELECT DISTINCT '__all__' AS l_returnflag, l_partkey, u FROM hashed
+), bottomk AS (
+    SELECT l_returnflag, u FROM unioned
+    QUALIFY row_number() OVER (
+        PARTITION BY l_returnflag ORDER BY u, l_partkey
+    ) <= {_KMV_K}
+)
+SELECT l_returnflag AS scope,
+       CAST(COUNT(*) AS BIGINT) AS sketch_size,
+       ROUND(({_KMV_K} - 1) / MAX(u), 4) AS kmv_distinct_est
+FROM bottomk GROUP BY l_returnflag
+"""
+
+
+@register("agg_kmv_distinct", oracle=_kmv_oracle(), tags=("agg", "sketch", "scale"))
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct-count sketch per l_returnflag plus the
+    MERGED '__all__' sketch — the cross-engine-verifiable alternative to
+    HLL: deterministic xxhash64 normalization, per-group bottom-k via a
+    rank window (WindowGroupLimit partial top-k), estimate =
+    (k-1)/max(u). FULLY ORACLED from birth via the pure-SQL XXH64
+    (queries/xxh64_sql.py hashLong path)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hashed = (
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .select(
+            "l_returnflag",
+            "l_partkey",
+            (F.xxhash64("l_partkey").cast("double") / F.lit(float(2**64)) + F.lit(0.5)).alias("u"),
+        )
+    )
+    # sketch merge = SET union of hash values: dedupe keys across groups
+    # before the global re-top-k, else a key in several groups counts
+    # multiply and the merged estimate tracks (group, key) pairs.
+    unioned = hashed.unionByName(
+        hashed.select(F.lit("__all__").alias("l_returnflag"), "l_partkey", "u").distinct()
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("u", "l_partkey")
+    bottomk = (
+        unioned.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= _KMV_K)
+    )
+    return bottomk.groupBy(F.col("l_returnflag").alias("scope")).agg(
+        F.count(F.lit(1)).alias("sketch_size"),
+        round_to((F.lit(float(_KMV_K - 1)) / F.max("u")), 4).alias("kmv_distinct_est"),
+    )

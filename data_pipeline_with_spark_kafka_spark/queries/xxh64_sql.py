@@ -190,7 +190,7 @@ def _byte_at(hx: str, pos: str) -> str:
     )
 
 
-def _word64(hx: str, pos: str, *, guard_len: str | None = None) -> str:
+def _word64(hx: str, pos: str) -> str:
     """Little-endian 8-byte word at byte offset ``pos`` (HUGEINT expr)
     of the hex string ``hx`` (bytes past the length read as 0; only
     used under CASE guards that make them dead)."""
@@ -253,7 +253,7 @@ def string_hash_ctes(
     for i in range(3):
         wname = tl.add(
             f"CASE WHEN {rem} >= {8 * (i + 1)} THEN "
-            + _word64("hx", f"q+{8 * i}", guard_len="nb")
+            + _word64("hx", f"q+{8 * i}")
             + " ELSE CAST(0 AS HUGEINT) END"
         )
         hn = tl.tail8(h, wname)

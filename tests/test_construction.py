@@ -40,6 +40,7 @@ ITERATIVE_BUILDERS = {
     "llm_sim_topk_ivf_pq",       # fixture quantizer cells + PQ codebook fixture
     "llm_emb_sq8_error",         # same codebook
     "llm_train_quality_classifier",  # logistic-regression GD loop (memoized)
+    "emb_kmeans_train",  # verified Lloyd's loop (round 8; memoized per input)
     # round-7: builds + persists the corpus near-dup index (bands/sets/
     # fingerprints) to parquet ONCE per sf_dir — the offline index-build
     # half of the deployment shape; subsequent constructions only read it

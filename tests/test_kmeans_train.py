@@ -13,6 +13,7 @@ import math
 import numpy as np
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from data_pipeline_with_spark_kafka_spark.operators.clustering import kmeans_verified
 from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
@@ -96,3 +97,32 @@ def test_kmeans_verified_iteration_count_changes_result_shape_only(spark, sf_dir
     rows = kmeans_verified(emb, "vec_id", "embedding", k=4, iterations=it, seed=7)
     assert len(rows) == 4 * 64
     assert sum(r[3] for r in rows) // 64 == emb.count()
+
+
+def test_kmv_estimate_tracks_exact_distinct(spark, sf_dir):
+    """KMV quality property: each scope's estimate within ~4/sqrt(k) of
+    the exact distinct count once the sketch saturates (n >= k). The
+    value itself is hash-verified against DuckDB; this pins that the
+    estimator is a sane ESTIMATOR, not just cross-engine-deterministic."""
+    import math
+
+    from data_pipeline_with_spark_kafka_spark.queries.stats_extra import (
+        _KMV_K,
+        agg_kmv_distinct,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["d"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("d"))
+        .collect()
+    }
+    exact["__all__"] = li.select("l_partkey").distinct().count()
+    tol = 4.0 / math.sqrt(_KMV_K)
+    for r in agg_kmv_distinct(spark, sf_dir).collect():
+        ex = exact[r["scope"]]
+        if r["sketch_size"] < _KMV_K:
+            assert r["sketch_size"] == ex  # unsaturated sketch is exact
+        else:
+            assert abs(r["kmv_distinct_est"] - ex) / ex <= tol, (r, ex)

@@ -79,6 +79,9 @@ EXCHANGE_BUDGET = {
     # agg + normalization window. More shuffles by design — each is
     # splittable; the lifetime user partition is not.
     "events_markov_transitions_bucketed": 10,
+    # (user,day) carry window + daily max agg + 7-way probe join +
+    # per-purchase regroup + touch-type rollup — all day-splittable.
+    "events_attribution_last_touch_bucketed": 6,
     # pure per-row md5 filter — zero shuffles by construction.
     "llm_stratified_sample_md5": 0,
     # daily agg (the only corpus shuffle) + dow-stats agg pair + the
@@ -87,6 +90,9 @@ EXCHANGE_BUDGET = {
     # per-customer RFM agg (the only fact shuffle) + the 1-row max-date /
     # cut-point broadcasts + the <=64-row segment rollup.
     "stats_rfm_segments": 9,
+    # distinct (1) + bottom-k rank window per branch (WindowGroupLimit
+    # partial top-k) + final group agg; the merged branch re-dedupes.
+    "agg_kmv_distinct": 3,
     # signup agg + the user-keyed purchase join + latency agg + the 1-row
     # percentile aggregate.
     "events_time_to_convert": 4,

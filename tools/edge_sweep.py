@@ -52,7 +52,7 @@ KEY_COLS = {
     "s_suppkey", "s_nationkey", "p_partkey", "o_orderkey", "o_custkey",
     "l_orderkey", "l_partkey", "l_suppkey", "event_id", "doc_id", "vec_id",
 }
-EDGES = ("empty", "single_row", "one_group", "all_null")
+EDGES = ("empty", "single_row", "one_group", "all_null", "unicode")
 
 # Documented (corpus, query) divergences that are INPUT-CONTRACT
 # violations, not engine bugs — each with the contract it violates. The
@@ -92,6 +92,22 @@ EXPECTED_DIVERGENCES: dict[tuple[str, str], str] = {
 }
 
 
+# Deterministic multibyte decorations for the `unicode` corpus: latin
+# diacritics (precomposed AND combining-mark NFD), 3-byte CJK, 4-byte
+# supplementary-plane emoji, RTL Arabic, Greek — cycled per row so every
+# string function / tokenizer / hash path sees every class. Suffixes
+# contain spaces, so tokenizing queries gain real multibyte TOKENS.
+_UNI_SUFFIXES = [
+    " héllo wörld",
+    " café touché",
+    " 日本語テキスト",
+    " 🎉🔥 emoji",
+    " مرحبا بالعالم",
+    " Ωμέγα τέλος",
+    "",
+]
+
+
 def build_corpus(kind: str, out: str) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -103,6 +119,44 @@ def build_corpus(kind: str, out: str) -> None:
             tab = src.slice(0, 0)
         elif kind == "single_row":
             tab = src.slice(0, 1)
+        elif kind == "unicode":
+            tab = src.slice(0, min(120, src.num_rows))
+            cols = {}
+            for field in tab.schema:
+                col = tab.column(field.name)
+                if field.name in KEY_COLS or not pa.types.is_string(field.type):
+                    cols[field.name] = col
+                else:
+                    raw = col.to_pylist()
+                    first = next((v for v in raw if v is not None), "")
+                    if first.startswith("{") and first.endswith("}"):
+                        # JSON-string column (events.props): decorate
+                        # INSIDE the document — appending after the
+                        # closing brace makes it malformed, which is the
+                        # invalid-JSON contract (pinned by the r7 edge
+                        # matrix), not the unicode surface this corpus
+                        # probes.
+                        import json as _json
+
+                        vals = [
+                            None
+                            if v is None
+                            else v[:-1]
+                            + (", " if len(v) > 2 else "")
+                            + '"uni": '
+                            + _json.dumps(_UNI_SUFFIXES[i % len(_UNI_SUFFIXES)])
+                            + "}"
+                            for i, v in enumerate(raw)
+                        ]
+                    else:
+                        vals = [
+                            None
+                            if v is None
+                            else v + _UNI_SUFFIXES[i % len(_UNI_SUFFIXES)]
+                            for i, v in enumerate(raw)
+                        ]
+                    cols[field.name] = pa.array(vals, type=field.type)
+            tab = pa.table(cols)
         else:
             tab = src.slice(0, min(120, src.num_rows))
             cols = {}

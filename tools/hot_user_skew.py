@@ -44,6 +44,7 @@ from data_pipeline_with_spark_kafka_spark.session import get_spark
 EVENT_TYPES = np.array(["view", "click", "purchase", "signup"])
 QUERY_NAMES = (
     "events_attribution_last_touch",
+    "events_attribution_last_touch_bucketed",
     "events_markov_transitions",
     "events_markov_transitions_bucketed",
     "events_session_ids",
