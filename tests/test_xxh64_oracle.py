@@ -160,3 +160,57 @@ def test_degenerate_tokens_hash_consistently(token):
         + "\nSELECT h FROM xh_h"
     ).fetchone()[0]
     assert int(got) == xxh64_bytes(token.encode(), SPARK_SEED)
+
+
+def test_oracles_on_multistripe_corpus(spark, duck, tmp_path):
+    """The driver corpus's shingles are all < 32 B (tail-only path); this
+    synthetic corpus of long multibyte tokens pushes most shingles
+    through the recursive stripe loop (>=32 B, many >=64 B = multiple
+    iterations) inside the FULL production pipelines, not just the
+    unit-level length fuzz."""
+    import os
+    import random
+
+    import duckdb as _duckdb
+
+    from data_pipeline_with_spark_kafka_spark.operators import dedup
+    from data_pipeline_with_spark_kafka_spark.queries.xxh64_oracles import (
+        minhash_lsh_xxh64_oracle,
+        simhash_xxh64_oracle,
+    )
+    from tests.oracle_compare import normalize
+
+    rnd = random.Random(99)
+    words = [
+        "internationalization", "противоположность", "自然言語処理モデル",
+        "🎉superlongtoken🎉", "floccinaucinihilipilification", "a", "bb", "ccc",
+    ]
+    rows = [
+        (i, " ".join(rnd.choice(words) for _ in range(rnd.randint(1, 30))), "en", 100)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    path = os.path.join(str(tmp_path), "documents.parquet")
+    df.coalesce(1).write.parquet(path)
+    docs = spark.read.parquet(path)
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    n32 = con.execute(
+        """WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+        shd AS (SELECT DISTINCT t[CAST(i AS INT)]||' '||t[CAST(i AS INT)+1]||' '||t[CAST(i AS INT)+2] s
+                FROM toks, UNNEST(range(1,len(t)-1)) r(i))
+        SELECT SUM(CASE WHEN octet_length(encode(s))>=64 THEN 1 ELSE 0 END) FROM shd"""
+    ).fetchone()[0]
+    assert n32 > 100  # the multi-stripe loop is genuinely engaged
+
+    sp = normalize(
+        dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=3, threshold=0.8).toPandas()
+    )
+    du = normalize(con.execute(minhash_lsh_xxh64_oracle()).df())
+    assert sp == du
+
+    sp = normalize(dedup.simhash(docs, "doc_id", "text").toPandas())
+    du = normalize(con.execute(simhash_xxh64_oracle()).df())
+    assert sp == du
