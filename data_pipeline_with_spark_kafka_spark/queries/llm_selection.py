@@ -669,3 +669,114 @@ def llm_sim_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         pool=50,
         n_probe=3,
     )
+
+
+NDCG_MRR_ORACLE = """
+WITH e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+    SELECT vec_id AS query_id, label AS anchor_label, v AS qv
+    FROM e WHERE vec_id < 16
+), scored AS (
+    SELECT q.query_id, q.anchor_label, e.label AS nlabel,
+           ROUND(list_dot_product(e.v, q.qv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+                 * 1000000) / 1000000 AS cosine,
+           e.vec_id AS neighbor_id
+    FROM e JOIN q ON e.vec_id <> q.query_id
+), topk AS (
+    SELECT query_id, anchor_label,
+           CASE WHEN nlabel = anchor_label THEN 1.0 ELSE 0.0 END AS rel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+), perq AS (
+    SELECT query_id, anchor_label,
+           SUM(rel / LOG2(rank + 1)) AS dcg,
+           CAST(SUM(rel) AS BIGINT) AS n_rel,
+           COALESCE(MAX(CASE WHEN rel = 1.0 THEN 1.0 / rank END), 0.0) AS rr
+    FROM topk GROUP BY query_id, anchor_label
+), ideal(n_rel, idcg) AS (
+    -- IDCG@10 constants: both engines share these LITERALS (a SUM over
+    -- UNNEST would re-accumulate in engine-specific float order)
+    VALUES (1, 1.0), (2, 1.6309297535714575), (3, 2.1309297535714578),
+           (4, 2.5616063116448506), (5, 2.9484591188793923),
+           (6, 3.3046663059874146), (7, 3.637999639320748),
+           (8, 3.953464516106477), (9, 4.254494511770458),
+           (10, 4.543559338088346)
+)
+SELECT p.query_id, p.anchor_label, p.n_rel,
+       ROUND(CASE WHEN p.n_rel = 0 THEN 0.0 ELSE p.dcg / i.idcg END, 6) AS ndcg_at_10,
+       ROUND(p.rr, 6) AS mrr
+FROM perq p LEFT JOIN ideal i ON i.n_rel = p.n_rel
+"""
+
+
+@register(
+    "llm_retrieval_ndcg_mrr",
+    oracle=NDCG_MRR_ORACLE,
+    tags=("llm", "similarity", "diagnostic"),
+)
+def llm_retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-aware retrieval quality: nDCG@10 and reciprocal rank of
+    exact k-NN under label relevance, per anchor — the rank-sensitive
+    complement to llm_retrieval_label_precision (precision@k treats
+    position 1 and position 10 alike; nDCG/MRR are what embedding-eval
+    suites actually report). Same broadcast-anchor WindowGroupLimit
+    k-NN; the metric math runs on k*anchors rows, the IDCG table on
+    <=k distinct relevance counts."""
+    from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
+    from data_pipeline_with_spark_kafka_spark.operators import similarity as sim
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = sim.knn_join_exact(
+        emb, "vec_id", "embedding", emb.filter(F.col("vec_id") < 16), k=10, query_limit=16
+    )
+    labels = emb.select("vec_id", "label")
+    anchors = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("anchor_label")
+    )
+    neigh = labels.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    ranked = (
+        knn.join(anchors, "query_id")
+        .join(neigh, "neighbor_id")
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "rel",
+            F.when(F.col("nlabel") == F.col("anchor_label"), 1.0).otherwise(0.0),
+        )
+    )
+    perq = ranked.groupBy("query_id", "anchor_label").agg(
+        F.sum(F.col("rel") / F.log2(F.col("rank") + 1)).alias("dcg"),
+        F.sum("rel").cast("long").alias("n_rel"),
+        F.coalesce(
+            F.max(F.when(F.col("rel") == 1.0, F.lit(1.0) / F.col("rank"))), F.lit(0.0)
+        ).alias("rr"),
+    )
+    # IDCG@10 as shared LITERALS (identical constants in the oracle's
+    # VALUES list): deriving it from perq would duplicate the whole kNN
+    # pipeline in the plan, and a float re-accumulation could differ in
+    # engine-specific summation order.
+    idcg_consts = {
+        1: 1.0, 2: 1.6309297535714575, 3: 2.1309297535714578,
+        4: 2.5616063116448506, 5: 2.9484591188793923, 6: 3.3046663059874146,
+        7: 3.637999639320748, 8: 3.953464516106477, 9: 4.254494511770458,
+        10: 4.543559338088346,
+    }
+    idcg = F.lit(None).cast("double")
+    for n_rel_v, c in idcg_consts.items():
+        idcg = F.when(F.col("n_rel") == n_rel_v, F.lit(c)).otherwise(idcg)
+    return perq.select(
+        "query_id",
+        "anchor_label",
+        "n_rel",
+        round_to(
+            F.when(F.col("n_rel") == 0, 0.0).otherwise(F.col("dcg") / idcg), 6
+        ).alias("ndcg_at_10"),
+        round_to(F.col("rr"), 6).alias("mrr"),
+    )

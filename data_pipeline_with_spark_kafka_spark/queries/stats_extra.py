@@ -805,3 +805,93 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("sketch_size"),
         round_to((F.lit(float(_KMV_K - 1)) / F.max("u")), 4).alias("kmv_distinct_est"),
     )
+
+
+# --------------------------------------------------------------------------
+# Inter-rater agreement: Cohen's kappa (round 8)
+# --------------------------------------------------------------------------
+#
+# The distillation loop's health metric: how far does the CHEAP quality
+# heuristic (operators/text.quality_score >= 0.5) agree with the
+# EXPENSIVE Gopher rule stack beyond chance? Raw accuracy flatters
+# imbalanced labels; kappa = (po - pe) / (1 - pe) corrects for the
+# marginal agreement two raters get for free. All terms derive from the
+# four integer confusion-cell counts, so the doubles are deterministic
+# on both engines (exactly-rounded divisions of exact integers).
+
+COHEN_KAPPA_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, text, string_split(text, ' ') AS t
+    FROM documents WHERE text IS NOT NULL
+), flags AS (
+    SELECT g.passes AS a,
+           ROUND(0.4 * LEAST(len(tk.t) / 50.0, 1.0)
+                 + 0.3 * (1.0 - len(list_filter(tk.t,
+                       x -> list_contains(['the', 'a', 'of', 'and', 'to'], x))) * 1.0 / len(tk.t))
+                 + 0.3 * LEAST(((length(tk.text) - (len(tk.t) - 1)) * 1.0 / len(tk.t)) / 8.0, 1.0),
+                 4) >= 0.5 AS b
+    FROM ({GOPHER}) g JOIN toks tk ON tk.doc_id = g.doc_id
+), cells AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS tt,
+           CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS tf,
+           CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS ft,
+           CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS ff
+    FROM flags
+)
+SELECT n, tt AS n_both_pass, ff AS n_both_fail,
+       ROUND((tt + ff) * 1.0 / n, 6) AS po,
+       ROUND(((tt + tf) * 1.0 / n) * ((tt + ft) * 1.0 / n)
+             + ((ft + ff) * 1.0 / n) * ((tf + ff) * 1.0 / n), 6) AS pe,
+       ROUND(((tt + ff) * 1.0 / n
+              - (((tt + tf) * 1.0 / n) * ((tt + ft) * 1.0 / n)
+                 + ((ft + ff) * 1.0 / n) * ((tf + ff) * 1.0 / n)))
+             / NULLIF(1.0 - (((tt + tf) * 1.0 / n) * ((tt + ft) * 1.0 / n)
+                 + ((ft + ff) * 1.0 / n) * ((tf + ff) * 1.0 / n)), 0.0), 6) AS kappa
+FROM cells
+"""
+
+
+def _kappa_oracle() -> str:
+    from data_pipeline_with_spark_kafka_spark.queries.text_extra import GOPHER_ORACLE
+
+    return COHEN_KAPPA_ORACLE.replace("{GOPHER}", GOPHER_ORACLE)
+
+
+@register("stats_cohen_kappa", oracle=_kappa_oracle(), tags=("stats", "quality"))
+def stats_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the Gopher rule stack and the cheap quality
+    heuristic (score >= 0.5) — chance-corrected agreement for the
+    distillation loop (raw accuracy flatters imbalanced labels; kappa=0
+    means the cheap gate adds nothing over the base rate). One
+    confusion-cell aggregate; every downstream term is a deterministic
+    function of the four integer cells."""
+    from data_pipeline_with_spark_kafka_spark.operators.text import quality_score, tokens
+    from data_pipeline_with_spark_kafka_spark.queries.text_extra import llm_quality_gopher
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    cheap = docs.select(
+        "doc_id", (quality_score(F.col("text"), tokens(F.col("text"))) >= 0.5).alias("b")
+    )
+    g = llm_quality_gopher(spark, sf_dir).select("doc_id", F.col("passes").alias("a"))
+    flags = g.join(cheap, "doc_id")
+    cells = flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("a") & F.col("b")).cast("long")).alias("tt"),
+        F.sum((F.col("a") & ~F.col("b")).cast("long")).alias("tf"),
+        F.sum((~F.col("a") & F.col("b")).cast("long")).alias("ft"),
+        F.sum((~F.col("a") & ~F.col("b")).cast("long")).alias("ff"),
+    )
+    n, tt, tf, ft, ff = (F.col(c) for c in ("n", "tt", "tf", "ft", "ff"))
+    po = (tt + ff) * 1.0 / n
+    pe = ((tt + tf) * 1.0 / n) * ((tt + ft) * 1.0 / n) + ((ft + ff) * 1.0 / n) * (
+        (tf + ff) * 1.0 / n
+    )
+    return cells.select(
+        "n",
+        tt.alias("n_both_pass"),
+        ff.alias("n_both_fail"),
+        round_to(po, 6).alias("po"),
+        round_to(pe, 6).alias("pe"),
+        round_to((po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0)), 6).alias("kappa"),
+    )

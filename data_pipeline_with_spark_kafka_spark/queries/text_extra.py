@@ -464,3 +464,35 @@ def llm_top_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("pmi").desc(), F.col("bigram"))
     top = scored.orderBy(F.col("pmi").desc(), F.col("bigram")).limit(20)
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+NFC_AUDIT_ORACLE = """
+SELECT doc_id,
+       NOT (text IS NOT DISTINCT FROM nfc_normalize(text)) AS nfc_changed,
+       octet_length(encode(text)) AS bytes_raw,
+       octet_length(encode(nfc_normalize(text))) AS bytes_nfc
+FROM documents
+"""
+
+
+@register("llm_text_normalize_nfc", oracle=NFC_AUDIT_ORACLE, tags=("llm", "text", "udf"))
+def llm_text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization audit per document: did NFC change the
+    text, and the byte footprint before/after — the canonical first
+    stage for multilingual corpora (mixed NFC/NFD sources hash and
+    dedup differently for visually identical text).
+
+    The ONE Arrow-batched pandas UDF in the query corpus that is also
+    FULLY ORACLED: CPython's unicodedata and DuckDB's nfc_normalize
+    (utf8proc) implement the same stability-frozen normalization, so
+    the slow-path escape hatch is hash-verified, not trusted
+    (operators/normalize.py; combining-mark/Hangul/compat cases pinned
+    in tests/test_normalize.py, corpus-level exercise in the unicode
+    edge corpus)."""
+    from data_pipeline_with_spark_kafka_spark.operators.normalize import (
+        nfc_audit_columns,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cols = nfc_audit_columns("text")
+    return docs.select("doc_id", *cols[1:])

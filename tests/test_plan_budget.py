@@ -226,6 +226,13 @@ EXCHANGE_BUDGET = {
     # knn WindowGroupLimit shuffle + the anchor/neighbor label joins and
     # the 16-group metric aggregate over k*anchors rows (round 6).
     "llm_retrieval_label_precision": 5,
+    # same broadcast-anchor kNN shape + rank window; IDCG is a literal
+    # when-chain (deriving it from perq doubled the whole kNN pipeline).
+    "llm_retrieval_ndcg_mrr": 5,
+    # map-only pandas-UDF projection, zero shuffle.
+    "llm_text_normalize_nfc": 0,
+    # gopher metrics agg + cheap-flag join + one 1-row confusion agg.
+    "stats_cohen_kappa": 2,
     # term-count agg + TakeOrdered(200) cut + the 200-row rank window and
     # 1-row regression aggregate (round 6).
     "llm_zipf_fit": 3,

@@ -84,7 +84,8 @@ EXPECTED_DIVERGENCES: dict[tuple[str, str], str] = {
             "llm_dedup_embedding_cosine_fast",
             "llm_dedup_embedding_cosine_ivf", "llm_semdedup_prune",
             "llm_emb_random_projection", "llm_hybrid_rrf",
-            "llm_retrieval_label_precision", "llm_sim_topk_sq8",
+            "llm_retrieval_label_precision", "llm_retrieval_ndcg_mrr",
+            "llm_sim_topk_sq8",
             "llm_sim_topk_ivf_sq8", "llm_mmr_diversified_topk",
             "llm_sim_topk_binary",
         )
