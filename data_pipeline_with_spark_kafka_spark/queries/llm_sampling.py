@@ -301,3 +301,53 @@ def llm_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
     )
+
+
+QUOTA_SAMPLE_ORACLE = """
+SELECT doc_id, lang, CAST(pick_rank AS INT) AS pick_rank
+FROM (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS pick_rank
+    FROM documents
+)
+WHERE pick_rank <= CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 80
+                             WHEN 'fr' THEN 50 WHEN 'es' THEN 50
+                             WHEN 'zh' THEN 50 ELSE 0 END
+"""
+
+
+@register("llm_stratified_quota_sample", oracle=QUOTA_SAMPLE_ORACLE, tags=("llm", "sampling"))
+def llm_stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-QUOTA stratified sampling: take exactly n_lang docs per
+    language (or all, if fewer exist), selected by a deterministic
+    md5 hash order — corpus releases that must hit a target mixture
+    EXACTLY, where Bernoulli stratified sampling (llm_stratified_sample)
+    only hits it in expectation. Hash order makes the pick
+    partitioning-invariant and auditable; per-group bottom-k plans as a
+    WindowGroupLimit (partial top-k before the shuffle), so no stratum
+    ever sorts globally."""
+    from pyspark.sql import Window
+
+    quotas = {"en": 100, "de": 80, "fr": 50, "es": 50, "zh": 50}
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("quota:"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    quota = F.lit(0)
+    for lang, n in quotas.items():
+        quota = F.when(F.col("lang") == lang, F.lit(n)).otherwise(quota)
+    max_quota = max(quotas.values())
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("pick_rank"))
+        # constant bound FIRST: rank <= literal is what Spark's
+        # WindowGroupLimit rewrite matches, so each task keeps only the
+        # per-stratum top-max_quota BEFORE the shuffle — the variable
+        # per-lang quota then trims within that bounded set. Without the
+        # literal, every stratum sorts fully inside one window partition.
+        .filter(F.col("pick_rank") <= F.lit(max_quota))
+        .filter(F.col("pick_rank") <= quota)
+        .select("doc_id", "lang", F.col("pick_rank").cast("int").alias("pick_rank"))
+    )

@@ -895,3 +895,74 @@ def stats_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_to(pe, 6).alias("pe"),
         round_to((po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0)), 6).alias("kappa"),
     )
+
+
+# --------------------------------------------------------------------------
+# KMV quantile sketch (round 8) — deterministic mergeable quantiles
+# --------------------------------------------------------------------------
+#
+# The quantile companion to agg_kmv_distinct: a bottom-k-by-hash sample
+# is a fixed-size, MERGEABLE, deterministic uniform sample (merge = set
+# union + re-top-k, exactly the KMV sketch), so quantiles computed from
+# it are a deterministic approximate-quantile sketch — unlike
+# percentile_approx's GK sketch, whose internals are engine-specific
+# (agg_approx_percentile stays rows-only). The estimate is the exact
+# interpolated percentile OF THE SAMPLE, mirrored verbatim in DuckDB.
+
+_KMVQ_K = 128
+
+
+def _kmv_quantile_oracle() -> str:
+    from data_pipeline_with_spark_kafka_spark.queries.xxh64_sql import (
+        long_hash_wrap,
+        to_signed,
+        to_unsigned,
+    )
+
+    hash_sql, hcol = long_hash_wrap(
+        "SELECT o_orderkey, " + to_unsigned("o_orderkey") + " AS vu, o_totalprice"
+        " FROM orders",
+        "vu",
+    )
+    return f"""
+WITH hashed AS MATERIALIZED (
+    SELECT o_orderkey, o_totalprice, {to_signed(hcol)} AS h
+    FROM ({hash_sql}) hz
+), sample AS (
+    SELECT o_totalprice FROM hashed
+    QUALIFY row_number() OVER (ORDER BY h, o_orderkey) <= {_KMVQ_K}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS sample_n,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_est,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_est,
+       ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99_est
+FROM sample
+"""
+
+
+@register("agg_kmv_quantiles", oracle=_kmv_quantile_oracle(), tags=("agg", "sketch", "scale"))
+def agg_kmv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mergeable quantile sketch: order-total percentiles
+    estimated from the bottom-{k}-by-xxhash64 sample of orders — the
+    engine-neutral alternative to percentile_approx's GK sketch
+    (rows-only forever). The sample is a fixed-size uniform draw whose
+    membership is a pure function of the keys, so merging shards is set
+    union + re-top-k and both engines hold the identical sample;
+    quantile interpolation then runs on identical doubles. Bottom-k
+    plans as one TakeOrdered-style limit, never a global sort of the
+    fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    sample = (
+        orders.select(
+            F.xxhash64("o_orderkey").alias("h"), "o_orderkey", "o_totalprice"
+        )
+        .orderBy("h", "o_orderkey")
+        .limit(_KMVQ_K)
+    )
+    return sample.agg(
+        F.count(F.lit(1)).alias("sample_n"),
+        *[
+            round_to(F.percentile("o_totalprice", F.lit(p)), 4).alias(name)
+            for p, name in [(0.5, "p50_est"), (0.9, "p90_est"), (0.99, "p99_est")]
+        ],
+    )

@@ -214,6 +214,49 @@ def cmd_train_quality(spark: SparkSession, args: argparse.Namespace) -> None:
     )
 
 
+def cmd_cluster(spark: SparkSession, args: argparse.Namespace) -> None:
+    """Train the VERIFIED k-means (per-iteration quantized Lloyd's,
+    operators/clustering.kmeans_verified — the same loop the
+    emb_kmeans_train oracle replays) on an embeddings parquet and
+    persist centroids + cluster sizes as a versioned JSON artifact: the
+    offline-quantizer half of the IVF/SemDeDup deployment story, like
+    train-quality is for the scorer."""
+    import json as _json
+
+    from data_pipeline_with_spark_kafka_spark.operators.clustering import (
+        kmeans_verified,
+    )
+
+    emb = spark.read.parquet(args.input)
+    rows = kmeans_verified(
+        emb, args.id_col, args.vec_col, k=args.k, iterations=args.iters, seed=args.seed
+    )
+    if not rows:
+        raise SystemExit("no vectors to cluster (empty or all-NULL input)")
+    dim = max(r[1] for r in rows) + 1
+    cents: dict[int, list[float]] = {}
+    counts: dict[int, int] = {}
+    for cid, d, v, n in rows:
+        cents.setdefault(cid, [0.0] * dim)[d] = v
+        counts[cid] = n
+    artifact = {
+        "k": len(cents),
+        "dim": dim,
+        "iterations": args.iters,
+        "seed": args.seed,
+        "centroids": {str(c): cents[c] for c in sorted(cents)},
+        "cluster_sizes": {str(c): counts[c] for c in sorted(counts)},
+    }
+    with open(args.centroids_out, "w") as f:
+        _json.dump(artifact, f, indent=1, sort_keys=True)
+        f.write("\n")
+    total = sum(counts.values())
+    print(
+        f"clustered {total} vectors into {len(cents)} cells "
+        f"({args.iters} iterations) -> {args.centroids_out}"
+    )
+
+
 def _two_phase_swap(out, target: str) -> None:
     """Materialize ``out`` to a tmp dir, then swap it into ``target``
     without a destroy-first window: move the old snapshot ASIDE, rename
@@ -563,6 +606,15 @@ def make_parser() -> argparse.ArgumentParser:
     trq.add_argument("--iters", type=int, default=30)
     trq.add_argument("--lr", type=float, default=1.0)
 
+    clu = sub.add_parser("cluster", help="train the verified k-means quantizer -> centroids JSON")
+    clu.add_argument("--input", required=True, help="embeddings parquet path/dir")
+    clu.add_argument("--centroids-out", required=True, help="where to write the centroids JSON")
+    clu.add_argument("--id-col", default="vec_id")
+    clu.add_argument("--vec-col", default="embedding")
+    clu.add_argument("--k", type=int, default=8)
+    clu.add_argument("--iters", type=int, default=5)
+    clu.add_argument("--seed", type=int, default=42)
+
     mnt = sub.add_parser("maintain", help="apply an update batch / CDC feed to a parquet dimension snapshot")
     mnt.add_argument("--mode", choices=["scd2", "cdc"], required=True)
     mnt.add_argument("--snapshot", required=True, help="current snapshot parquet dir")
@@ -650,6 +702,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> No
         "consume": cmd_consume,
         "curate": cmd_curate,
         "train-quality": cmd_train_quality,
+        "cluster": cmd_cluster,
         "maintain": cmd_maintain,
         "maintain-incremental": cmd_maintain_incremental,
         "erase": cmd_erase,

@@ -375,3 +375,38 @@ def test_train_quality_then_model_gated_curate(spark, sf_dir, tmp_path):
     gated = {r["doc_id"] for r in spark.read.parquet(gated_dir).select("doc_id").collect()}
     assert gated, "model gate rejected everything"
     assert gated <= plain
+
+
+def test_cluster_cli_writes_verified_centroids(spark, sf_dir, tmp_path):
+    """run.py cluster persists the SAME centroids the verified trainer
+    (and therefore the emb_kmeans_train oracle) produces, as a versioned
+    JSON artifact; re-running is deterministic byte-for-byte."""
+    import json
+
+    from data_pipeline_with_spark_kafka_spark.operators.clustering import (
+        kmeans_verified,
+    )
+    from data_pipeline_with_spark_kafka_spark.run import main
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    out1 = str(tmp_path / "centroids.json")
+    main(["cluster", "--input", emb_path, "--centroids-out", out1, "--k", "4",
+          "--iters", "3"], spark=spark)
+    art = json.load(open(out1))
+    assert art["k"] == 4 and art["dim"] == 64
+
+    emb = spark.read.parquet(emb_path)
+    rows = kmeans_verified(emb, "vec_id", "embedding", k=4, iterations=3, seed=42)
+    exp_cents = {}
+    exp_counts = {}
+    for cid, d, v, n in rows:
+        exp_cents.setdefault(str(cid), [0.0] * 64)[d] = v
+        exp_counts[str(cid)] = n
+    assert art["centroids"] == exp_cents
+    assert art["cluster_sizes"] == exp_counts
+    assert sum(exp_counts.values()) == emb.count()
+
+    out2 = str(tmp_path / "centroids2.json")
+    main(["cluster", "--input", emb_path, "--centroids-out", out2, "--k", "4",
+          "--iters", "3"], spark=spark)
+    assert open(out1).read() == open(out2).read()

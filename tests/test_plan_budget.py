@@ -93,6 +93,11 @@ EXCHANGE_BUDGET = {
     # distinct (1) + bottom-k rank window per branch (WindowGroupLimit
     # partial top-k) + final group agg; the merged branch re-dedupes.
     "agg_kmv_distinct": 3,
+    # bottom-k-by-hash sample = TakeOrdered (no global sort), 1-row agg.
+    "agg_kmv_quantiles": 0,
+    # one per-lang rank window, WindowGroupLimit-bounded by the literal
+    # max quota before the variable per-lang trim.
+    "llm_stratified_quota_sample": 1,
     # signup agg + the user-keyed purchase join + latency agg + the 1-row
     # percentile aggregate.
     "events_time_to_convert": 4,
