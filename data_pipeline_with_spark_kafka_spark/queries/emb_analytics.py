@@ -187,16 +187,31 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_with_spark_kafka_spark.operators.clustering import kmeans_verified
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    stamp = None
+    # Staleness stamp must cover directory-style parquet too (round-8
+    # advice): a regenerated directory dataset in the same session would
+    # otherwise reduce the key to the bare path and return stale
+    # centroids. Plain file -> (size, mtime_ns); directory -> the sorted
+    # (name, size, mtime_ns) listing; anything else -> no memo.
     if os.path.isfile(path):
         st = os.stat(path)
         stamp = (st.st_size, st.st_mtime_ns)
+    elif os.path.isdir(path):
+        stamp = tuple(
+            sorted(
+                (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                for e in os.scandir(path)
+                if e.is_file()
+            )
+        )
+    else:
+        stamp = None
     key = (os.path.abspath(sf_dir), stamp, 8, 5, 42)
-    rows = _KMEANS_TRAIN_CACHE.get(key)
+    rows = _KMEANS_TRAIN_CACHE.get(key) if stamp is not None else None
     if rows is None:
         emb = load_table(spark, sf_dir, "embeddings")
         rows = kmeans_verified(emb, "vec_id", "embedding", k=8, iterations=5, seed=42)
-        _KMEANS_TRAIN_CACHE[key] = rows
+        if stamp is not None:
+            _KMEANS_TRAIN_CACHE[key] = rows
     return spark.createDataFrame(
         rows, "cid int, dim int, centroid double, cluster_n bigint"
     )

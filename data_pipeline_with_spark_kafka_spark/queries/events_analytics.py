@@ -637,6 +637,96 @@ def events_attribution_last_touch_bucketed(spark: SparkSession, sf_dir: str) -> 
     )
 
 
+@register(
+    "events_session_ids_bucketed",
+    oracle=SESSION_IDS_ORACLE,
+    tags=("events", "window", "skew"),
+)
+def events_session_ids_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-user-safe sessionization (round 9): EXACTLY the same result as
+    ``events_session_ids`` (same oracle — the hash match is the exactness
+    proof), but the per-user gap/running-sum windows are split by calendar
+    day, closing the last lifetime-window straggler in the sequence family
+    (measured 1.3 -> 10.1 s at hot_frac 0.9 in BASELINE.md; AQE can split
+    skewed joins, never Window partitions).
+
+    Sessionization admits the split because the gap flag only needs the
+    ADJACENT previous event, and session_seq is a prefix sum of flags —
+    both decompose at day boundaries:
+
+    - WITHIN a (user, day) partition, lag() + running sum give each row a
+      local flag (day-first event provisionally flagged 1) and a local
+      prefix sum;
+    - the day-first event's TRUE flag needs only the previous ACTIVE
+      day's last event: a per-(user, day) (first_ev, last_ev, flag_sum)
+      aggregate — combinable, bounded by active days, riding the SAME
+      (user_id, d) partitioning as the local window — plus one lag() over
+      that per-day relation yields a correction corr in {0, -1} (-1 when
+      the boundary gap is <= 30 min, merging the day's first session into
+      the previous day's last);
+    - session_seq = local_run + corr(day) + sum over PRIOR days of
+      (flag_sum + corr) — the per-day exclusive prefix sum of corrected
+      day totals. corr applies to every row of the day because the
+      day-first flag participates in every local prefix.
+
+    Scale shape: the corpus shuffles once on (user_id, d) — the straggler
+    cap is the hot user's busiest day — then the per-day relation (active
+    days, not events) pays the only per-user window, and the
+    adjustment joins back on (user_id, d), reusing the partitioning. For
+    nastier single-day bots the bucket drops to hours; same algebra."""
+    events = load_table(spark, sf_dir, "events")
+    keyed = events.select(
+        "user_id", "ts", "event_id", F.to_date("ts").alias("d")
+    )
+    w_local = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+    run_local = w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_local = F.lag("ts").over(w_local)
+    flagged = keyed.withColumn(
+        "flag_local",
+        F.when(
+            prev_local.isNull()
+            | (F.col("ts") - prev_local > F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0),
+    )
+    local = flagged.withColumn("local_run", F.sum("flag_local").over(run_local))
+    day_edges = local.groupBy("user_id", "d").agg(
+        F.min(F.struct("ts", "event_id")).alias("first_ev"),
+        F.max(F.struct("ts", "event_id")).alias("last_ev"),
+        F.max("local_run").alias("flag_sum"),
+    )
+    w_days = Window.partitionBy("user_id").orderBy("d")
+    prev_last_ts = F.lag(F.col("last_ev.ts")).over(w_days)
+    corr = F.when(
+        prev_last_ts.isNotNull()
+        & (F.col("first_ev.ts") - prev_last_ts <= F.expr("INTERVAL 30 MINUTES")),
+        F.lit(-1).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    day_adj = day_edges.withColumn("day_total", F.col("flag_sum") + corr).select(
+        "user_id",
+        "d",
+        (
+            corr
+            + F.coalesce(
+                F.sum("day_total").over(
+                    w_days.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            )
+        ).alias("adj"),
+    )
+    ids = local.join(day_adj, ["user_id", "d"]).select(
+        "user_id",
+        "ts",
+        (F.col("local_run") + F.col("adj")).cast("long").alias("session_seq"),
+    )
+    return ids.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Seasonal (day-of-week) volume anomaly detection (round 7)
 # --------------------------------------------------------------------------

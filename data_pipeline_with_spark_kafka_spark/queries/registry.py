@@ -77,7 +77,12 @@ _COVERED_IN_OFFICIAL_ARTIFACTS = frozenset({
     # official row.
     "llm_contamination_overlap", "llm_curated_corpus", "llm_dedup_clusters",
     "llm_dedup_corpus_segments", "llm_dedup_embedding_cosine",
-    "llm_dedup_embedding_cosine_fast", "llm_dedup_exact",
+    # NOTE: llm_dedup_embedding_cosine_fast and llm_sim_topk_ivf were
+    # sampled only in r01-r03 BEFORE they gained oracles (round 6) — their
+    # only official rows are `err: no_oracle`. Demoted out of this set in
+    # round 9 (per the round-8 verdict) so the sampler finally records a
+    # hash-green official row for each.
+    "llm_dedup_exact",
     # NOTE: llm_dedup_minhash_lsh and llm_dedup_simhash were sampled in
     # early rounds as rows-only; round 8 gave them full DuckDB oracles
     # (pure-SQL XXH64, queries/xxh64_sql.py) — left out of this set so the
@@ -93,7 +98,7 @@ _COVERED_IN_OFFICIAL_ARTIFACTS = frozenset({
     # NOTE: llm_sim_topk_lsh (rows-only in its early row) gained a full
     # oracle in round 8 (seeded planes embedded as literals) — left out
     # so the oracled version gets an official row.
-    "llm_sim_topk_ivf", "llm_stratified_sample",
+    "llm_stratified_sample",
     "llm_text_fingerprint", "llm_text_langid", "llm_text_quality",
     "llm_text_stats", "llm_tfidf_keywords", "llm_train_val_test_split",
     "llm_vocab_stats", "nulls_semantics",
@@ -170,6 +175,14 @@ _COVERED_IN_OFFICIAL_ARTIFACTS = frozenset({
     "llm_train_quality_classifier", "llm_weighted_quality_mean",
     "llm_zipf_fit", "privacy_erasure_cascade", "stats_quantile_discretize",
     "stats_rfm_segments", "text_heavy_hitters",
+    # round 8 (green rows in CORRECTNESS_r08.json — the 13 round-8-new
+    # queries; the other 37 sampled names were already-covered backlog):
+    "agg_kmv_distinct", "agg_kmv_quantiles", "emb_kmeans_train",
+    "events_attribution_last_touch_bucketed",
+    "events_markov_transitions_bucketed", "llm_dedup_minhash_lsh",
+    "llm_dedup_simhash", "llm_retrieval_ndcg_mrr",
+    "llm_sim_topk_lsh", "llm_stratified_quota_sample",
+    "llm_text_normalize_nfc", "media_ingest_audit", "stats_cohen_kappa",
 })
 
 

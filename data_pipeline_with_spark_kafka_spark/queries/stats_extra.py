@@ -765,7 +765,11 @@ WITH hashed AS MATERIALIZED (
 )
 SELECT l_returnflag AS scope,
        CAST(COUNT(*) AS BIGINT) AS sketch_size,
-       ROUND(({_KMV_K} - 1) / MAX(u), 4) AS kmv_distinct_est
+       -- a sketch that never filled (fewer than k distinct keys) IS the
+       -- exact distinct set: the standard KMV estimate in that regime is
+       -- the sketch size, not (k-1)/max(u) (round-8 advice)
+       ROUND(CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE ({_KMV_K} - 1) / MAX(u) END, 4) AS kmv_distinct_est
 FROM bottomk GROUP BY l_returnflag
 """
 
@@ -801,9 +805,15 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         unioned.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= _KMV_K)
     )
+    # Unfilled sketch (< k distinct keys) is the exact distinct set — the
+    # standard KMV estimate there is the sketch size itself (round-8
+    # advice); mirrored in the oracle above.
+    est = F.when(
+        F.count(F.lit(1)) < F.lit(_KMV_K), F.count(F.lit(1)).cast("double")
+    ).otherwise(F.lit(float(_KMV_K - 1)) / F.max("u"))
     return bottomk.groupBy(F.col("l_returnflag").alias("scope")).agg(
         F.count(F.lit(1)).alias("sketch_size"),
-        round_to((F.lit(float(_KMV_K - 1)) / F.max("u")), 4).alias("kmv_distinct_est"),
+        round_to(est, 4).alias("kmv_distinct_est"),
     )
 
 

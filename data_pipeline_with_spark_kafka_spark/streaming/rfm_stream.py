@@ -36,8 +36,9 @@ Design notes:
   than the attribution/Markov twins, whose at-event-time semantics
   diverge under reordering; pinned in tests/test_rfm_stream.py.
 
-No counterpart in the 319-LoC reference (its only streaming agg is a
-windowed sum, ``spark_consumer_kafka.py:113-127``); [EXT] surface.
+No counterpart in the 319-LoC reference (its only streaming agg is the
+windowed groupBy/sum block, ``spark_consumer_kafka.py:77-99``); [EXT]
+surface.
 """
 
 from __future__ import annotations

@@ -82,6 +82,13 @@ EXCHANGE_BUDGET = {
     # (user,day) carry window + daily max agg + 7-way probe join +
     # per-purchase regroup + touch-type rollup — all day-splittable.
     "events_attribution_last_touch_bucketed": 6,
+    # hot-user-safe twin (round 9): two (user_id, day) local-window
+    # corpus shuffles (the day-edges branch re-derives the local flags;
+    # the inner join's pushed null-filter blocks exchange reuse) + the
+    # active-days-sized per-user window + the adjustment join + final
+    # session agg. More shuffles than the lifetime query's 1 by design —
+    # each is day-splittable; the lifetime user partition is not.
+    "events_session_ids_bucketed": 5,
     # pure per-row md5 filter — zero shuffles by construction.
     "llm_stratified_sample_md5": 0,
     # daily agg (the only corpus shuffle) + dow-stats agg pair + the

@@ -48,6 +48,7 @@ QUERY_NAMES = (
     "events_markov_transitions",
     "events_markov_transitions_bucketed",
     "events_session_ids",
+    "events_session_ids_bucketed",
 )
 
 
