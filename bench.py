@@ -133,6 +133,21 @@ def main() -> None:
             metric_lines.append(
                 json.dumps({"metric": "stream_rows_per_sec", "value": 0.0, "error": str(exc)[:200]})
             )
+        # Stateful family (applyInPandasWithState): trending top-k from
+        # tools/stream_bench.measure_stateful — rows/s + bounded-state
+        # profile for the custom-state operators (round-8 verdict #5).
+        try:
+            from stream_bench import measure_stateful
+
+            stateful_metrics = measure_stateful(spark, rate=200_000, run_seconds=45)
+            metric_lines.append(json.dumps(stateful_metrics))
+            full_payload["streaming_stateful"] = stateful_metrics
+        except Exception as exc:  # noqa: BLE001
+            metric_lines.append(
+                json.dumps(
+                    {"metric": "stateful_stream_rows_per_sec", "value": 0.0, "error": str(exc)[:200]}
+                )
+            )
     metric_lines.append(json.dumps(headline))
 
     # The per-query dict (~4k chars at 196 queries) cannot fit the

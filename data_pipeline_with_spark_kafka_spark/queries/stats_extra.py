@@ -445,10 +445,14 @@ WITH arms AS (
 SELECT n0, c0, n1, c1,
        ROUND(CAST(c0 AS DOUBLE) / n0, 6) AS rate_a,
        ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS rate_b,
-       ROUND((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+       -- pooled rate 0 or 1 makes the pooled variance 0 and z undefined
+       -- (e.g. every trial converts): NULL, not a divide-by-zero (the
+       -- round-9 day_boundary edge corpus crashed the unguarded form)
+       ROUND(CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL
+                  ELSE (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
              / SQRT((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
                     * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
-                    * (1.0 / n0 + 1.0 / n1)), 4) AS z_stat
+                    * (1.0 / n0 + 1.0 / n1)) END, 4) AS z_stat
 FROM wide
 """
 
@@ -478,7 +482,16 @@ def stats_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     r0 = F.col("c0").cast("double") / F.col("n0")
     r1 = F.col("c1").cast("double") / F.col("n1")
     pooled = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
-    z = (r1 - r0) / F.sqrt(pooled * (1 - pooled) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    # Degenerate pooled rate (0 or 1) => zero pooled variance, z
+    # undefined: CASE-guard to NULL — under ANSI mode the unguarded
+    # division raises DIVIDE_BY_ZERO when every trial converts (caught
+    # by the round-9 day_boundary edge corpus); mirrored in the oracle.
+    conv = F.col("c0") + F.col("c1")
+    z = F.when(
+        (conv > 0) & (conv < F.col("n0") + F.col("n1")),
+        (r1 - r0)
+        / F.sqrt(pooled * (1 - pooled) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))),
+    )
     return wide.select(
         "n0", "c0", "n1", "c1",
         round_to(r0, 6).alias("rate_a"),

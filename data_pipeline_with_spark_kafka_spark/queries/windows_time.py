@@ -64,7 +64,12 @@ WITH e AS (
     WHERE ts IS NOT NULL  -- see the sliding oracle's note
 ), flagged AS (
     SELECT user_id, ts, value,
-           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+           -- STRICT > : Spark's session_window treats window end as
+           -- INCLUSIVE for merging — an event landing exactly at
+           -- prev_ts + gap still joins the session (caught by the
+           -- round-9 day_boundary edge corpus; organic data never hit
+           -- an exactly-30-min gap)
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
                      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                 THEN 1 ELSE 0 END AS new_session
     FROM e
@@ -87,8 +92,10 @@ GROUP BY user_id, session_id
 @register("window_session_30m", oracle=SESSION_ORACLE, tags=("window", "time"))
 def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session window (30-min gap) per user. Spark merges event windows
-    [t, t+gap) that overlap; the oracle derives identical sessions with the
-    lag/cumsum islands construction (split on gap >= 30 min)."""
+    [t, t+gap] that touch — an event exactly at a window's end still
+    joins it — so the oracle's islands construction splits on gap
+    STRICTLY > 30 min (the >= form diverged on an exactly-30-min gap,
+    caught by the round-9 day_boundary edge corpus)."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")

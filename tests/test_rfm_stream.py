@@ -13,7 +13,9 @@ from pyspark.sql import functions as F
 from data_pipeline_with_spark_kafka_spark.streaming.rfm_stream import (
     rfm_base_stream,
     run_rfm_ledger,
+    run_rfm_ledger_parquet,
     segments_from_ledger,
+    segments_from_parquet_ledger,
 )
 from data_pipeline_with_spark_kafka_spark.queries.stats_extra import stats_rfm_segments
 from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
@@ -162,3 +164,91 @@ def test_rfm_stream_upsert_replay_idempotent(spark, tmp_path, sf_dir):
     snapshot = dict(ledger)
     _run(spark, src, tmp_path / "ck2", ledger)
     assert ledger == snapshot
+
+
+def _run_parquet(spark, src, ckpt, target):
+    raw = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    run_rfm_ledger_parquet(rfm_base_stream(raw), str(ckpt), str(target))
+
+
+def _read_parquet_ledger(spark, target):
+    return {
+        int(r["o_custkey"]): (
+            int(r["last_order_days"]),
+            int(r["frequency"]),
+            int(r["monetary_cents"]),
+        )
+        for r in spark.read.parquet(str(target)).collect()
+    }
+
+
+def test_rfm_parquet_ledger_equals_dict_fold_and_batch(spark, tmp_path, sf_dir):
+    """The durable parquet fold lands the SAME per-customer absolute rows
+    as the dict test fold, and the coded segments derived from the
+    parquet ledger equal the registered batch query."""
+    src = _orders_as_json(tmp_path, sf_dir)
+    target = tmp_path / "ledger_pq"
+    _run_parquet(spark, src, tmp_path / "ckp", target)
+    dict_ledger: dict = {}
+    _run(spark, src, tmp_path / "ckd", dict_ledger)
+    assert _read_parquet_ledger(spark, target) == dict_ledger
+
+    got = {
+        (r["r_code"], r["f_code"], r["m_code"]): (
+            r["n_customers"],
+            r["avg_recency_days"],
+            r["avg_monetary"],
+        )
+        for r in segments_from_parquet_ledger(spark, str(target)).collect()
+    }
+    exp = {
+        (r["r_code"], r["f_code"], r["m_code"]): (
+            r["n_customers"],
+            r["avg_recency_days"],
+            r["avg_monetary"],
+        )
+        for r in stats_rfm_segments(spark, sf_dir).collect()
+    }
+    assert got == exp
+
+
+def test_rfm_parquet_ledger_restart_recovery(spark, tmp_path, sf_dir):
+    """Stop after the first files, resume on the SAME checkpoint into the
+    SAME parquet target: the merged table must converge to the full run."""
+    src = _orders_as_json(tmp_path, sf_dir, n_files=4)
+    held = [src / "f2.json", src / "f3.json"]
+    parked = tmp_path / "parked"
+    parked.mkdir()
+    moved = []
+    for f in held:
+        tgt = parked / f.name
+        os.rename(f, tgt)
+        moved.append((tgt, f))
+    target = tmp_path / "ledger_pq"
+    _run_parquet(spark, src, tmp_path / "ck", target)
+    partial = _read_parquet_ledger(spark, target)
+    for tgt, back in moved:
+        os.rename(tgt, back)
+        os.utime(back, (10, 10))
+    _run_parquet(spark, src, tmp_path / "ck", target)
+
+    full_target = tmp_path / "ledger_full"
+    _run_parquet(spark, src, tmp_path / "ck_full", full_target)
+    full = _read_parquet_ledger(spark, full_target)
+    assert _read_parquet_ledger(spark, target) == full
+    assert partial != full  # the restart actually added data
+
+
+def test_rfm_parquet_ledger_replay_idempotent(spark, tmp_path, sf_dir):
+    """Re-running the whole stream on a FRESH checkpoint into the same
+    parquet target changes nothing: absolute rows + keyed merge."""
+    src = _orders_as_json(tmp_path, sf_dir, n_files=2)
+    target = tmp_path / "ledger_pq"
+    _run_parquet(spark, src, tmp_path / "ck1", target)
+    snapshot = _read_parquet_ledger(spark, target)
+    _run_parquet(spark, src, tmp_path / "ck2", target)
+    assert _read_parquet_ledger(spark, target) == snapshot

@@ -13,7 +13,16 @@ driver's sf0.001 tables so schemas can never drift:
                  collapsed to ONE value — one group everywhere;
 - ``all_null``   first 120 rows with every nullable non-key column set
                  to NULL (measures NULL propagation through every
-                 expression on both engines at once).
+                 expression on both engines at once);
+- ``unicode``    first 120 rows with multibyte decorations on every
+                 string column (diacritics, NFD combining marks, CJK,
+                 4-byte emoji, RTL) — round 8;
+- ``day_boundary`` crafted events sitting exactly on the boundaries the
+                 bucketed sequence twins' day-split algebra reasons
+                 about (7-day lookback edge at a calendar-day boundary,
+                 probe completeness at day 8, midnight session
+                 merge/split, exact 30-min gap, same-ts midnight ties) —
+                 round 9; other tables stay organic.
 
 Per corpus, every oracled query runs on Spark AND DuckDB with the
 driver-strict comparator. A query that RAISES on an edge corpus while its
@@ -52,7 +61,7 @@ KEY_COLS = {
     "s_suppkey", "s_nationkey", "p_partkey", "o_orderkey", "o_custkey",
     "l_orderkey", "l_partkey", "l_suppkey", "event_id", "doc_id", "vec_id",
 }
-EDGES = ("empty", "single_row", "one_group", "all_null", "unicode")
+EDGES = ("empty", "single_row", "one_group", "all_null", "unicode", "day_boundary")
 
 # Documented (corpus, query) divergences that are INPUT-CONTRACT
 # violations, not engine bugs — each with the contract it violates. The
@@ -93,6 +102,67 @@ EXPECTED_DIVERGENCES: dict[tuple[str, str], str] = {
 }
 
 
+# Crafted events for the `day_boundary` corpus (round 9): pins the
+# bucketed sequence twins' day-split algebra ADVERSARIALLY, not just on
+# organic data — every row sits on a boundary the lookback-completeness /
+# session-merge arguments reason about. Users are disjoint per scenario.
+# (ts string, user_id, event_type, value); event_ids are assigned in
+# listed order so same-ts ties resolve by position.
+_DAY_BOUNDARY_EVENTS = [
+    # u1: only touch EXACTLY 7x24h before the purchase, at a calendar-day
+    # boundary distance of 7 — the probe's k=7 leg AND the >=ts-7d filter
+    # boundary together (attributed: touch_ts == ts - 7d satisfies >=).
+    ("2024-01-01 12:00:00", 1, "view", 1.0),
+    ("2024-01-08 12:00:00", 1, "purchase", 100.0),
+    # u2: only touch 7x24h + 1s back (same calendar distance 7): probed,
+    # then rejected by the 7-day filter -> unattributed on BOTH paths.
+    ("2024-01-01 11:59:59", 2, "click", 1.0),
+    ("2024-01-08 12:00:00", 2, "purchase", 100.0),
+    # u3: calendar distance 7 but interval only 6d1h (late touch, early
+    # purchase): the k=7 probe leg must still find it -> attributed.
+    ("2024-01-01 23:30:00", 3, "view", 1.0),
+    ("2024-01-08 00:30:00", 3, "purchase", 100.0),
+    # u4: touch on calendar day D-8 at 23:59:59 vs purchase at D 00:00:00
+    # — the minimum possible D-8 gap, 7d+1s: NEVER probed (k stops at 7)
+    # and correctly unattributed (lifetime agrees: > 7d). Pins that the
+    # probe's day range is COMPLETE: no day-8 touch can be within 7x24h.
+    ("2023-12-31 23:59:59", 4, "click", 1.0),
+    ("2024-01-08 00:00:00", 4, "purchase", 100.0),
+    # u5: same-day touch must beat a prior-day one (coalesce order).
+    ("2024-01-07 10:00:00", 5, "view", 1.0),
+    ("2024-01-08 09:00:00", 5, "click", 1.0),
+    ("2024-01-08 09:30:00", 5, "purchase", 100.0),
+    # u6: no same-day touch; latest among several prior days wins.
+    ("2024-01-05 10:00:00", 6, "view", 1.0),
+    ("2024-01-06 10:00:00", 6, "click", 1.0),
+    ("2024-01-08 11:00:00", 6, "purchase", 100.0),
+    # u7: a touch AFTER the purchase must not attribute (preceding-only
+    # frame on both the lifetime carry and the same-day window).
+    ("2024-01-08 10:00:00", 7, "purchase", 100.0),
+    ("2024-01-08 11:00:00", 7, "view", 1.0),
+    # u8: 25-min gap ACROSS midnight -> one session (boundary corr = -1).
+    ("2024-01-08 23:45:00", 8, "view", 1.0),
+    ("2024-01-09 00:10:00", 8, "view", 1.0),
+    # u9: 70-min gap across midnight -> two sessions (corr = 0).
+    ("2024-01-08 23:00:00", 9, "view", 1.0),
+    ("2024-01-09 00:10:00", 9, "view", 1.0),
+    # u10: EXACTLY 30-min gap across midnight: not > 30m -> one session.
+    ("2024-01-08 23:45:00", 10, "view", 1.0),
+    ("2024-01-09 00:15:00", 10, "view", 1.0),
+    # u11: two midnight-spanning sessions separated by a within-day gap —
+    # the per-day offset must count the intra-day session start.
+    ("2024-01-10 23:50:00", 11, "view", 1.0),
+    ("2024-01-11 00:10:00", 11, "click", 1.0),
+    ("2024-01-11 23:55:00", 11, "view", 1.0),
+    ("2024-01-12 00:20:00", 11, "click", 1.0),
+    # u12: same-timestamp tie exactly AT midnight: event_id breaks the
+    # tie identically in the local window and the day-edge structs.
+    ("2024-01-08 23:59:00", 12, "view", 1.0),
+    ("2024-01-09 00:00:00", 12, "click", 1.0),
+    ("2024-01-09 00:00:00", 12, "view", 1.0),
+]
+
+
 # Deterministic multibyte decorations for the `unicode` corpus: latin
 # diacritics (precomposed AND combining-mark NFD), 3-byte CJK, 4-byte
 # supplementary-plane emoji, RTL Arabic, Greek — cycled per row so every
@@ -116,7 +186,39 @@ def build_corpus(kind: str, out: str) -> None:
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         src = pq.read_table(os.path.join(DRIVER_SF, f"{t}.parquet"))
-        if kind == "empty":
+        if kind == "day_boundary":
+            # Only events is crafted; every other table stays organic so
+            # the non-events queries keep their normal differential run.
+            if t == "events":
+                import numpy as np
+
+                ts_type = src.schema.field("ts").type
+                tab = pa.table(
+                    {
+                        "event_id": pa.array(
+                            range(1, len(_DAY_BOUNDARY_EVENTS) + 1), type=pa.int64()
+                        ),
+                        "ts": pa.array(
+                            [np.datetime64(ts, "us") for ts, *_ in _DAY_BOUNDARY_EVENTS],
+                            type=ts_type,
+                        ),
+                        "user_id": pa.array(
+                            [u for _, u, *_ in _DAY_BOUNDARY_EVENTS], type=pa.int64()
+                        ),
+                        "event_type": pa.array(
+                            [e for _, _, e, _ in _DAY_BOUNDARY_EVENTS]
+                        ),
+                        "value": pa.array(
+                            [v for *_, v in _DAY_BOUNDARY_EVENTS], type=pa.float64()
+                        ),
+                        "props": pa.array(
+                            [None] * len(_DAY_BOUNDARY_EVENTS), type=pa.string()
+                        ),
+                    }
+                )
+            else:
+                tab = src
+        elif kind == "empty":
             tab = src.slice(0, 0)
         elif kind == "single_row":
             tab = src.slice(0, 1)

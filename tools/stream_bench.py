@@ -65,17 +65,7 @@ def measure(spark, rate: int = 200_000, run_seconds: int = 90) -> dict:
     # The first micro-batch pays all the one-time costs (state init,
     # codegen) and ingests 0 rows; measure steady state from the batches
     # that actually carry data, using their own reported durations.
-    deadline = time.time() + run_seconds
-    data_batches: dict[str, dict] = {}
-    while time.time() < deadline:
-        time.sleep(2)
-        for p in query.recentProgress:
-            p = json.loads(p) if isinstance(p, str) else p
-            if p["numInputRows"] > 0:
-                data_batches[p["batchId"]] = p
-        if len(data_batches) >= 5:
-            break
-    query.stop()
+    data_batches = _drain(query, run_seconds)
     total_in = sum(p["numInputRows"] for p in data_batches.values())
     total_ms = sum(p["durationMs"]["triggerExecution"] for p in data_batches.values())
     rows_per_sec = round(total_in / (total_ms / 1000.0), 1) if total_ms else 0.0
@@ -105,15 +95,101 @@ def measure(spark, rate: int = 200_000, run_seconds: int = 90) -> dict:
     }
 
 
+def _drain(query, run_seconds: int, min_batches: int = 5) -> dict[str, dict]:
+    """Collect progress records for batches that carried data until the
+    deadline (or ``min_batches`` data batches, whichever first)."""
+    deadline = time.time() + run_seconds
+    data_batches: dict[str, dict] = {}
+    while time.time() < deadline:
+        time.sleep(2)
+        for p in query.recentProgress:
+            p = json.loads(p) if isinstance(p, str) else p
+            if p["numInputRows"] > 0:
+                data_batches[p["batchId"]] = p
+        if len(data_batches) >= min_batches:
+            break
+    query.stop()
+    return data_batches
+
+
+def measure_stateful(spark, rate: int = 200_000, run_seconds: int = 90) -> dict:
+    """Throughput + state profile of the applyInPandasWithState family
+    (round-8 verdict task #5), measured on the trending top-k operator —
+    the family's representative: per-group pandas state round-trips
+    through Arrow, event-time timeout eviction, O(k) state per window.
+
+    Rate-source events (10k-item domain, so raw (window, item) counting
+    would hold 10k state rows per open window; Misra-Gries holds <= 19)
+    flow through ``streaming.trending.trending_items`` with a 10-second
+    window / 20-second watermark into a memory sink. Reported rows/s is
+    input rows over the data batches' own trigger durations — the same
+    canon as the stateless metric."""
+    from data_pipeline_with_spark_kafka_spark.streaming.trending import trending_items
+
+    events = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rate)
+        .load()
+        .select(
+            F.col("timestamp").alias("event_time"),
+            F.concat(F.lit("ITEM_"), (F.col("value") % 10_000).cast("string")).alias(
+                "item"
+            ),
+        )
+    )
+    trending = trending_items(
+        events,
+        item_col="item",
+        time_col="event_time",
+        window="10 seconds",
+        watermark="20 seconds",
+        top=10,
+    )
+    query = (
+        trending.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_stream_bench_out")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ssb-ckpt-"))
+        .start()
+    )
+    data_batches = _drain(query, run_seconds)
+    total_in = sum(p["numInputRows"] for p in data_batches.values())
+    total_ms = sum(p["durationMs"]["triggerExecution"] for p in data_batches.values())
+    rows_per_sec = round(total_in / (total_ms / 1000.0), 1) if total_ms else 0.0
+    state: dict = {}
+    if data_batches:
+        last = data_batches[max(data_batches)]
+        ops = last.get("stateOperators") or []
+        if ops:
+            state = {
+                "state_rows": int(ops[0].get("numRowsTotal", 0)),
+                "state_memory_bytes": int(ops[0].get("memoryUsedBytes", 0)),
+            }
+    return {
+        "metric": "stateful_stream_rows_per_sec",
+        "value": rows_per_sec,
+        "unit": "rows/sec",
+        "operator": "trending_items (applyInPandasWithState, MG top-k)",
+        "offered_rate": rate,
+        "run_seconds": run_seconds,
+        "n_batches": len(data_batches),
+        "total_rows": int(total_in),
+        **state,
+    }
+
+
 def main() -> None:
-    rate = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    run_seconds = int(sys.argv[2]) if len(sys.argv) > 2 else 90
+    args = [a for a in sys.argv[1:] if a != "--stateful"]
+    stateful = "--stateful" in sys.argv[1:]
+    rate = int(args[0]) if args else 200_000
+    run_seconds = int(args[1]) if len(args) > 1 else 90
 
     from data_pipeline_with_spark_kafka_spark.session import get_spark
 
     spark = get_spark("stream-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    print(json.dumps(measure(spark, rate, run_seconds)))
+    fn = measure_stateful if stateful else measure
+    print(json.dumps(fn(spark, rate, run_seconds)))
     spark.stop()
 
 
