@@ -9,9 +9,10 @@ metadata struct —
 Metadata-only operations (routing, size stats, hashing, filtering) stay
 fully relational (codegen). Decode/feature-extraction crosses into Python
 via ``mapInPandas`` (Arrow-batched — never row-at-a-time py4j).
-``decode_media`` REALLY decodes the uncompressed formats (24-bit BMP,
-mono PCM-16 WAV — pure numpy/struct codecs, no media libraries needed);
-compressed codecs (jpeg/mp3/h264) require external libraries that are not
+``decode_media`` REALLY decodes the formats whose byte layout needs no
+external library: 24-bit BMP, non-interlaced RGB8 PNG (DEFLATE via
+stdlib zlib — round 9), mono PCM-16 WAV — pure numpy/struct/zlib codecs.
+Lossy codecs (jpeg/mp3/h264) require external libraries that are not
 baked into this environment and raise NotImplementedError at the dispatch.
 ``fake_decode_features`` remains as the format-agnostic stand-in for
 blobs of arbitrary type.
@@ -108,6 +109,117 @@ def decode_bmp(data: bytes):
     return rows[::-1, :, ::-1]  # back to top-down RGB
 
 
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(arr) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a non-interlaced 8-bit
+    truecolor PNG (round-9: the compressed-codec boundary moved — PNG's
+    DEFLATE is stdlib ``zlib``, so no external media library is needed).
+    Scanlines use filter 0; compression is zlib default level."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.zeros((h, w * 3 + 1), dtype=np.uint8)
+    raw[:, 1:] = a.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes())
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes):
+    """Decode a non-interlaced 8-bit truecolor (color type 2) PNG into an
+    (h, w, 3) uint8 RGB array. Pure stdlib-zlib + numpy: walks chunks,
+    concatenates IDAT, inflates, and unfilters all five scanline filters
+    (None/Up fully vectorized; Sub is a per-channel cumsum; Average and
+    Paeth pay a per-byte scan along the row — their recurrence is
+    sequential by spec). Palette/grayscale/alpha/16-bit/interlaced
+    variants raise NotImplementedError."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif ctype == b"IDAT":
+            idat.append(payload)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + payload + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise NotImplementedError(
+            "only non-interlaced 8-bit truecolor (RGB) PNG is supported"
+        )
+    stride = w * 3
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != (stride + 1) * h:
+        raise ValueError("PNG scanline payload has the wrong size")
+    rows = raw.reshape(h, stride + 1)
+    filters, lines = rows[:, 0], rows[:, 1:].astype(np.int64)
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f, line = int(filters[y]), lines[y]
+        if f == 0:  # None
+            rec = line
+        elif f == 1:  # Sub: per-channel prefix sum
+            rec = np.cumsum(line.reshape(w, 3), axis=0).reshape(stride)
+        elif f == 2:  # Up
+            rec = line + prior
+        elif f == 3:  # Average (sequential: left operand is reconstructed)
+            rec = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                left = rec[x - 3] if x >= 3 else 0
+                rec[x] = (line[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth (sequential, same reason)
+            rec = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - 3] if x >= 3 else 0
+                b = prior[x]
+                c = prior[x - 3] if x >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        recon[y] = rec & 0xFF
+        prior = recon[y].astype(np.int64)
+    return recon.reshape(h, w, 3)
+
+
 def encode_wav_pcm16(samples, sample_rate: int = 16000) -> bytes:
     """Encode an int16 sample array as a mono PCM-16 WAV (RIFF) stream."""
     import struct
@@ -149,12 +261,15 @@ def decode_wav_pcm16(data: bytes):
 def decode_media(media_type: str, data: bytes):
     """Decode a media blob by MIME type.
 
-    Real decoders for the uncompressed formats this engine ships
-    (image/bmp, audio/wav); compressed codecs require external libraries
-    that are not baked in and raise NotImplementedError — plug a real
-    jpeg/mp4 decoder into this dispatch when deploying with media libs."""
+    Real decoders for the formats this engine ships (image/bmp,
+    image/png — PNG's DEFLATE is stdlib zlib, round 9 — audio/wav);
+    lossy codecs (jpeg/mp3/h264) require external libraries that are not
+    baked in and raise NotImplementedError — plug a real jpeg/mp4
+    decoder into this dispatch when deploying with media libs."""
     if media_type == "image/bmp":
         return decode_bmp(data)
+    if media_type == "image/png":
+        return decode_png(data)
     if media_type in ("audio/wav", "audio/x-wav"):
         return decode_wav_pcm16(data)
     raise NotImplementedError(
@@ -294,11 +409,22 @@ AUDIO_FEATURE_SCHEMA = T.StructType(
 )
 
 
-def attach_image_blob(df: DataFrame, id_col: str, *, width: int = 16, height: int = 16) -> DataFrame:
-    """Deterministic BMP fixture: each doc gets a real, decodable 24-bit
-    BMP whose pixels are a doc_id-seeded gradient. mapInPandas because the
-    encoder is bytes-producing Python — fixture generation, not the hot
-    path (real corpora arrive with blobs already in the table)."""
+def attach_image_blob(
+    df: DataFrame,
+    id_col: str,
+    *,
+    width: int = 16,
+    height: int = 16,
+    media_type: str = "image/bmp",
+) -> DataFrame:
+    """Deterministic image fixture: each doc gets a real, decodable image
+    (24-bit BMP by default; ``media_type="image/png"`` emits real
+    DEFLATE-compressed PNGs through the same pixel generator, so the two
+    paths must decode to identical features) whose pixels are a
+    doc_id-seeded gradient. mapInPandas because the encoder is
+    bytes-producing Python — fixture generation, not the hot path (real
+    corpora arrive with blobs already in the table)."""
+    encoder = {"image/bmp": encode_bmp, "image/png": encode_png}[media_type]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -308,7 +434,7 @@ def attach_image_blob(df: DataFrame, id_col: str, *, width: int = 16, height: in
         )
         for pdf in it:
             blobs = [
-                encode_bmp((int(doc_id) * 7 + y * 16 + x * 4 + c * 5) % 256)
+                encoder((int(doc_id) * 7 + y * 16 + x * 4 + c * 5) % 256)
                 for doc_id in pdf[id_col]
             ]
             yield pd.DataFrame({"doc_id": pdf[id_col], "data": blobs})
@@ -320,7 +446,7 @@ def attach_image_blob(df: DataFrame, id_col: str, *, width: int = 16, height: in
         "doc_id",
         F.struct(
             F.concat(F.lit("mem://img/"), F.col("doc_id").cast("string")).alias("uri"),
-            F.lit("image/bmp").alias("media_type"),
+            F.lit(media_type).alias("media_type"),
             F.col("data").alias("data"),
             F.create_map(F.lit("origin"), F.lit("fixture")).alias("meta"),
         ).alias("media"),

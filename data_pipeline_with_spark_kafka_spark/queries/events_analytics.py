@@ -715,7 +715,16 @@ def events_session_ids_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("adj"),
     )
-    ids = local.join(day_adj, ["user_id", "d"]).select(
+    # NULL-SAFE join keys: Window partitions and groupBy treat NULL
+    # (user_id, d) as a regular group, so the adjustment join must too —
+    # a plain equi-join drops null-ts/null-user rows that the lifetime
+    # window sessionizes (caught by the all_null edge corpus).
+    adj_side = day_adj.withColumnsRenamed({"user_id": "adj_user_id", "d": "adj_d"})
+    ids = local.join(
+        adj_side,
+        F.col("user_id").eqNullSafe(F.col("adj_user_id"))
+        & F.col("d").eqNullSafe(F.col("adj_d")),
+    ).select(
         "user_id",
         "ts",
         (F.col("local_run") + F.col("adj")).cast("long").alias("session_seq"),

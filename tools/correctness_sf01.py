@@ -13,11 +13,16 @@ joins — and writes CORRECTNESS_SF01.json next to the official artifacts.
     python tools/correctness_sf01.py          # ~5 min on local[8]
 
 Round-6 stretch (#8): the same comparator also runs against the
-GENERATED sf0.5 fixture set (documents/embeddings/events only — the
-tables tools/gen_scale_fixtures.py produces), at a scale the driver
-never touches:
+GENERATED sf0.5/sf1 fixture sets, at scales the driver never touches:
 
     python tools/correctness_sf01.py /root/repo/fixtures/scale/sf0.5 CORRECTNESS_SF05.json
+
+Round 9: the sweep covers the FULL oracled registry at every scale —
+gen_scale_fixtures.py now writes the TPC-H relations too, eligibility is
+derived per fixture dir (oracle table refs ⊆ available tables), and any
+remainder is recorded in the artifact's ``excluded`` map with a reason,
+so n_queries + n_excluded == oracled registry size. The old hand-curated
+heavyweight list remains via SPARK_GRAFT_SWEEP_HEAVY=1.
 """
 
 from __future__ import annotations
@@ -94,19 +99,20 @@ HEAVY = [
     "tpch_q9_product_profit", "tpch_q21_waiting_supplier",
 ]
 
-# Oracled queries runnable on the GENERATED scale fixtures are DERIVED,
-# not hand-listed (round-7 task #6 closed the 22-query gap the hand list
-# had grown): any query whose oracle SQL references only the generated
-# tables (documents/embeddings/events) is eligible — the oracle and the
-# Spark side always read the same parquet, so the comparison is closed
-# at any scale.
-GENERATED_TABLES = {"documents", "embeddings", "events"}
-
-
-def scale_fixture_set(qs) -> list[str]:
+# Eligible queries are DERIVED, not hand-listed (round-7 task #6 closed
+# the 22-query gap the hand list had grown; round-9 extends the sweep to
+# the FULL oracled registry now that gen_scale_fixtures also writes the
+# TPC-H relations at sf0.5/sf1): any oracled query whose oracle SQL
+# references only tables present in the fixture dir is eligible — the
+# oracle and the Spark side always read the same parquet, so the
+# comparison is closed at any scale. A query with NO table reference
+# (fixture-bound, e.g. the media-listing audit) is scale-invariant and
+# runs too. Anything else is recorded in the artifact's ``excluded`` map
+# with a one-line reason, so n_queries + n_excluded == oracled registry.
+def scale_fixture_set(qs, available: set[str]) -> tuple[list[str], dict[str, str]]:
     import re
 
-    names, dropped = [], []
+    names, excluded = [], {}
     for name, q in qs.items():
         if q.oracle is None:
             continue
@@ -115,13 +121,15 @@ def scale_fixture_set(qs) -> list[str]:
         # would silently drop the query from the scale sweep).
         sql = re.sub(r"--[^\n]*", "", q.oracle)
         refs = {t for t in TABLES if re.search(rf"\b{t}\b", sql, re.I)}
-        if refs and refs <= GENERATED_TABLES:
+        if refs <= available:
             names.append(name)
-        elif refs - GENERATED_TABLES:
-            dropped.append(name)
-    print(f"# scale-fixture set: {len(names)} eligible, "
-          f"{len(dropped)} reference non-generated tables (skipped)")
-    return names
+        else:
+            missing = ", ".join(sorted(refs - available))
+            excluded[name] = (
+                f"oracle references table(s) absent from this fixture set: {missing}"
+            )
+    print(f"# scale-fixture set: {len(names)} eligible, {len(excluded)} excluded")
+    return names, excluded
 
 
 def main() -> None:
@@ -141,9 +149,15 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     qs = all_queries()
-    # on the generated scale fixtures (documents/embeddings/events only)
-    # restrict to the oracled queries over those tables
-    heavy = HEAVY if len(tables) == len(TABLES) else scale_fixture_set(qs)
+    # Full oracled registry, filtered to the tables this fixture set
+    # actually has (round 9 — previously the driver sf0.1 run used the
+    # hand-curated HEAVY list and the generated fixtures only the
+    # documents/embeddings/events subset). HEAVY remains available via
+    # SPARK_GRAFT_SWEEP_HEAVY=1 for a quick targeted pass.
+    if os.environ.get("SPARK_GRAFT_SWEEP_HEAVY") == "1":
+        heavy, excluded = HEAVY, {}
+    else:
+        heavy, excluded = scale_fixture_set(qs, set(tables))
     out: dict = {}
     t_start = time.time()
     for name in heavy:
@@ -168,6 +182,8 @@ def main() -> None:
         "elapsed_sec": round(time.time() - t_start, 1),
         "n_queries": len(out),
         "n_match": sum(1 for r in out.values() if r["hash_match"]),
+        "n_excluded": len(excluded),
+        "excluded": excluded,
         "results": out,
     }
     with open(os.path.join(REPO, out_name), "w") as f:

@@ -228,7 +228,15 @@ def generate(sf: float, out: str, *, seed: int = 42) -> None:
     n_events = int(EVENTS_PER_SF * sf)
     n_users = int(USERS_PER_SF * sf)
     pq.write_table(gen_events(n_events, n_users, rng), os.path.join(out, "events.parquet"))
-    print(f"wrote {out}: {n_docs} documents, {n_vecs} embeddings, {n_events} events (seed={seed})")
+    # TPC-H relations too (round-9: the sf0.5/sf1 correctness sweeps now
+    # cover the FULL oracled registry, so the relational queries need
+    # their tables at these scales). Independent rng stream so the three
+    # tables above stay byte-identical to the pre-round-9 fixtures.
+    gen_tpch(sf, out, np.random.default_rng(seed + 7_000_003))
+    print(
+        f"wrote {out}: {n_docs} documents, {n_vecs} embeddings, {n_events} events, "
+        f"tpch sf{sf:g} (seed={seed})"
+    )
 
 
 def main() -> None:
