@@ -54,3 +54,59 @@ def two_stage_agg(
         .agg(F.sum(value).alias("__partial"))
     )
     return partial.groupBy(key).agg(F.sum("__partial").alias(f"sum_{value}"))
+
+
+def dominant_key_share(
+    df: DataFrame,
+    key: str,
+    *,
+    sample_fraction: float | None = None,
+) -> float:
+    """Fraction of rows owned by the single hottest ``key`` value — the
+    scalar behind the sequence family's operating rule (BASELINE.md
+    "hot-user sequence-window bound"): lifetime windows by default,
+    day-bucketed twins once one key dominates.
+
+    One groupBy + a 2-value aggregate (max group size, total rows) — a
+    single shuffle pass, map-side combinable. At 100 TB pass
+    ``sample_fraction`` to probe a deterministic Bernoulli sample
+    instead (seed fixed: the probe is retry-stable); the share estimate
+    of a genuinely dominant key is robust under uniform sampling.
+    Returns 0.0 for an empty input."""
+    probe = df.select(key)
+    if sample_fraction is not None:
+        probe = probe.sample(fraction=sample_fraction, seed=8)
+    row = (
+        probe.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("m"), F.sum("c").alias("n"))
+        .first()
+    )
+    if row is None or not row["n"]:
+        return 0.0
+    return float(row["m"]) / float(row["n"])
+
+
+def choose_sequence_plan(
+    df: DataFrame,
+    key: str,
+    lifetime,
+    bucketed,
+    *,
+    threshold: float = 0.35,
+    sample_fraction: float | None = None,
+):
+    """Pick the lifetime-window or day-bucketed builder by measured key
+    skew — the executable form of the twins' operating rule. The
+    measured single-box crossover for the attribution/Markov/session
+    family is hot_frac ~0.35 (tools/hot_user_skew.py); below it the
+    lifetime window's single shuffle wins, above it the bucketed twin's
+    splittable partitions do (and the gap widens with cluster size,
+    because the straggler stays one task while everything else scales).
+
+    Both builders MUST be exact twins (the bucketed queries share the
+    lifetime oracles — hash-equality is the proof), so this choice can
+    never change results, only the plan. Returns (chosen_callable,
+    measured_share)."""
+    share = dominant_key_share(df, key, sample_fraction=sample_fraction)
+    return (bucketed if share >= threshold else lifetime), share

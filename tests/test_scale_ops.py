@@ -7,7 +7,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from data_pipeline_with_spark_kafka_spark.operators import clustering, similarity
-from data_pipeline_with_spark_kafka_spark.operators.skew import salted_join, two_stage_agg
+from data_pipeline_with_spark_kafka_spark.operators.skew import (
+    choose_sequence_plan,
+    dominant_key_share,
+    salted_join,
+    two_stage_agg,
+)
 from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
 
 
@@ -140,3 +145,49 @@ def test_max_block_cache_is_bounded(spark):
     finally:
         dedup._MAX_BLOCK_CACHE.clear()
         dedup._MAX_BLOCK_CACHE.update(saved)
+
+
+def test_dominant_key_share_measures_skew(spark):
+    # 90 rows of user 0 + 10 distinct others -> share 0.9; uniform -> 1/n.
+    hot = spark.createDataFrame(
+        [(0,)] * 90 + [(i,) for i in range(1, 11)], "user_id long"
+    )
+    assert abs(dominant_key_share(hot, "user_id") - 0.9) < 1e-9
+    uniform = spark.createDataFrame([(i,) for i in range(50)], "user_id long")
+    assert abs(dominant_key_share(uniform, "user_id") - 0.02) < 1e-9
+    empty = spark.createDataFrame([], "user_id long")
+    assert dominant_key_share(empty, "user_id") == 0.0
+    # deterministic under the fixed-seed sample probe
+    s1 = dominant_key_share(hot, "user_id", sample_fraction=0.5)
+    s2 = dominant_key_share(hot, "user_id", sample_fraction=0.5)
+    assert s1 == s2
+
+
+def test_choose_sequence_plan_picks_twin_by_measured_skew(spark, sf_dir):
+    """The operating rule, executable: the chooser routes to the bucketed
+    twin on hot-key data and the lifetime window otherwise — and because
+    the twins share an oracle, the chosen plan's RESULT is identical
+    either way (pinned here on the fixture)."""
+    from data_pipeline_with_spark_kafka_spark.queries.events_analytics import (
+        events_session_ids,
+        events_session_ids_bucketed,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    chosen, share = choose_sequence_plan(
+        events, "user_id", events_session_ids, events_session_ids_bucketed
+    )
+    assert chosen is events_session_ids and share < 0.35  # fixture is uniform
+
+    hot = events.withColumn(
+        "user_id", F.when(F.rand(seed=1) < 0.8, F.lit(0)).otherwise(F.col("user_id"))
+    )
+    chosen_hot, share_hot = choose_sequence_plan(
+        hot, "user_id", events_session_ids, events_session_ids_bucketed
+    )
+    assert chosen_hot is events_session_ids_bucketed and share_hot >= 0.35
+
+    # exactness of the twin pair on the same input (sorted-row equality)
+    a = sorted(map(tuple, events_session_ids(spark, sf_dir).collect()))
+    b = sorted(map(tuple, events_session_ids_bucketed(spark, sf_dir).collect()))
+    assert a == b

@@ -7,9 +7,9 @@ shape for sequence analytics in every engine. AQE can split skewed JOIN
 partitions but **cannot split a Window partition**, so one pathological
 bot user that owns 50–90% of all events becomes ONE sort task at 100 TB.
 This tool puts numbers on that straggler: events tables where the hot
-user owns {0%, 50%, 90%} of rows, each run through the three registered
-sequence queries plus the day-bucketed Markov mitigation
-(``events_markov_transitions_bucketed`` — exact: same oracle, but the
+user owns {0%, 50%, 90%} of rows, each run through the three lifetime
+sequence queries AND their three day-bucketed twins (attribution r8,
+Markov r8, sessionization r9 — each exact: same oracle, but the
 per-user window is split by calendar day so the worst partition is the
 hot user's busiest DAY, not their lifetime).
 
