@@ -82,12 +82,15 @@ EXCHANGE_BUDGET = {
     # (user,day) carry window + daily max agg + 7-way probe join +
     # per-purchase regroup + touch-type rollup — all day-splittable.
     "events_attribution_last_touch_bucketed": 6,
-    # hot-user-safe twin (round 9): two (user_id, day) local-window
-    # corpus shuffles (the day-edges branch re-derives the local flags;
-    # the inner join's pushed null-filter blocks exchange reuse) + the
-    # active-days-sized per-user window + the adjustment join + final
-    # session agg. More shuffles than the lifetime query's 1 by design —
-    # each is day-splittable; the lifetime user partition is not.
+    # hot-user-safe twin (round 9): the INITIAL plan shows two (user_id,
+    # day) local-window corpus exchanges (main branch + day-edges
+    # branch), but the null-safe adjustment join keeps both branches
+    # canonically identical (no asymmetric pushed null-filters), so
+    # AQE's stage cache REUSES the corpus exchange at runtime — the
+    # final plan scans and shuffles events ONCE (ReusedExchange,
+    # asserted in test_plans.py). Budget counts the pre-AQE plan: 2
+    # corpus + active-days window + adjustment join + final agg = 5,
+    # each day-splittable; the lifetime user partition is not.
     "events_session_ids_bucketed": 5,
     # pure per-row md5 filter — zero shuffles by construction.
     "llm_stratified_sample_md5": 0,

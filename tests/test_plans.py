@@ -289,3 +289,20 @@ def test_attribution_single_window_pass(spark, sf_dir):
     assert "Join" not in plan, plan
     # Both carried columns ride ONE window (no second sort/shuffle pass).
     assert plan.count("WindowExec") <= 1 or plan.count("Window ") <= 1, plan
+
+
+def test_session_twin_reuses_corpus_exchange_at_runtime(spark, sf_dir):
+    """The bucketed sessionization twin's initial plan carries TWO
+    (user_id, day) corpus exchanges (main branch + day-edges branch),
+    but the null-safe adjustment join keeps both branches canonically
+    identical — no asymmetric pushed null-filters — so AQE's stage
+    cache must REUSE the corpus exchange: the executed plan scans and
+    shuffles events once. This is the twin's real scale cost (one
+    corpus shuffle + two window passes), and a plan change that breaks
+    canonical equality (e.g. reverting to a plain inner join) silently
+    doubles the 100-TB scan."""
+    df = all_queries()["events_session_ids_bucketed"].builder(spark, sf_dir)
+    df.collect()  # materialize so the SAME QueryExecution carries the final AQE plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan[:500]
+    assert "ReusedExchange" in plan, plan
