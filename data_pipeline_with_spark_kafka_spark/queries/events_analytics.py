@@ -527,26 +527,42 @@ def events_markov_transitions_bucketed(spark: SparkSession, sf_dir: str) -> Data
     event of the user's previous ACTIVE day -> first event of this day via
     a lag() over the per-day relation (bounded by active days, not
     events). Measured crossover in BASELINE.md ("hot-user sequence-window
-    bound"); for nastier bots the bucket drops to hours — same algebra."""
+    bound"); for nastier bots the bucket drops to hours — same algebra.
+
+    Round 9: both branches (within-day pairs AND day edges) derive from
+    ONE windowed relation — the day's FIRST event is recovered as the
+    row whose within-day lag is NULL (a genuine window-output
+    dependency, so Catalyst cannot prune the Window from the day-edges
+    branch and re-scan), making the two sub-exchange plans canonically
+    identical: AQE's stage cache reuses the (user_id, d) corpus
+    exchange at runtime and events scans and shuffles ONCE
+    (ReusedExchange plan-asserted in test_plans.py); the day-edges
+    aggregate then rides the same partitioning with no extra exchange."""
     events = load_table(spark, sf_dir, "events")
     keyed = events.select(
-        "user_id", "event_type", "ts", "event_id", F.to_date("ts").alias("d")
+        "user_id",
+        F.col("event_type").alias("next_type"),
+        "ts",
+        "event_id",
+        F.to_date("ts").alias("d"),
     )
     w_local = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
-    local = keyed.select(
-        F.lag("event_type").over(w_local).alias("prev_type"),
-        F.col("event_type").alias("next_type"),
-    )
-    day_edges = keyed.groupBy("user_id", "d").agg(
-        F.min(F.struct("ts", "event_id", "event_type")).alias("first_ev"),
-        F.max(F.struct("ts", "event_id", "event_type")).alias("last_ev"),
+    local = keyed.withColumn("prev_type", F.lag("next_type").over(w_local))
+    pairs_local = local.select("prev_type", "next_type")
+    day_edges = local.groupBy("user_id", "d").agg(
+        F.max(F.struct("ts", "event_id", "next_type")).alias("last_ev"),
+        # exactly one row per (user, day) has a NULL within-day lag: the
+        # day-first event — its type, via the shared window output
+        F.max(F.when(F.col("prev_type").isNull(), F.col("next_type"))).alias(
+            "first_type"
+        ),
     )
     w_days = Window.partitionBy("user_id").orderBy("d")
     boundary = day_edges.select(
-        F.lag(F.col("last_ev.event_type")).over(w_days).alias("prev_type"),
-        F.col("first_ev.event_type").alias("next_type"),
+        F.lag(F.col("last_ev.next_type")).over(w_days).alias("prev_type"),
+        F.col("first_type").alias("next_type"),
     )
-    pairs = local.unionByName(boundary).filter(F.col("prev_type").isNotNull())
+    pairs = pairs_local.unionByName(boundary).filter(F.col("prev_type").isNotNull())
     trans = pairs.groupBy("prev_type", "next_type").agg(
         F.count(F.lit(1)).alias("n_transitions")
     )

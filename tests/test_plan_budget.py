@@ -74,13 +74,23 @@ EXCHANGE_BUDGET = {
     # lag window (user_id shuffle) + pair agg + the |types|^2-sized
     # normalization window's exchange.
     "events_markov_transitions": 3,
-    # hot-user-safe twin (round 8): (user_id, day) local window + the
-    # combinable day-edges agg pair + user_id days window + union pair
-    # agg + normalization window. More shuffles by design — each is
-    # splittable; the lifetime user partition is not.
-    "events_markov_transitions_bucketed": 10,
+    # hot-user-safe twin (round 8; round-9 rewrite): one (user_id, day)
+    # corpus exchange SHARED by both branches (the day-edges aggregate
+    # consumes the window output — day-first = NULL within-day lag — so
+    # AQE reuses the exchange at runtime; was 10 with a second corpus
+    # scan) + user_id days window + union pair agg + normalization
+    # window. Each exchange is day-splittable; the lifetime user
+    # partition is not.
+    "events_markov_transitions_bucketed": 5,
     # (user,day) carry window + daily max agg + 7-way probe join +
     # per-purchase regroup + touch-type rollup — all day-splittable.
+    # Unlike the Markov/session twins, the daily branch's second events
+    # READ is deliberate, not a reuse miss: it scans only 4 columns with
+    # the touch filter pushed to parquet (carried's exchange hauls
+    # `value` for the purchase rollup, which the daily aggregate never
+    # needs), and its shuffle is map-side partial-aggregated to
+    # |user x day| rows — cheaper at 100 TB than widening the shared
+    # exchange or re-joining value by event_id.
     "events_attribution_last_touch_bucketed": 6,
     # hot-user-safe twin (round 9): the INITIAL plan shows two (user_id,
     # day) local-window corpus exchanges (main branch + day-edges

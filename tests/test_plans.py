@@ -291,17 +291,22 @@ def test_attribution_single_window_pass(spark, sf_dir):
     assert plan.count("WindowExec") <= 1 or plan.count("Window ") <= 1, plan
 
 
-def test_session_twin_reuses_corpus_exchange_at_runtime(spark, sf_dir):
-    """The bucketed sessionization twin's initial plan carries TWO
-    (user_id, day) corpus exchanges (main branch + day-edges branch),
-    but the null-safe adjustment join keeps both branches canonically
-    identical — no asymmetric pushed null-filters — so AQE's stage
-    cache must REUSE the corpus exchange: the executed plan scans and
-    shuffles events once. This is the twin's real scale cost (one
-    corpus shuffle + two window passes), and a plan change that breaks
-    canonical equality (e.g. reverting to a plain inner join) silently
+@pytest.mark.parametrize(
+    "name", ["events_session_ids_bucketed", "events_markov_transitions_bucketed"]
+)
+def test_bucketed_twins_reuse_corpus_exchange_at_runtime(spark, sf_dir, name):
+    """Each bucketed twin's initial plan carries TWO (user_id, day)
+    corpus exchanges (main branch + day-edges branch), but both
+    branches are kept canonically identical — the session twin via the
+    null-safe adjustment join (no asymmetric pushed null-filters), the
+    Markov twin by making the day-edges aggregate consume the window
+    output (day-first event = NULL within-day lag, so Catalyst cannot
+    prune the Window and re-scan) — so AQE's stage cache must REUSE the
+    corpus exchange: the executed plan scans and shuffles events once.
+    That is the twins' real scale cost (one corpus shuffle + two window
+    passes); a plan change that breaks canonical equality silently
     doubles the 100-TB scan."""
-    df = all_queries()["events_session_ids_bucketed"].builder(spark, sf_dir)
+    df = all_queries()[name].builder(spark, sf_dir)
     df.collect()  # materialize so the SAME QueryExecution carries the final AQE plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan, plan[:500]
