@@ -148,6 +148,24 @@ def main() -> None:
                     {"metric": "stateful_stream_rows_per_sec", "value": 0.0, "error": str(exc)[:200]}
                 )
             )
+        # Remaining state operators (round-9 verdict #3): attribution's
+        # lookback-pruned touch state and the RFM maintainer WITH its
+        # durable parquet-ledger MERGE inside the trigger durations.
+        for mode_name, metric_name in (
+            ("measure_stateful_attribution", "attribution_stream_rows_per_sec"),
+            ("measure_stateful_rfm", "rfm_stream_rows_per_sec"),
+        ):
+            try:
+                import stream_bench
+
+                fn = getattr(stream_bench, mode_name)
+                m = fn(spark, rate=200_000, run_seconds=45)
+                metric_lines.append(json.dumps(m))
+                full_payload[metric_name] = m
+            except Exception as exc:  # noqa: BLE001
+                metric_lines.append(
+                    json.dumps({"metric": metric_name, "value": 0.0, "error": str(exc)[:200]})
+                )
     metric_lines.append(json.dumps(headline))
 
     # The per-query dict (~4k chars at 196 queries) cannot fit the

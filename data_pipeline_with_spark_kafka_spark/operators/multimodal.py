@@ -424,7 +424,13 @@ def attach_image_blob(
     doc_id-seeded gradient. mapInPandas because the encoder is
     bytes-producing Python — fixture generation, not the hot path (real
     corpora arrive with blobs already in the table)."""
-    encoder = {"image/bmp": encode_bmp, "image/png": encode_png}[media_type]
+    encoders = {"image/bmp": encode_bmp, "image/png": encode_png}
+    if media_type not in encoders:
+        raise NotImplementedError(
+            f"attach_image_blob supports fixture media types "
+            f"{sorted(encoders)}, got {media_type!r}"
+        )
+    encoder = encoders[media_type]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

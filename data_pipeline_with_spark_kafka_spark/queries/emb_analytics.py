@@ -191,18 +191,23 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # advice): a regenerated directory dataset in the same session would
     # otherwise reduce the key to the bare path and return stale
     # centroids. Plain file -> (size, mtime_ns); directory -> the sorted
-    # (name, size, mtime_ns) listing; anything else -> no memo.
+    # (relpath, size, mtime_ns) listing of EVERY file under it (round-9
+    # advice: partitioned datasets nest part files in subdirectories, so
+    # a top-level-only scandir could stamp to an empty tuple and miss a
+    # regeneration); anything else -> no memo.
     if os.path.isfile(path):
         st = os.stat(path)
         stamp = (st.st_size, st.st_mtime_ns)
     elif os.path.isdir(path):
-        stamp = tuple(
-            sorted(
-                (e.name, e.stat().st_size, e.stat().st_mtime_ns)
-                for e in os.scandir(path)
-                if e.is_file()
-            )
-        )
+        entries = []
+        for root, _dirs, files in os.walk(path):
+            for name in files:
+                fp = os.path.join(root, name)
+                st = os.stat(fp)
+                entries.append(
+                    (os.path.relpath(fp, path), st.st_size, st.st_mtime_ns)
+                )
+        stamp = tuple(sorted(entries))
     else:
         stamp = None
     key = (os.path.abspath(sf_dir), stamp, 8, 5, 42)

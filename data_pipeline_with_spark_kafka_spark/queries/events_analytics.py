@@ -530,14 +530,23 @@ def events_markov_transitions_bucketed(spark: SparkSession, sf_dir: str) -> Data
     bound"); for nastier bots the bucket drops to hours — same algebra.
 
     Round 9: both branches (within-day pairs AND day edges) derive from
-    ONE windowed relation — the day's FIRST event is recovered as the
-    row whose within-day lag is NULL (a genuine window-output
-    dependency, so Catalyst cannot prune the Window from the day-edges
-    branch and re-scan), making the two sub-exchange plans canonically
-    identical: AQE's stage cache reuses the (user_id, d) corpus
-    exchange at runtime and events scans and shuffles ONCE
-    (ReusedExchange plan-asserted in test_plans.py); the day-edges
-    aggregate then rides the same partitioning with no extra exchange."""
+    ONE windowed relation (a genuine window-output dependency, so
+    Catalyst cannot prune the Window from the day-edges branch and
+    re-scan), making the two sub-exchange plans canonically identical:
+    AQE's stage cache reuses the (user_id, d) corpus exchange at
+    runtime and events scans and shuffles ONCE (ReusedExchange
+    plan-asserted in test_plans.py); the day-edges aggregate then rides
+    the same partitioning with no extra exchange.
+
+    Round 10 (advice fix): the day-first event is identified
+    POSITIONALLY (row_number() == 1 over the same window spec — it
+    collapses into the same Window operator as the lag, keeping the
+    single-scan property) rather than by ``prev_type IS NULL``:
+    lag(next_type) is also NULL for any row FOLLOWING a NULL-typed
+    event, so on corpora with NULL event_type + non-null ts the old
+    predicate could elect a mid-day event's type as first_type and
+    diverge from the lifetime twin. Edge corpus ``null_type`` in
+    tools/edge_corpus.py now exercises exactly that shape."""
     events = load_table(spark, sf_dir, "events")
     keyed = events.select(
         "user_id",
@@ -547,15 +556,16 @@ def events_markov_transitions_bucketed(spark: SparkSession, sf_dir: str) -> Data
         F.to_date("ts").alias("d"),
     )
     w_local = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
-    local = keyed.withColumn("prev_type", F.lag("next_type").over(w_local))
+    local = keyed.withColumn("prev_type", F.lag("next_type").over(w_local)).withColumn(
+        "rn", F.row_number().over(w_local)
+    )
     pairs_local = local.select("prev_type", "next_type")
     day_edges = local.groupBy("user_id", "d").agg(
         F.max(F.struct("ts", "event_id", "next_type")).alias("last_ev"),
-        # exactly one row per (user, day) has a NULL within-day lag: the
-        # day-first event — its type, via the shared window output
-        F.max(F.when(F.col("prev_type").isNull(), F.col("next_type"))).alias(
-            "first_type"
-        ),
+        # exactly one row per (user, day) has rn == 1: the day-first
+        # event — its type (possibly NULL, preserved as NULL so the
+        # boundary pair matches the lifetime twin's (prev, NULL) group)
+        F.max(F.when(F.col("rn") == 1, F.col("next_type"))).alias("first_type"),
     )
     w_days = Window.partitionBy("user_id").orderBy("d")
     boundary = day_edges.select(
@@ -653,46 +663,19 @@ def events_attribution_last_touch_bucketed(spark: SparkSession, sf_dir: str) -> 
     )
 
 
-@register(
-    "events_session_ids_bucketed",
-    oracle=SESSION_IDS_ORACLE,
-    tags=("events", "window", "skew"),
-)
-def events_session_ids_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hot-user-safe sessionization (round 9): EXACTLY the same result as
-    ``events_session_ids`` (same oracle — the hash match is the exactness
-    proof), but the per-user gap/running-sum windows are split by calendar
-    day, closing the last lifetime-window straggler in the sequence family
-    (measured 1.3 -> 10.1 s at hot_frac 0.9 in BASELINE.md; AQE can split
-    skewed joins, never Window partitions).
-
-    Sessionization admits the split because the gap flag only needs the
-    ADJACENT previous event, and session_seq is a prefix sum of flags —
-    both decompose at day boundaries:
-
-    - WITHIN a (user, day) partition, lag() + running sum give each row a
-      local flag (day-first event provisionally flagged 1) and a local
-      prefix sum;
-    - the day-first event's TRUE flag needs only the previous ACTIVE
-      day's last event: a per-(user, day) (first_ev, last_ev, flag_sum)
-      aggregate — combinable, bounded by active days, riding the SAME
-      (user_id, d) partitioning as the local window — plus one lag() over
-      that per-day relation yields a correction corr in {0, -1} (-1 when
-      the boundary gap is <= 30 min, merging the day's first session into
-      the previous day's last);
-    - session_seq = local_run + corr(day) + sum over PRIOR days of
-      (flag_sum + corr) — the per-day exclusive prefix sum of corrected
-      day totals. corr applies to every row of the day because the
-      day-first flag participates in every local prefix.
-
-    Scale shape: the corpus shuffles once on (user_id, d) — the straggler
-    cap is the hot user's busiest day — then the per-day relation (active
-    days, not events) pays the only per-user window, and the
-    adjustment joins back on (user_id, d), reusing the partitioning. For
-    nastier single-day bots the bucket drops to hours; same algebra."""
+def _session_ids_bucketed(spark: SparkSession, sf_dir: str, bucket: str) -> DataFrame:
+    """Shared body of the bucketed sessionization twins: the boundary-
+    correction algebra documented on ``events_session_ids_bucketed`` is
+    bucket-size-agnostic (only the ADJACENT previous event and a prefix
+    sum of per-bucket totals are needed), so ``bucket`` picks the split
+    granularity — "day" (default twin) or "hour" (round 10: the fallback
+    for a single-day bot whose busiest DAY is itself the straggler; an
+    hour bucket caps the worst sort partition at the bot's busiest hour,
+    same algebra, same oracle)."""
     events = load_table(spark, sf_dir, "events")
+    bucket_col = F.to_date("ts") if bucket == "day" else F.date_trunc(bucket, F.col("ts"))
     keyed = events.select(
-        "user_id", "ts", "event_id", F.to_date("ts").alias("d")
+        "user_id", "ts", "event_id", bucket_col.alias("d")
     )
     w_local = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
     run_local = w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -750,6 +733,99 @@ def events_session_ids_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@register(
+    "events_session_ids_bucketed",
+    oracle=SESSION_IDS_ORACLE,
+    tags=("events", "window", "skew"),
+)
+def events_session_ids_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-user-safe sessionization (round 9): EXACTLY the same result as
+    ``events_session_ids`` (same oracle — the hash match is the exactness
+    proof), but the per-user gap/running-sum windows are split by calendar
+    day, closing the last lifetime-window straggler in the sequence family
+    (measured 1.3 -> 10.1 s at hot_frac 0.9 in BASELINE.md; AQE can split
+    skewed joins, never Window partitions).
+
+    Sessionization admits the split because the gap flag only needs the
+    ADJACENT previous event, and session_seq is a prefix sum of flags —
+    both decompose at day boundaries:
+
+    - WITHIN a (user, day) partition, lag() + running sum give each row a
+      local flag (day-first event provisionally flagged 1) and a local
+      prefix sum;
+    - the day-first event's TRUE flag needs only the previous ACTIVE
+      day's last event: a per-(user, day) (first_ev, last_ev, flag_sum)
+      aggregate — combinable, bounded by active days, riding the SAME
+      (user_id, d) partitioning as the local window — plus one lag() over
+      that per-day relation yields a correction corr in {0, -1} (-1 when
+      the boundary gap is <= 30 min, merging the day's first session into
+      the previous day's last);
+    - session_seq = local_run + corr(day) + sum over PRIOR days of
+      (flag_sum + corr) — the per-day exclusive prefix sum of corrected
+      day totals. corr applies to every row of the day because the
+      day-first flag participates in every local prefix.
+
+    Scale shape: the corpus shuffles once on (user_id, d) — the straggler
+    cap is the hot user's busiest day — then the per-day relation (active
+    days, not events) pays the only per-user window, and the
+    adjustment joins back on (user_id, d), reusing the partitioning. For
+    nastier single-day bots the bucket drops to hours
+    (``events_session_ids_bucketed_hourly``); same algebra
+    (``_session_ids_bucketed``)."""
+    return _session_ids_bucketed(spark, sf_dir, "day")
+
+
+@register(
+    "events_session_ids_bucketed_hourly",
+    oracle=SESSION_IDS_ORACLE,
+    tags=("events", "window", "skew"),
+)
+def events_session_ids_bucketed_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-bucketed sessionization twin (round 10, verdict task #6):
+    EXACTLY the same result as ``events_session_ids`` (same oracle), with
+    the split window partitioned by (user_id, hour) instead of day — the
+    fallback for the one skew shape the day twin cannot split, a bot
+    whose 90%-of-corpus activity lands in a SINGLE day (the day twin's
+    worst sort partition is then that whole day). The boundary-correction
+    algebra is bucket-size-agnostic — see ``_session_ids_bucketed`` —
+    and a 30-minute gap can still occur inside a 60-minute bucket, so
+    nothing else changes. Measured flat on the one-day 90%-hot corpus in
+    BASELINE.md (tools/hot_user_skew.py --single-day)."""
+    return _session_ids_bucketed(spark, sf_dir, "hour")
+
+
+@register(
+    "events_session_ids_auto",
+    oracle=SESSION_IDS_ORACLE,
+    tags=("events", "window", "skew"),
+)
+def events_session_ids_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-ROUTED sessionization (round 10, verdict task #2): the
+    executable operating rule itself as a registry query. A sampled
+    dominant-key probe (``operators/skew.dominant_key_share``, 10%
+    deterministic Bernoulli, one map-side-combined aggregate over the
+    sampled key column only) measures the hottest user's share, and
+    ``operators/skew.choose_sequence_plan`` routes to the lifetime
+    window below the measured hot_frac ~0.35 crossover or the
+    day-bucketed twin above it. Both builders share THIS query's oracle,
+    so the routing can never change results — the official hash-green
+    row certifies the router end-to-end, probe included (on organic
+    driver data the probe measures a cold share and takes the lifetime
+    branch; tests/test_skew.py pins the bucketed branch on a hot corpus
+    and the exact twin equality either way)."""
+    from data_pipeline_with_spark_kafka_spark.operators.skew import choose_sequence_plan
+
+    events = load_table(spark, sf_dir, "events")
+    chosen, _share = choose_sequence_plan(
+        events,
+        "user_id",
+        events_session_ids,
+        events_session_ids_bucketed,
+        sample_fraction=0.1,
+    )
+    return chosen(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------

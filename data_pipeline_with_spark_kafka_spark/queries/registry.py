@@ -183,6 +183,41 @@ _COVERED_IN_OFFICIAL_ARTIFACTS = frozenset({
     "llm_dedup_simhash", "llm_retrieval_ndcg_mrr",
     "llm_sim_topk_lsh", "llm_stratified_quota_sample",
     "llm_text_normalize_nfc", "media_ingest_audit", "stats_cohen_kappa",
+    # round 9 (green rows in CORRECTNESS_r09.json — the 3 names that were
+    # not yet in this set; the other 47 sampled names were backlog):
+    "events_session_ids_bucketed", "llm_dedup_embedding_cosine_fast",
+    "llm_sim_topk_ivf",
+})
+
+# The full 50-name sample of the MOST RECENT official artifact
+# (CORRECTNESS_r09.json). Within the already-covered backlog these are
+# the most recently re-audited names, so they sort LAST: the next
+# round's 50-query sample spends its budget on new queries plus the
+# least-recently-audited backlog instead of re-auditing the same prefix
+# (round-9 verdict task #4). Refresh this set each round from the new
+# artifact.
+_SAMPLED_IN_LATEST_ARTIFACT = frozenset({
+    "dq_orders_constraints", "drift_psi_labels", "emb_kmeans_train",
+    "emb_label_centroid_norms", "emb_pca_explained_variance",
+    "emb_pca_project", "events_anomaly_dow",
+    "events_attribution_last_touch",
+    "events_attribution_last_touch_bucketed", "events_daily_active_users",
+    "events_funnel_conversion", "events_funnel_ordered_steps",
+    "events_markov_transitions", "events_markov_transitions_bucketed",
+    "events_max_concurrency", "events_retention_cohorts",
+    "events_rolling_7d_active_users", "events_session_ids",
+    "events_session_ids_bucketed", "events_time_to_convert",
+    "events_zscore_outliers", "flagship_events_windowed_enrichment",
+    "func_array_family", "func_cast_family", "func_conditional_family",
+    "func_date_family", "func_explode_tokens", "func_json_family",
+    "func_math_family", "func_string_family", "func_struct_map_family",
+    "graph_triangle_count", "ivm_join_maintenance",
+    "ivm_rollup_maintenance", "llm_dedup_clusters", "llm_dedup_containment",
+    "llm_dedup_embedding_cosine", "llm_dedup_embedding_cosine_fast",
+    "llm_dedup_exact", "llm_dedup_minhash_lsh", "llm_dedup_minhash_lsh_md5",
+    "llm_dedup_ngram_jaccard", "llm_dedup_simhash", "llm_dedup_simhash_md5",
+    "llm_sim_topk_ivf", "llm_text_langid", "llm_text_quality",
+    "llm_text_stats", "privacy_erasure_cascade", "privacy_k_anonymity",
 })
 
 
@@ -193,7 +228,10 @@ def all_queries() -> dict[str, Query]:
     # Sample-order contract (the round driver takes the first 50):
     #   1. never-officially-covered ORACLED queries (every new query lands
     #      here, so the newest/riskiest code is audited first);
-    #   2. already-covered oracled queries (stable rotation backlog);
+    #   2. already-covered oracled queries (stable rotation backlog),
+    #      except those re-audited in the MOST RECENT artifact, which
+    #      rotate to the back of the backlog (least-recently-audited
+    #      first — round-9 verdict task #4);
     #   3. intrinsically rows-only queries (oracle is None) LAST — a driver
     #      slot spent on one can only ever report ``err: "no_oracle"`` on a
     #      healthy query (their correctness is pinned pair-for-pair against
@@ -201,8 +239,10 @@ def all_queries() -> dict[str, Query]:
     # Stable registration order within each group.
     def rank(n: str) -> int:
         if _REGISTRY[n].oracle is None:
-            return 2
-        return 1 if n in _COVERED_IN_OFFICIAL_ARTIFACTS else 0
+            return 3
+        if n not in _COVERED_IN_OFFICIAL_ARTIFACTS:
+            return 0
+        return 2 if n in _SAMPLED_IN_LATEST_ARTIFACT else 1
 
     names = sorted(_REGISTRY, key=rank)
     return {n: _REGISTRY[n] for n in names}

@@ -102,6 +102,15 @@ EXCHANGE_BUDGET = {
     # corpus + active-days window + adjustment join + final agg = 5,
     # each day-splittable; the lifetime user partition is not.
     "events_session_ids_bucketed": 5,
+    # hour-bucketed fallback twin (round 10): identical shape with d =
+    # date_trunc('hour', ts) — same 5 bucket-splittable exchanges.
+    "events_session_ids_bucketed_hourly": 5,
+    # skew-routed twin (round 10): the probe aggregate runs eagerly
+    # inside the builder (a bounded .first() on a 2-value aggregate over
+    # the sampled key column); the RETURNED plan is whichever twin the
+    # measured share picks — on organic driver data the uniform corpus
+    # routes to the lifetime window (1 exchange).
+    "events_session_ids_auto": 1,
     # pure per-row md5 filter — zero shuffles by construction.
     "llm_stratified_sample_md5": 0,
     # daily agg (the only corpus shuffle) + dow-stats agg pair + the

@@ -191,3 +191,68 @@ def test_choose_sequence_plan_picks_twin_by_measured_skew(spark, sf_dir):
     a = sorted(map(tuple, events_session_ids(spark, sf_dir).collect()))
     b = sorted(map(tuple, events_session_ids_bucketed(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_hourly_session_twin_exactness(spark, sf_dir):
+    """The hour-bucketed fallback twin (round 10) is exact against both
+    the lifetime window and the day twin on organic data — the boundary
+    algebra is bucket-size-agnostic. A crafted single-day micro-corpus
+    with gaps straddling hour boundaries (25-min gap across an hour
+    edge -> merge; exactly-30-min -> merge, >30 -> split) pins the
+    hour-boundary correction specifically."""
+    from data_pipeline_with_spark_kafka_spark.queries.events_analytics import (
+        events_session_ids,
+        events_session_ids_bucketed_hourly,
+    )
+
+    a = sorted(map(tuple, events_session_ids(spark, sf_dir).collect()))
+    b = sorted(
+        map(tuple, events_session_ids_bucketed_hourly(spark, sf_dir).collect())
+    )
+    assert a == b
+
+    import datetime as dt
+    import os
+    import tempfile
+
+    rows = [
+        # u1: 25-min gap across 10:00 -> one session (corr = -1)
+        (1, 1, dt.datetime(2024, 3, 1, 9, 50)),
+        (2, 1, dt.datetime(2024, 3, 1, 10, 15)),
+        # u2: exactly 30-min gap across 11:00 -> one session (not > 30m)
+        (3, 2, dt.datetime(2024, 3, 1, 10, 45)),
+        (4, 2, dt.datetime(2024, 3, 1, 11, 15)),
+        # u3: 40-min gap across 12:00 -> two sessions (corr = 0)
+        (5, 3, dt.datetime(2024, 3, 1, 11, 50)),
+        (6, 3, dt.datetime(2024, 3, 1, 12, 30)),
+        # u4: 31-min gap WITHIN one hour bucket -> two sessions locally
+        (7, 4, dt.datetime(2024, 3, 1, 13, 1)),
+        (8, 4, dt.datetime(2024, 3, 1, 13, 32)),
+        # u4 continues: 26 min later (same session, same hour), then
+        # 22 min across 14:00 -> merges into the second session; the
+        # per-hour offset must count the intra-hour session start (the
+        # u11-analogue of the day_boundary corpus)
+        (9, 4, dt.datetime(2024, 3, 1, 13, 58)),
+        (12, 4, dt.datetime(2024, 3, 1, 14, 20)),
+        # u5: same-ts tie exactly at an hour boundary
+        (10, 5, dt.datetime(2024, 3, 1, 15, 0)),
+        (11, 5, dt.datetime(2024, 3, 1, 15, 0)),
+    ]
+    with tempfile.TemporaryDirectory() as root:
+        df = spark.createDataFrame(
+            [(e, u, t, "view", 1.0, None) for e, u, t in rows],
+            "event_id long, user_id long, ts timestamp, event_type string, "
+            "value double, props string",
+        )
+        df.write.parquet(os.path.join(root, "events.parquet"))
+        a = sorted(map(tuple, events_session_ids(spark, root).collect()))
+        b = sorted(
+            map(tuple, events_session_ids_bucketed_hourly(spark, root).collect())
+        )
+        assert a == b
+        # and the crafted shape really exercises merges/splits: u1,u2
+        # one session; u3 two; u4 two (second spans the 14:00 boundary)
+        n_sessions = {}
+        for user_id, _seq, _n, _s, _e in a:
+            n_sessions[user_id] = n_sessions.get(user_id, 0) + 1
+        assert n_sessions == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}

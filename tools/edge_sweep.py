@@ -23,6 +23,14 @@ driver's sf0.001 tables so schemas can never drift:
                  probe completeness at day 8, midnight session
                  merge/split, exact 30-min gap, same-ts midnight ties) —
                  round 9; other tables stay organic.
+- ``null_type``  events with NULL event_type but NON-NULL ts (all_null
+                 nulls ts too, so no prior corpus exercised this shape):
+                 first 120 organic rows with every 3rd event_type nulled,
+                 plus crafted multi-day users where a NULL-typed event
+                 precedes typed events (the lag-based day-first election
+                 the round-9 advice flagged in the bucketed Markov twin)
+                 and where the day-FIRST event itself is NULL-typed —
+                 round 10; other tables stay organic.
 
 Per corpus, every oracled query runs on Spark AND DuckDB with the
 driver-strict comparator. A query that RAISES on an edge corpus while its
@@ -61,7 +69,10 @@ KEY_COLS = {
     "s_suppkey", "s_nationkey", "p_partkey", "o_orderkey", "o_custkey",
     "l_orderkey", "l_partkey", "l_suppkey", "event_id", "doc_id", "vec_id",
 }
-EDGES = ("empty", "single_row", "one_group", "all_null", "unicode", "day_boundary")
+EDGES = (
+    "empty", "single_row", "one_group", "all_null", "unicode",
+    "day_boundary", "null_type",
+)
 
 # Documented (corpus, query) divergences that are INPUT-CONTRACT
 # violations, not engine bugs — each with the contract it violates. The
@@ -163,6 +174,33 @@ _DAY_BOUNDARY_EVENTS = [
 ]
 
 
+# Crafted rows appended to the `null_type` corpus (round 10): pin the
+# bucketed Markov twin's day-first election against NULL event_type rows
+# with non-null ts. Users are disjoint from organic sf0.001 ids.
+# (ts string, user_id, event_type-or-None, value).
+_NULL_TYPE_EVENTS = [
+    # uA: day-2 sequence click -> NULL -> view. lag(next_type) is NULL
+    # both at the day-first row AND after the NULL-typed row, so a
+    # prev_type-IS-NULL election takes max('click','view') = 'view' and
+    # emits the boundary pair ('view','view') instead of the correct
+    # ('view','click'). The positional row_number()==1 election is
+    # immune.
+    ("2024-02-01 10:00:00", 9000001, "view", 1.0),
+    ("2024-02-02 09:00:00", 9000001, "click", 1.0),
+    ("2024-02-02 09:10:00", 9000001, None, 1.0),
+    ("2024-02-02 09:20:00", 9000001, "view", 1.0),
+    # uB: the day-FIRST event itself is NULL-typed: the true boundary
+    # pair is ('view', NULL) — a lag-based election would elect 'click'.
+    ("2024-02-01 10:00:00", 9000002, "view", 1.0),
+    ("2024-02-02 09:00:00", 9000002, None, 1.0),
+    ("2024-02-02 09:10:00", 9000002, "click", 1.0),
+    # uC: the day-LAST event is NULL-typed: boundary pair (NULL, 'view')
+    # must be DROPPED on both paths (lifetime lag drops NULL prev too).
+    ("2024-02-03 10:00:00", 9000003, None, 1.0),
+    ("2024-02-04 10:00:00", 9000003, "view", 1.0),
+]
+
+
 # Deterministic multibyte decorations for the `unicode` corpus: latin
 # diacritics (precomposed AND combining-mark NFD), 3-byte CJK, 4-byte
 # supplementary-plane emoji, RTL Arabic, Greek — cycled per row so every
@@ -215,6 +253,55 @@ def build_corpus(kind: str, out: str) -> None:
                             [None] * len(_DAY_BOUNDARY_EVENTS), type=pa.string()
                         ),
                     }
+                )
+            else:
+                tab = src
+        elif kind == "null_type":
+            if t == "events":
+                import numpy as np
+
+                tab = src.slice(0, min(120, src.num_rows))
+                ts_type = src.schema.field("ts").type
+                et = [
+                    None if i % 3 == 0 else v
+                    for i, v in enumerate(tab.column("event_type").to_pylist())
+                ]
+                organic = pa.table(
+                    {
+                        f.name: (
+                            pa.array(et, type=f.type)
+                            if f.name == "event_type"
+                            else tab.column(f.name)
+                        )
+                        for f in tab.schema
+                    }
+                )
+                crafted = pa.table(
+                    {
+                        "event_id": pa.array(
+                            [10_000_000 + i for i in range(len(_NULL_TYPE_EVENTS))],
+                            type=pa.int64(),
+                        ),
+                        "ts": pa.array(
+                            [np.datetime64(ts, "us") for ts, *_ in _NULL_TYPE_EVENTS],
+                            type=ts_type,
+                        ),
+                        "user_id": pa.array(
+                            [u for _, u, *_ in _NULL_TYPE_EVENTS], type=pa.int64()
+                        ),
+                        "event_type": pa.array(
+                            [e for _, _, e, _ in _NULL_TYPE_EVENTS], type=pa.string()
+                        ),
+                        "value": pa.array(
+                            [v for *_, v in _NULL_TYPE_EVENTS], type=pa.float64()
+                        ),
+                        "props": pa.array(
+                            [None] * len(_NULL_TYPE_EVENTS), type=pa.string()
+                        ),
+                    }
+                ).select([f.name for f in organic.schema])
+                tab = pa.concat_tables(
+                    [organic.cast(crafted.schema), crafted]
                 )
             else:
                 tab = src

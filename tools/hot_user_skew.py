@@ -15,6 +15,12 @@ hot user's busiest DAY, not their lifetime).
 
     python tools/hot_user_skew.py [n_rows ...]              # default 5_000_000
     python tools/hot_user_skew.py --hot 0.9 [n_rows ...]    # one hot level
+    python tools/hot_user_skew.py --single-day [n_rows ...] # round 10: the
+        one skew shape the DAY twins cannot split — a bot whose 90% of
+        the corpus lands in a SINGLE day, so the day twin's worst sort
+        partition is that whole day. Runs the three sessionization
+        variants (lifetime / day / hour buckets); the hour twin's worst
+        partition is the bot's busiest hour (~1/24th of its rows).
 
 Each (dataset, query) pair is run twice and the MIN reported — the first
 execution in a session carries codegen/JIT warmup that mis-attributes tens
@@ -52,21 +58,38 @@ QUERY_NAMES = (
 )
 
 
-def gen_events(root: str, n: int, hot_frac: float, n_users: int = 50_000) -> str:
+def gen_events(
+    root: str,
+    n: int,
+    hot_frac: float,
+    n_users: int = 50_000,
+    *,
+    single_day: bool = False,
+) -> str:
     """Events table where user 0 owns ``hot_frac`` of all rows; the rest
-    are uniform over ``n_users`` (same schema/span as the driver tables)."""
-    out = os.path.join(root, f"hot{int(hot_frac * 100):02d}")
+    are uniform over ``n_users`` (same schema/span as the driver tables).
+    With ``single_day`` the hot user's rows all land inside ONE calendar
+    day (the rest keep the 30-day span) — the day-bucket-defeating bot."""
+    out = os.path.join(root, f"hot{int(hot_frac * 100):02d}{'sd' if single_day else ''}")
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(8)
     base = np.datetime64("2024-01-01T00:00:00", "us")
     span_us = 30 * 24 * 3600 * 1_000_000
     users = rng.integers(1, n_users, size=n)
     users[rng.random(n) < hot_frac] = 0
+    offsets = rng.integers(0, span_us, size=n)
+    if single_day:
+        day_us = 24 * 3600 * 1_000_000
+        hot_mask = users == 0
+        # day 15, uniform over its 24 hours
+        offsets[hot_mask] = 14 * day_us + rng.integers(
+            0, day_us, size=int(hot_mask.sum())
+        )
     table = pa.table(
         {
             "event_id": pa.array(np.arange(n, dtype=np.int64)),
             "ts": pa.array(
-                base + rng.integers(0, span_us, size=n).astype("timedelta64[us]"),
+                base + offsets.astype("timedelta64[us]"),
                 type=pa.timestamp("us"),
             ),
             "user_id": pa.array(users, type=pa.int64()),
@@ -96,6 +119,17 @@ def run_one(spark, name: str, sf_dir: str) -> float:
 def main() -> None:
     argv = sys.argv[1:]
     hots = (0.0, 0.5, 0.9)
+    single_day = False
+    query_names = QUERY_NAMES
+    if argv and argv[0] == "--single-day":
+        single_day = True
+        hots = (0.9,)
+        query_names = (
+            "events_session_ids",
+            "events_session_ids_bucketed",
+            "events_session_ids_bucketed_hourly",
+        )
+        argv = argv[1:]
     if argv and argv[0] == "--hot":
         hots = (float(argv[1]),)
         argv = argv[2:]
@@ -107,9 +141,9 @@ def main() -> None:
     try:
         for n in sizes:
             for hot in hots:
-                sf_dir = gen_events(root, n, hot)
-                row: dict = {"rows": n, "hot_frac": hot}
-                for q in QUERY_NAMES:
+                sf_dir = gen_events(root, n, hot, single_day=single_day)
+                row: dict = {"rows": n, "hot_frac": hot, "single_day": single_day}
+                for q in query_names:
                     row[q] = run_one(spark, q, sf_dir)
                 results.append(row)
                 print(json.dumps(row), flush=True)

@@ -95,6 +95,25 @@ def measure(spark, rate: int = 200_000, run_seconds: int = 90) -> dict:
     }
 
 
+def _batch_metrics(data_batches: dict[str, dict]) -> tuple[float, int, dict]:
+    """(rows_per_sec, total_rows, state profile) from progress records —
+    rows/s over the data batches' own trigger durations (the stateless
+    metric's canon), state from the last data batch's first operator."""
+    total_in = sum(p["numInputRows"] for p in data_batches.values())
+    total_ms = sum(p["durationMs"]["triggerExecution"] for p in data_batches.values())
+    rows_per_sec = round(total_in / (total_ms / 1000.0), 1) if total_ms else 0.0
+    state: dict = {}
+    if data_batches:
+        last = data_batches[max(data_batches)]
+        ops = last.get("stateOperators") or []
+        if ops:
+            state = {
+                "state_rows": int(ops[0].get("numRowsTotal", 0)),
+                "state_memory_bytes": int(ops[0].get("memoryUsedBytes", 0)),
+            }
+    return rows_per_sec, int(total_in), state
+
+
 def _drain(query, run_seconds: int, min_batches: int = 5) -> dict[str, dict]:
     """Collect progress records for batches that carried data until the
     deadline (or ``min_batches`` data batches, whichever first)."""
@@ -178,9 +197,125 @@ def measure_stateful(spark, rate: int = 200_000, run_seconds: int = 90) -> dict:
     }
 
 
+def measure_stateful_attribution(spark, rate: int = 200_000, run_seconds: int = 90) -> dict:
+    """Throughput + state profile of the streaming last-touch attribution
+    operator (round-9 verdict task #3 — the stateful bench previously
+    covered trending only). Rate-source events over a 10k-user domain,
+    ~10% purchases, flow through
+    ``streaming.attribution_stream.attribute_purchases_stream`` with a
+    60-second lookback / 20-second watermark into a memory sink. State
+    per user is the pruned touch deque bounded by the lookback horizon,
+    so steady-state rows ~ |active users| regardless of run length."""
+    from data_pipeline_with_spark_kafka_spark.streaming.attribution_stream import (
+        attribute_purchases_stream,
+    )
+
+    events = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rate)
+        .load()
+        .select(
+            F.col("value").alias("event_id"),
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 10_000).alias("user_id"),
+            F.when(F.col("value") % 10 < 5, F.lit("view"))
+            .when(F.col("value") % 10 < 9, F.lit("click"))
+            .otherwise(F.lit("purchase"))
+            .alias("event_type"),
+            (F.col("value") % 1000).cast("double").alias("value"),
+        )
+    )
+    verdicts = attribute_purchases_stream(
+        events, time_col="ts", lookback="60 seconds", watermark="20 seconds"
+    )
+    query = (
+        verdicts.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("attr_stream_bench_out")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="asb-ckpt-"))
+        .start()
+    )
+    data_batches = _drain(query, run_seconds)
+    rows_per_sec, total_rows, state = _batch_metrics(data_batches)
+    return {
+        "metric": "attribution_stream_rows_per_sec",
+        "value": rows_per_sec,
+        "unit": "rows/sec",
+        "operator": "attribute_purchases_stream (applyInPandasWithState, "
+                    "lookback-pruned touch state)",
+        "offered_rate": rate,
+        "run_seconds": run_seconds,
+        "n_batches": len(data_batches),
+        "total_rows": total_rows,
+        **state,
+    }
+
+
+def measure_stateful_rfm(spark, rate: int = 200_000, run_seconds: int = 90) -> dict:
+    """Throughput + state profile of the streaming RFM maintainer WITH the
+    durable parquet-ledger fold (round-9 verdict task #3: the per-batch
+    MERGE cost was unmeasured). Rate-source orders over a 50k-customer
+    domain flow through ``streaming.rfm_stream.rfm_base_stream`` into
+    ``streaming.sinks.keyed_upsert_parquet`` — so every trigger duration
+    INCLUDES the ledger merge (anti-join + rewrite of the accumulating
+    per-customer table), the deployment-shaped cost. State rows converge
+    to |customers| (lifetime aggregates, no eviction horizon); the
+    artifact also reports the final ledger row count."""
+    from data_pipeline_with_spark_kafka_spark.streaming.rfm_stream import rfm_base_stream
+    from data_pipeline_with_spark_kafka_spark.streaming.sinks import keyed_upsert_parquet
+
+    orders = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rate)
+        .load()
+        .select(
+            F.col("value").alias("o_orderkey"),
+            F.col("timestamp").alias("o_orderdate"),
+            (F.col("value") % 50_000).alias("o_custkey"),
+            ((F.col("value") % 100_000).cast("double") / 100.0).alias("o_totalprice"),
+        )
+    )
+    ledger_dir = os.path.join(tempfile.mkdtemp(prefix="rfm-ledger-"), "ledger")
+    query = (
+        rfm_base_stream(orders)
+        .writeStream.outputMode("update")
+        .foreachBatch(keyed_upsert_parquet(ledger_dir, ["o_custkey"]))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="rfmb-ckpt-"))
+        .start()
+    )
+    data_batches = _drain(query, run_seconds)
+    rows_per_sec, total_rows, state = _batch_metrics(data_batches)
+    ledger_rows = 0
+    if os.path.isdir(ledger_dir):
+        ledger_rows = spark.read.parquet(ledger_dir).count()
+    return {
+        "metric": "rfm_stream_rows_per_sec",
+        "value": rows_per_sec,
+        "unit": "rows/sec",
+        "operator": "rfm_base_stream + keyed_upsert_parquet ledger "
+                    "(trigger durations include the per-batch MERGE)",
+        "offered_rate": rate,
+        "run_seconds": run_seconds,
+        "n_batches": len(data_batches),
+        "total_rows": total_rows,
+        "ledger_rows": int(ledger_rows),
+        **state,
+    }
+
+
+_MODES = {
+    "--stateful": measure_stateful,
+    "--attribution": measure_stateful_attribution,
+    "--rfm": measure_stateful_rfm,
+}
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--stateful"]
-    stateful = "--stateful" in sys.argv[1:]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    fn = measure
+    for flag, mode_fn in _MODES.items():
+        if flag in sys.argv[1:]:
+            fn = mode_fn
     rate = int(args[0]) if args else 200_000
     run_seconds = int(args[1]) if len(args) > 1 else 90
 
@@ -188,7 +323,6 @@ def main() -> None:
 
     spark = get_spark("stream-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    fn = measure_stateful if stateful else measure
     print(json.dumps(fn(spark, rate, run_seconds)))
     spark.stop()
 
