@@ -63,7 +63,10 @@ def pagerank(
 
 
 def _pagerank_loop(edges: DataFrame, *, damping: float, iterations: int) -> DataFrame:
-    e = edges.select(F.col("src"), F.col("dst")).distinct().persist()
+    # Cache hash(src)-partitioned (round 10): the per-iteration contribs
+    # join keys on src (and outdeg groups by src) — the cached
+    # partitioning satisfies both, saving an edge shuffle per iteration.
+    e = edges.select(F.col("src"), F.col("dst")).distinct().repartition("src").persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -282,6 +285,12 @@ def _lpa_loop(edges: DataFrame, *, iterations: int) -> DataFrame:
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        # Cache hash(dst)-partitioned (round 10): the per-iteration vote
+        # join keys on dst, and InMemoryTableScan preserves the cached
+        # outputPartitioning — one extra exchange at build saves one
+        # edge-relation shuffle EVERY iteration (distinct() alone caches
+        # hash(src, dst), which satisfies no later join).
+        .repartition("dst")
         .persist()
     )
     nodes = sym.select(F.col("src").alias("node")).distinct().persist()
@@ -303,13 +312,21 @@ def _lpa_loop(edges: DataFrame, *, iterations: int) -> DataFrame:
                 F.max_by(
                     "label", F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))
                 ).alias("label")
-            )
+            # Checkpoint BEFORE the convergence count (round 10): counting
+            # changed labels off the un-materialized plan executed the
+            # whole generation (edge join + two-stage vote aggregate) and
+            # then localCheckpoint re-executed it — every iteration paid
+            # the generation twice (the round-9 graph-bench 3x-PageRank
+            # anomaly). Checkpoint-first computes it once; the changed
+            # count is then a node-sized join of two MATERIALIZED label
+            # relations.
+            ).localCheckpoint()
             changed = (
                 new_labels.join(labels.withColumnRenamed("label", "old"), "node")
                 .filter(F.col("label") != F.col("old"))
                 .count()
             )  # bounded convergence scalar (the CC-loop contract)
-            labels = new_labels.localCheckpoint()
+            labels = new_labels
             if changed == 0:
                 break
     finally:

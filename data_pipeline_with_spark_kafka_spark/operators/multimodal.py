@@ -124,10 +124,19 @@ def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+# 8-bit channel counts per PNG color type: 0 grayscale, 2 truecolor,
+# 4 grayscale+alpha, 6 truecolor+alpha. Type 3 (palette) needs a PLTE
+# lookup and stays out of the supported set.
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
 def encode_png(arr) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as a non-interlaced 8-bit
-    truecolor PNG (round-9: the compressed-codec boundary moved — PNG's
-    DEFLATE is stdlib ``zlib``, so no external media library is needed).
+    """Encode a uint8 array as a non-interlaced 8-bit PNG (round-9: the
+    compressed-codec boundary moved — PNG's DEFLATE is stdlib ``zlib``,
+    so no external media library is needed). The color type follows the
+    channel count (round 10): (h, w) or (h, w, 1) -> grayscale,
+    (h, w, 2) -> gray+alpha, (h, w, 3) -> truecolor, (h, w, 4) -> RGBA.
     Scanlines use filter 0; compression is zlib default level."""
     import struct
     import zlib
@@ -135,10 +144,12 @@ def encode_png(arr) -> bytes:
     import numpy as np
 
     a = np.asarray(arr, dtype=np.uint8)
-    h, w, _ = a.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    raw = np.zeros((h, w * 3 + 1), dtype=np.uint8)
-    raw[:, 1:] = a.reshape(h, w * 3)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_COLOR_TYPE[ch], 0, 0, 0)
+    raw = np.zeros((h, w * ch + 1), dtype=np.uint8)
+    raw[:, 1:] = a.reshape(h, w * ch)
     idat = zlib.compress(raw.tobytes())
     return (
         _PNG_SIG
@@ -149,13 +160,16 @@ def encode_png(arr) -> bytes:
 
 
 def decode_png(data: bytes):
-    """Decode a non-interlaced 8-bit truecolor (color type 2) PNG into an
-    (h, w, 3) uint8 RGB array. Pure stdlib-zlib + numpy: walks chunks,
+    """Decode a non-interlaced 8-bit PNG of color type 0/2/4/6 into an
+    (h, w, channels) uint8 array (1=gray, 2=gray+alpha, 3=RGB, 4=RGBA —
+    round 10 widened the surface from truecolor-only: the filter algebra
+    only depends on the per-pixel byte stride, so grayscale and alpha
+    reuse it with stride 1/2/4). Pure stdlib-zlib + numpy: walks chunks,
     concatenates IDAT, inflates, and unfilters all five scanline filters
     (None/Up fully vectorized; Sub is a per-channel cumsum; Average and
     Paeth pay a per-byte scan along the row — their recurrence is
-    sequential by spec). Palette/grayscale/alpha/16-bit/interlaced
-    variants raise NotImplementedError."""
+    sequential by spec). Palette/16-bit/interlaced variants raise
+    NotImplementedError."""
     import struct
     import zlib
 
@@ -178,11 +192,12 @@ def decode_png(data: bytes):
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+    if (depth, comp, filt, interlace) != (8, 0, 0, 0) or color not in _PNG_CHANNELS:
         raise NotImplementedError(
-            "only non-interlaced 8-bit truecolor (RGB) PNG is supported"
+            "only non-interlaced 8-bit grayscale/RGB (+alpha) PNG is supported"
         )
-    stride = w * 3
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     if raw.size != (stride + 1) * h:
         raise ValueError("PNG scanline payload has the wrong size")
@@ -195,20 +210,20 @@ def decode_png(data: bytes):
         if f == 0:  # None
             rec = line
         elif f == 1:  # Sub: per-channel prefix sum
-            rec = np.cumsum(line.reshape(w, 3), axis=0).reshape(stride)
+            rec = np.cumsum(line.reshape(w, ch), axis=0).reshape(stride)
         elif f == 2:  # Up
             rec = line + prior
         elif f == 3:  # Average (sequential: left operand is reconstructed)
             rec = np.empty(stride, dtype=np.int64)
             for x in range(stride):
-                left = rec[x - 3] if x >= 3 else 0
+                left = rec[x - ch] if x >= ch else 0
                 rec[x] = (line[x] + ((left + prior[x]) >> 1)) & 0xFF
         elif f == 4:  # Paeth (sequential, same reason)
             rec = np.empty(stride, dtype=np.int64)
             for x in range(stride):
-                a = rec[x - 3] if x >= 3 else 0
+                a = rec[x - ch] if x >= ch else 0
                 b = prior[x]
-                c = prior[x - 3] if x >= 3 else 0
+                c = prior[x - ch] if x >= ch else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -217,7 +232,7 @@ def decode_png(data: bytes):
             raise ValueError(f"invalid PNG filter type {f}")
         recon[y] = rec & 0xFF
         prior = recon[y].astype(np.int64)
-    return recon.reshape(h, w, 3)
+    return recon.reshape(h, w, ch)
 
 
 def encode_wav_pcm16(samples, sample_rate: int = 16000) -> bytes:

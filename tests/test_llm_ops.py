@@ -400,16 +400,74 @@ def test_png_codec_round_trip_and_all_filters():
     )
     assert (multimodal.decode_png(png) == img).all()
 
-    # Unsupported PNG variants stay honestly rejected.
-    gray_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
-    gray = (
+    # Round 10: grayscale (type 0), gray+alpha (4) and RGBA (6) decode
+    # through the same filter algebra with per-pixel stride 1/2/4.
+    for ch in (1, 2, 4):
+        img = rng.integers(0, 256, size=(5, 7, ch), dtype=np.uint8)
+        back = multimodal.decode_png(multimodal.encode_png(img))
+        assert back.shape == (5, 7, ch) and (back == img).all(), ch
+    # 2-D grayscale input encodes as color type 0 and round-trips
+    g2 = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+    assert (multimodal.decode_png(multimodal.encode_png(g2))[:, :, 0] == g2).all()
+
+    # Hand-filtered grayscale reference (stride 1: every filter's left
+    # neighbor is the adjacent byte — the case the RGB test cannot cover).
+    w, h = 6, 5
+    gimg = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    grecon = gimg.astype(int)
+    out = bytearray()
+    for y in range(h):
+        f = y % 5
+        out.append(f)
+        prior = grecon[y - 1] if y > 0 else np.zeros(w, int)
+        cur = grecon[y]
+        for x in range(w):
+            a = cur[x - 1] if x >= 1 else 0
+            b = prior[x]
+            c = prior[x - 1] if x >= 1 else 0
+            if f == 0:
+                v = cur[x]
+            elif f == 1:
+                v = (cur[x] - a) % 256
+            elif f == 2:
+                v = (cur[x] - b) % 256
+            elif f == 3:
+                v = (cur[x] - ((a + b) >> 1)) % 256
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = (cur[x] - pred) % 256
+            out.append(v)
+    gihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    gpng = (
         multimodal._PNG_SIG
-        + multimodal._png_chunk(b"IHDR", gray_ihdr)
+        + multimodal._png_chunk(b"IHDR", gihdr)
+        + multimodal._png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    assert (multimodal.decode_png(gpng)[:, :, 0] == gimg).all()
+
+    # Unsupported PNG variants stay honestly rejected: palette (type 3,
+    # needs a PLTE lookup) and 16-bit depth.
+    pal_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    pal = (
+        multimodal._PNG_SIG
+        + multimodal._png_chunk(b"IHDR", pal_ihdr)
         + multimodal._png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
         + multimodal._png_chunk(b"IEND", b"")
     )
     with pytest.raises(NotImplementedError):
-        multimodal.decode_png(gray)
+        multimodal.decode_png(pal)
+    deep_ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    deep = (
+        multimodal._PNG_SIG
+        + multimodal._png_chunk(b"IHDR", deep_ihdr)
+        + multimodal._png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_png(deep)
     with pytest.raises(ValueError):
         multimodal.decode_png(b"notapng")
 

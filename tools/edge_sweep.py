@@ -434,8 +434,9 @@ def main() -> None:
         spark.stop()
     payload = {
         "comparator": "tests/oracle_compare.normalize (driver-strict)",
-        "corpora": "empty / single_row / one_group / all_null derivations "
-                   "of the driver sf0.001 tables (tools/edge_sweep.py)",
+        "corpora": "empty / single_row / one_group / all_null / unicode / "
+                   "day_boundary / null_type derivations of the driver "
+                   "sf0.001 tables (tools/edge_sweep.py)",
         "elapsed_sec": round(time.time() - t0, 1),
         "edges": per_edge,
         "total_expected_divergences": sum(
