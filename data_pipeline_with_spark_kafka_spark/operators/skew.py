@@ -87,13 +87,58 @@ def dominant_key_share(
     return float(row["m"]) / float(row["n"])
 
 
+def hot_key_day_concentration(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    *,
+    sample_fraction: float | None = None,
+) -> float:
+    """Fraction of the single hottest ``key``'s rows that land in its
+    busiest calendar day — the second probe behind the day-vs-hour
+    bucket decision (round 10): a multi-day bot spreads over days (low
+    concentration, day buckets split it), a single-day bot concentrates
+    (high concentration — its hot day IS the day twin's straggler, so
+    the bucket must drop to hours; measured in BASELINE.md "one-day
+    90%-hot": day twin 14.8 s vs hour twin 4.1 s).
+
+    Two bounded jobs over the (sampled) key/day projection: the hot key
+    from one groupBy (max_by), then that key's per-day max/total. Both
+    map-side combinable; the probe never touches other columns. Returns
+    0.0 for an empty input."""
+    probe = df.select(F.col(key).alias("__k"), F.to_date(F.col(ts_col)).alias("__d"))
+    if sample_fraction is not None:
+        probe = probe.sample(fraction=sample_fraction, seed=8)
+    hot = (
+        probe.groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max_by("__k", "c").alias("k"))
+        .first()
+    )
+    if hot is None or hot["k"] is None:
+        return 0.0
+    row = (
+        probe.filter(F.col("__k").eqNullSafe(F.lit(hot["k"])))
+        .groupBy("__d")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("m"), F.sum("c").alias("n"))
+        .first()
+    )
+    if row is None or not row["n"]:
+        return 0.0
+    return float(row["m"]) / float(row["n"])
+
+
 def choose_sequence_plan(
     df: DataFrame,
     key: str,
     lifetime,
     bucketed,
     *,
+    hourly=None,
+    ts_col: str | None = None,
     threshold: float = 0.35,
+    day_threshold: float = 0.5,
     sample_fraction: float | None = None,
 ):
     """Pick the lifetime-window or day-bucketed builder by measured key
@@ -104,9 +149,25 @@ def choose_sequence_plan(
     splittable partitions do (and the gap widens with cluster size,
     because the straggler stays one task while everything else scales).
 
-    Both builders MUST be exact twins (the bucketed queries share the
+    Round 10: pass ``hourly`` (+ ``ts_col``) to enable the three-way
+    rule — when the key is hot AND the hot key concentrates >=
+    ``day_threshold`` of its rows in one calendar day (the
+    day-bucket-defeating single-day bot, probed by
+    ``hot_key_day_concentration``), route to the hour-bucketed twin
+    instead (measured: lifetime 10.4 s / day 14.8 s / hour 4.1 s on the
+    one-day 90%-hot corpus).
+
+    All builders MUST be exact twins (the bucketed queries share the
     lifetime oracles — hash-equality is the proof), so this choice can
     never change results, only the plan. Returns (chosen_callable,
     measured_share)."""
     share = dominant_key_share(df, key, sample_fraction=sample_fraction)
-    return (bucketed if share >= threshold else lifetime), share
+    if share < threshold:
+        return lifetime, share
+    if hourly is not None and ts_col is not None:
+        conc = hot_key_day_concentration(
+            df, key, ts_col, sample_fraction=sample_fraction
+        )
+        if conc >= day_threshold:
+            return hourly, share
+    return bucketed, share

@@ -507,53 +507,24 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_markov_transitions_bucketed",
-    oracle=MARKOV_ORACLE,
-    tags=("events", "analytics", "window", "skew"),
-)
-def events_markov_transitions_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hot-user-safe Markov transitions (round 8): EXACTLY the same result
-    as ``events_markov_transitions`` (same oracle — the hash match is the
-    exactness proof), but the per-user sequence window is split by calendar
-    day, so a pathological bot user that owns 90% of all events costs one
-    sort per (user, day) instead of one unsplittable lifetime partition
-    (AQE can split skewed joins, never Window partitions).
-
-    Markov admits this split because it only needs ADJACENT pairs: a
-    within-day lag() on the (user_id, day) partitioning yields all pairs
-    inside a day, and the pairs that cross day boundaries are recovered
-    from a combinable per-(user, day) first/last-event aggregate — last
-    event of the user's previous ACTIVE day -> first event of this day via
-    a lag() over the per-day relation (bounded by active days, not
-    events). Measured crossover in BASELINE.md ("hot-user sequence-window
-    bound"); for nastier bots the bucket drops to hours — same algebra.
-
-    Round 9: both branches (within-day pairs AND day edges) derive from
-    ONE windowed relation (a genuine window-output dependency, so
-    Catalyst cannot prune the Window from the day-edges branch and
-    re-scan), making the two sub-exchange plans canonically identical:
-    AQE's stage cache reuses the (user_id, d) corpus exchange at
-    runtime and events scans and shuffles ONCE (ReusedExchange
-    plan-asserted in test_plans.py); the day-edges aggregate then rides
-    the same partitioning with no extra exchange.
-
-    Round 10 (advice fix): the day-first event is identified
-    POSITIONALLY (row_number() == 1 over the same window spec — it
-    collapses into the same Window operator as the lag, keeping the
-    single-scan property) rather than by ``prev_type IS NULL``:
-    lag(next_type) is also NULL for any row FOLLOWING a NULL-typed
-    event, so on corpora with NULL event_type + non-null ts the old
-    predicate could elect a mid-day event's type as first_type and
-    diverge from the lifetime twin. Edge corpus ``null_type`` in
-    tools/edge_corpus.py now exercises exactly that shape."""
+def _markov_transitions_bucketed(
+    spark: SparkSession, sf_dir: str, bucket: str
+) -> DataFrame:
+    """Shared body of the bucketed Markov twins: the boundary-pair
+    recovery documented on ``events_markov_transitions_bucketed`` is
+    bucket-size-agnostic (only ADJACENT pairs are needed — within-bucket
+    pairs from the local lag, cross-boundary pairs from the previous
+    ACTIVE bucket's last event), so ``bucket`` picks the split
+    granularity — "day" (default twin) or "hour" (round 10: the
+    fallback for a single-day bot whose busiest day IS the straggler)."""
     events = load_table(spark, sf_dir, "events")
+    bucket_col = F.to_date("ts") if bucket == "day" else F.date_trunc(bucket, F.col("ts"))
     keyed = events.select(
         "user_id",
         F.col("event_type").alias("next_type"),
         "ts",
         "event_id",
-        F.to_date("ts").alias("d"),
+        bucket_col.alias("d"),
     )
     w_local = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
     local = keyed.withColumn("prev_type", F.lag("next_type").over(w_local)).withColumn(
@@ -583,6 +554,69 @@ def events_markov_transitions_bucketed(spark: SparkSession, sf_dir: str) -> Data
         "n_transitions",
         round_to(F.col("n_transitions") / total, 6).alias("prob"),
     )
+
+
+@register(
+    "events_markov_transitions_bucketed",
+    oracle=MARKOV_ORACLE,
+    tags=("events", "analytics", "window", "skew"),
+)
+def events_markov_transitions_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-user-safe Markov transitions (round 8): EXACTLY the same result
+    as ``events_markov_transitions`` (same oracle — the hash match is the
+    exactness proof), but the per-user sequence window is split by calendar
+    day, so a pathological bot user that owns 90% of all events costs one
+    sort per (user, day) instead of one unsplittable lifetime partition
+    (AQE can split skewed joins, never Window partitions).
+
+    Markov admits this split because it only needs ADJACENT pairs: a
+    within-day lag() on the (user_id, day) partitioning yields all pairs
+    inside a day, and the pairs that cross day boundaries are recovered
+    from a combinable per-(user, day) first/last-event aggregate — last
+    event of the user's previous ACTIVE day -> first event of this day via
+    a lag() over the per-day relation (bounded by active days, not
+    events). Measured crossover in BASELINE.md ("hot-user sequence-window
+    bound"); for nastier single-day bots the bucket drops to hours
+    (``events_markov_transitions_bucketed_hourly``) — same algebra
+    (``_markov_transitions_bucketed``).
+
+    Round 9: both branches (within-day pairs AND day edges) derive from
+    ONE windowed relation (a genuine window-output dependency, so
+    Catalyst cannot prune the Window from the day-edges branch and
+    re-scan), making the two sub-exchange plans canonically identical:
+    AQE's stage cache reuses the (user_id, d) corpus exchange at
+    runtime and events scans and shuffles ONCE (ReusedExchange
+    plan-asserted in test_plans.py); the day-edges aggregate then rides
+    the same partitioning with no extra exchange.
+
+    Round 10 (advice fix): the day-first event is identified
+    POSITIONALLY (row_number() == 1 over the same window spec — it
+    collapses into the same Window operator as the lag, keeping the
+    single-scan property) rather than by ``prev_type IS NULL``:
+    lag(next_type) is also NULL for any row FOLLOWING a NULL-typed
+    event, so on corpora with NULL event_type + non-null ts the old
+    predicate could elect a mid-day event's type as first_type and
+    diverge from the lifetime twin. Edge corpus ``null_type`` in
+    tools/edge_sweep.py now exercises exactly that shape."""
+    return _markov_transitions_bucketed(spark, sf_dir, "day")
+
+
+@register(
+    "events_markov_transitions_bucketed_hourly",
+    oracle=MARKOV_ORACLE,
+    tags=("events", "analytics", "window", "skew"),
+)
+def events_markov_transitions_bucketed_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hour-bucketed Markov twin (round 10): EXACTLY the same transition
+    matrix as ``events_markov_transitions`` (same oracle), with the
+    sequence window split by (user_id, hour) — the fallback for a bot
+    whose 90%-of-corpus activity lands in a SINGLE day, where the day
+    twin's worst sort partition is that whole day. Markov's boundary
+    algebra needs no gap condition at all (adjacent pairs only), so the
+    bucket size is free — see ``_markov_transitions_bucketed``."""
+    return _markov_transitions_bucketed(spark, sf_dir, "hour")
 
 
 @register(
@@ -808,13 +842,17 @@ def events_session_ids_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic Bernoulli, one map-side-combined aggregate over the
     sampled key column only) measures the hottest user's share, and
     ``operators/skew.choose_sequence_plan`` routes to the lifetime
-    window below the measured hot_frac ~0.35 crossover or the
-    day-bucketed twin above it. Both builders share THIS query's oracle,
-    so the routing can never change results — the official hash-green
-    row certifies the router end-to-end, probe included (on organic
-    driver data the probe measures a cold share and takes the lifetime
-    branch; tests/test_skew.py pins the bucketed branch on a hot corpus
-    and the exact twin equality either way)."""
+    window below the measured hot_frac ~0.35 crossover, the
+    day-bucketed twin above it, or the HOUR-bucketed twin when the hot
+    key also concentrates >=50% of its rows in one calendar day (the
+    second probe, ``hot_key_day_concentration`` — the single-day bot
+    whose hot day defeats the day split). All three builders share THIS
+    query's oracle, so the routing can never change results — the
+    official hash-green row certifies the router end-to-end, probes
+    included (on organic driver data the probe measures a cold share
+    and takes the lifetime branch; tests/test_scale_ops.py pins all
+    three routes on crafted corpora and the exact twin equality either
+    way)."""
     from data_pipeline_with_spark_kafka_spark.operators.skew import choose_sequence_plan
 
     events = load_table(spark, sf_dir, "events")
@@ -823,6 +861,8 @@ def events_session_ids_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         events_session_ids,
         events_session_ids_bucketed,
+        hourly=events_session_ids_bucketed_hourly,
+        ts_col="ts",
         sample_fraction=0.1,
     )
     return chosen(spark, sf_dir)

@@ -105,6 +105,8 @@ EXCHANGE_BUDGET = {
     # hour-bucketed fallback twin (round 10): identical shape with d =
     # date_trunc('hour', ts) — same 5 bucket-splittable exchanges.
     "events_session_ids_bucketed_hourly": 5,
+    # hour-bucketed Markov twin (round 10): same shape as the day twin.
+    "events_markov_transitions_bucketed_hourly": 5,
     # skew-routed twin (round 10): the probe aggregate runs eagerly
     # inside the builder (a bounded .first() on a 2-value aggregate over
     # the sampled key column); the RETURNED plan is whichever twin the

@@ -292,7 +292,13 @@ def test_attribution_single_window_pass(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["events_session_ids_bucketed", "events_markov_transitions_bucketed"]
+    "name",
+    [
+        "events_session_ids_bucketed",
+        "events_markov_transitions_bucketed",
+        "events_session_ids_bucketed_hourly",
+        "events_markov_transitions_bucketed_hourly",
+    ],
 )
 def test_bucketed_twins_reuse_corpus_exchange_at_runtime(spark, sf_dir, name):
     """Each bucketed twin's initial plan carries TWO (user_id, day)

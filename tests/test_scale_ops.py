@@ -193,6 +193,80 @@ def test_choose_sequence_plan_picks_twin_by_measured_skew(spark, sf_dir):
     assert a == b
 
 
+def test_choose_sequence_plan_three_way_routes_single_day_bots(spark, sf_dir):
+    """Round 10: with the hourly twin + ts_col supplied, the router
+    distinguishes the single-day bot (hot key concentrated in one
+    calendar day -> hour buckets) from the multi-day bot (spread over
+    days -> day buckets) and the uniform corpus (-> lifetime)."""
+    import datetime as dt
+
+    from data_pipeline_with_spark_kafka_spark.operators.skew import (
+        choose_sequence_plan,
+        hot_key_day_concentration,
+    )
+    from data_pipeline_with_spark_kafka_spark.queries.events_analytics import (
+        events_session_ids,
+        events_session_ids_bucketed,
+        events_session_ids_bucketed_hourly,
+    )
+
+    def corpus(rows):
+        return spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    base = dt.datetime(2024, 5, 1, 0, 0)
+    # uniform: 60 users, one event each across days
+    uniform = corpus(
+        [(u, base + dt.timedelta(hours=u)) for u in range(60)]
+    )
+    # multi-day bot: user 0 owns 90% spread over 10 days
+    multi = corpus(
+        [(0, base + dt.timedelta(days=i % 10, minutes=i)) for i in range(90)]
+        + [(u, base + dt.timedelta(hours=u)) for u in range(1, 11)]
+    )
+    # single-day bot: user 0 owns 90%, all inside one day
+    single = corpus(
+        [(0, base + dt.timedelta(minutes=i)) for i in range(90)]
+        + [(u, base + dt.timedelta(days=1, hours=u % 20)) for u in range(1, 11)]
+    )
+    kw = dict(
+        hourly=events_session_ids_bucketed_hourly,
+        ts_col="ts",
+    )
+    chosen, share = choose_sequence_plan(
+        uniform, "user_id", events_session_ids, events_session_ids_bucketed, **kw
+    )
+    assert chosen is events_session_ids and share < 0.35
+    chosen, share = choose_sequence_plan(
+        multi, "user_id", events_session_ids, events_session_ids_bucketed, **kw
+    )
+    assert chosen is events_session_ids_bucketed and share >= 0.35
+    assert hot_key_day_concentration(multi, "user_id", "ts") <= 0.2
+    chosen, share = choose_sequence_plan(
+        single, "user_id", events_session_ids, events_session_ids_bucketed, **kw
+    )
+    assert chosen is events_session_ids_bucketed_hourly and share >= 0.35
+    assert hot_key_day_concentration(single, "user_id", "ts") == 1.0
+    # degenerate inputs return 0.0, not a crash
+    empty = corpus([])
+    assert hot_key_day_concentration(empty, "user_id", "ts") == 0.0
+
+
+def test_hourly_markov_twin_exactness(spark, sf_dir):
+    """The hour-bucketed Markov twin is exact against the lifetime
+    query on organic data (adjacent-pair recovery needs no gap
+    condition, so any bucket size is exact)."""
+    from data_pipeline_with_spark_kafka_spark.queries.events_analytics import (
+        events_markov_transitions,
+        events_markov_transitions_bucketed_hourly,
+    )
+
+    a = sorted(map(tuple, events_markov_transitions(spark, sf_dir).collect()))
+    b = sorted(
+        map(tuple, events_markov_transitions_bucketed_hourly(spark, sf_dir).collect())
+    )
+    assert a == b
+
+
 def test_hourly_session_twin_exactness(spark, sf_dir):
     """The hour-bucketed fallback twin (round 10) is exact against both
     the lifetime window and the day twin on organic data — the boundary

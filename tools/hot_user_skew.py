@@ -128,6 +128,9 @@ def main() -> None:
             "events_session_ids",
             "events_session_ids_bucketed",
             "events_session_ids_bucketed_hourly",
+            "events_markov_transitions",
+            "events_markov_transitions_bucketed",
+            "events_markov_transitions_bucketed_hourly",
         )
         argv = argv[1:]
     if argv and argv[0] == "--hot":
