@@ -129,6 +129,43 @@ def hot_key_day_concentration(
     return float(row["m"]) / float(row["n"])
 
 
+def sequence_skew_profile(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    *,
+    sample_fraction: float | None = None,
+) -> tuple[float, float]:
+    """(dominant-key share, that key's busiest-day concentration) in ONE
+    scan of the (sampled) key/day projection — the fused form of
+    ``dominant_key_share`` + ``hot_key_day_concentration`` the router
+    uses when both probes are needed (separate calls would scan the
+    sample three times; at 100 TB the sample scan dominates the probe
+    cost). Two bounded shuffles after the scan: a (key, day) count
+    (keys x active-days-sized, map-side combinable) and a per-key
+    rollup; the final reduce is a 3-value aggregate."""
+    probe = df.select(F.col(key).alias("__k"), F.to_date(F.col(ts_col)).alias("__d"))
+    if sample_fraction is not None:
+        probe = probe.sample(fraction=sample_fraction, seed=8)
+    per_key = (
+        probe.groupBy("__k", "__d")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("__k")
+        .agg(F.sum("c").alias("n_k"), F.max("c").alias("m_kd"))
+    )
+    row = per_key.agg(
+        F.sum("n_k").alias("n"),
+        F.max("n_k").alias("m"),
+        F.max_by(F.struct("m_kd", "n_k"), "n_k").alias("hot"),
+    ).first()
+    if row is None or not row["n"]:
+        return 0.0, 0.0
+    share = float(row["m"]) / float(row["n"])
+    hot = row["hot"]
+    conc = float(hot["m_kd"]) / float(hot["n_k"]) if hot and hot["n_k"] else 0.0
+    return share, conc
+
+
 def choose_sequence_plan(
     df: DataFrame,
     key: str,
@@ -161,13 +198,13 @@ def choose_sequence_plan(
     lifetime oracles — hash-equality is the proof), so this choice can
     never change results, only the plan. Returns (chosen_callable,
     measured_share)."""
-    share = dominant_key_share(df, key, sample_fraction=sample_fraction)
-    if share < threshold:
-        return lifetime, share
     if hourly is not None and ts_col is not None:
-        conc = hot_key_day_concentration(
+        # fused probe: one sample scan answers both questions
+        share, conc = sequence_skew_profile(
             df, key, ts_col, sample_fraction=sample_fraction
         )
-        if conc >= day_threshold:
-            return hourly, share
-    return bucketed, share
+        if share < threshold:
+            return lifetime, share
+        return (hourly if conc >= day_threshold else bucketed), share
+    share = dominant_key_share(df, key, sample_fraction=sample_fraction)
+    return (bucketed if share >= threshold else lifetime), share

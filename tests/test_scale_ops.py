@@ -250,6 +250,18 @@ def test_choose_sequence_plan_three_way_routes_single_day_bots(spark, sf_dir):
     empty = corpus([])
     assert hot_key_day_concentration(empty, "user_id", "ts") == 0.0
 
+    # the fused single-scan profile agrees with the separate probes
+    from data_pipeline_with_spark_kafka_spark.operators.skew import (
+        dominant_key_share,
+        sequence_skew_profile,
+    )
+
+    for c in (uniform, multi, single):
+        share, conc = sequence_skew_profile(c, "user_id", "ts")
+        assert abs(share - dominant_key_share(c, "user_id")) < 1e-9
+        assert abs(conc - hot_key_day_concentration(c, "user_id", "ts")) < 1e-9
+    assert sequence_skew_profile(empty, "user_id", "ts") == (0.0, 0.0)
+
 
 def test_hourly_markov_twin_exactness(spark, sf_dir):
     """The hour-bucketed Markov twin is exact against the lifetime
