@@ -669,10 +669,18 @@ def events_attribution_last_touch_bucketed(spark: SparkSession, sf_dir: str) -> 
         "event_id", "user_id", "ts", "value", "sd_touch",
         F.date_sub(F.col("d"), F.col("k")).alias("pd"),
     )
+    # NULL-SAFE probe join (round 10): the lifetime carry window (and the
+    # shared oracle) treat NULL user_id as one partition group, so a
+    # NULL-user purchase with a prior-day NULL-user touch IS attributed —
+    # a plain equi-join dropped it to 'unattributed' (caught by the
+    # null_user rows in tools/edge_sweep.py's null_type corpus; latent
+    # for two rounds because no corpus had NULL user_id with valid ts).
+    daily_r = daily.withColumnsRenamed({"user_id": "d_user_id", "d": "d_pd"})
     prior = (
         probe.join(
-            daily.withColumnRenamed("d", "pd"),
-            ["user_id", "pd"],
+            daily_r,
+            F.col("user_id").eqNullSafe(F.col("d_user_id"))
+            & F.col("pd").eqNullSafe(F.col("d_pd")),
             "left",
         )
         .groupBy("event_id", "user_id", "ts", "value", "sd_touch")

@@ -263,6 +263,48 @@ def test_choose_sequence_plan_three_way_routes_single_day_bots(spark, sf_dir):
     assert sequence_skew_profile(empty, "user_id", "ts") == (0.0, 0.0)
 
 
+def test_attribution_day_twin_null_user_prior_day(spark):
+    """Round-10 regression pin: a NULL-user purchase with a prior-day
+    NULL-user touch must be ATTRIBUTED by the day twin exactly like the
+    lifetime carry (the window and the oracle treat NULL user_id as one
+    partition group) — the probe join is null-safe. Out-of-window NULL
+    users stay unattributed (null-safety must not over-attribute)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from data_pipeline_with_spark_kafka_spark.queries.events_analytics import (
+        events_attribution_last_touch,
+        events_attribution_last_touch_bucketed,
+    )
+
+    rows = [
+        (1, None, dt.datetime(2024, 1, 3, 10, 0), "view", 1.0, None),
+        (2, None, dt.datetime(2024, 1, 5, 10, 0), "purchase", 100.0, None),
+        (3, 7, dt.datetime(2024, 1, 3, 10, 0), "view", 1.0, None),
+        (4, 7, dt.datetime(2024, 1, 5, 10, 0), "purchase", 100.0, None),
+        (5, None, dt.datetime(2024, 2, 1, 10, 0), "click", 1.0, None),
+        (6, None, dt.datetime(2024, 2, 9, 11, 0), "purchase", 50.0, None),
+    ]
+    with tempfile.TemporaryDirectory() as root:
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts timestamp, event_type string, "
+            "value double, props string",
+        )
+        df.write.parquet(os.path.join(root, "events.parquet"))
+        a = sorted(map(tuple, events_attribution_last_touch(spark, root).collect()))
+        b = sorted(
+            map(tuple, events_attribution_last_touch_bucketed(spark, root).collect())
+        )
+        assert a == b
+        # and the verdicts are the ones the lifetime semantics demand:
+        # both in-window purchases attributed 'view', the 8-day one not
+        by_type = {r[0]: r for r in a}
+        assert by_type["view"][1] == 2
+        assert by_type["unattributed"][1] == 1
+
+
 def test_hourly_markov_twin_exactness(spark, sf_dir):
     """The hour-bucketed Markov twin is exact against the lifetime
     query on organic data (adjacent-pair recovery needs no gap

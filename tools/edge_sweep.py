@@ -198,6 +198,18 @@ _NULL_TYPE_EVENTS = [
     # must be DROPPED on both paths (lifetime lag drops NULL prev too).
     ("2024-02-03 10:00:00", 9000003, None, 1.0),
     ("2024-02-04 10:00:00", 9000003, "view", 1.0),
+    # NULL user_id with NON-NULL ts (round 10 second find): the lifetime
+    # carry window and the oracle treat NULL user as ONE partition group,
+    # so this prior-day touch IS attributed — the attribution day twin's
+    # plain equi-join probe dropped it to 'unattributed' until the probe
+    # went null-safe (events_analytics.py). all_null nulls ts too, so no
+    # prior corpus could catch it.
+    ("2024-02-10 10:00:00", None, "view", 1.0),
+    ("2024-02-12 10:00:00", None, "purchase", 100.0),
+    # NULL user with an OUT-OF-WINDOW touch (8 days): unattributed on
+    # both paths — pins that null-safety does not over-attribute.
+    ("2024-02-20 10:00:00", None, "click", 1.0),
+    ("2024-02-28 11:00:00", None, "purchase", 50.0),
 ]
 
 
