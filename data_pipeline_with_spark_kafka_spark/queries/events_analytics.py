@@ -705,6 +705,121 @@ def events_attribution_last_touch_bucketed(spark: SparkSession, sf_dir: str) -> 
     )
 
 
+@register(
+    "events_attribution_last_touch_bucketed_hourly",
+    oracle=ATTRIBUTION_ORACLE,
+    tags=("events", "analytics", "window", "skew"),
+)
+def events_attribution_last_touch_bucketed_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hour-bucketed attribution twin (round 10): EXACTLY the same
+    last-touch result as ``events_attribution_last_touch`` (same oracle),
+    completing the hour fallback across the whole sequence family — the
+    day twin's same-day carry window is the straggler on a single-day
+    bot (measured 24.2 s vs lifetime 18.2 s on the one-day 90%-hot
+    corpus, BASELINE.md).
+
+    The same-day carry decomposes at hour boundaries in two tiers:
+
+    - SAME-HOUR: an ignore-nulls last() over the (user_id, hour)
+      partitioning, rows-preceding — the only corpus-sized window, and
+      its worst partition is the bot's busiest hour;
+    - PRIOR HOURS of the same day: an hourly last-touch relation built
+      over ALL events (so every purchase's hour is present, with a NULL
+      touch when the hour had none — the relation is groupBy'd from the
+      carry window's output, so the (user, hour) corpus exchange is
+      shared) + one running ignore-nulls last() over the per-(user, day)
+      hours relation (<= 24 rows per partition), probed by a null-safe
+      (user, hour) join;
+    - PRIOR DAYS: unchanged from the day twin — the daily last-touch
+      rolls up from the hourly relation and the 7-way day-offset probe
+      is complete for the 7x24h lookback (null-safe, round-10 NULL-user
+      discipline).
+
+    Recency ordering makes coalesce(same_hour, prior_hours, prior_days)
+    exact (each tier is strictly older than the previous), and only the
+    prior-days candidate can fall outside the 7-day filter."""
+    events = load_table(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin("view", "click")
+    keyed = events.select(
+        "event_id", "user_id", "ts", "event_type", "value",
+        F.to_date("ts").alias("d"),
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+    )
+    w_local = (
+        Window.partitionBy("user_id", "h")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = keyed.withColumn(
+        "sh_touch",
+        F.last(
+            F.when(is_touch, F.struct("ts", "event_id", "event_type")), ignorenulls=True
+        ).over(w_local),
+    )
+    hourly = carried.groupBy("user_id", "d", "h").agg(
+        F.max(F.when(is_touch, F.struct("ts", "event_id", "event_type"))).alias("hl")
+    )
+    w_hours = (
+        Window.partitionBy("user_id", "d")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hours_prev = hourly.select(
+        "user_id", "d", "h",
+        F.last("hl", ignorenulls=True).over(w_hours).alias("pd_touch"),
+        "hl",
+    )
+    daily = hours_prev.groupBy("user_id", "d").agg(F.max("hl").alias("lt"))
+    purchases = carried.filter(F.col("event_type") == "purchase")
+    hp = hours_prev.select(
+        F.col("user_id").alias("hp_user_id"),
+        F.col("h").alias("hp_h"),
+        "pd_touch",
+    )
+    with_pd = purchases.join(
+        hp,
+        F.col("user_id").eqNullSafe(F.col("hp_user_id"))
+        & F.col("h").eqNullSafe(F.col("hp_h")),
+        "left",
+    ).select("event_id", "user_id", "ts", "value", "d", "sh_touch", "pd_touch")
+    probe = with_pd.withColumn("k", F.explode(F.sequence(F.lit(1), F.lit(7)))).select(
+        "event_id", "user_id", "ts", "value", "sh_touch", "pd_touch",
+        F.date_sub(F.col("d"), F.col("k")).alias("pd"),
+    )
+    daily_r = daily.select(
+        F.col("user_id").alias("d_user_id"), F.col("d").alias("d_pd"), "lt"
+    )
+    prior = (
+        probe.join(
+            daily_r,
+            F.col("user_id").eqNullSafe(F.col("d_user_id"))
+            & F.col("pd").eqNullSafe(F.col("d_pd")),
+            "left",
+        )
+        .groupBy("event_id", "user_id", "ts", "value", "sh_touch", "pd_touch")
+        .agg(F.max("lt").alias("prior_touch"))
+    )
+    best = F.coalesce(F.col("sh_touch"), F.col("pd_touch"), F.col("prior_touch"))
+    attributed = prior.select(
+        F.when(
+            best.isNotNull()
+            & (best["ts"] >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+            best["event_type"],
+        )
+        .otherwise(F.lit("unattributed"))
+        .alias("touch_type"),
+        "value",
+        "user_id",
+    )
+    return attributed.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        round_to(F.sum("value"), 4).alias("attributed_value"),
+    )
+
+
 def _session_ids_bucketed(spark: SparkSession, sf_dir: str, bucket: str) -> DataFrame:
     """Shared body of the bucketed sessionization twins: the boundary-
     correction algebra documented on ``events_session_ids_bucketed`` is

@@ -92,6 +92,14 @@ EXCHANGE_BUDGET = {
     # |user x day| rows — cheaper at 100 TB than widening the shared
     # exchange or re-joining value by event_id.
     "events_attribution_last_touch_bucketed": 6,
+    # hour-bucketed attribution twin (round 10): the pre-AQE plan carries
+    # two (user, hour) corpus exchanges (carry branch + hourly-relation
+    # branch), kept canonically identical by deriving the hourly
+    # aggregate from the window output — AQE's stage cache reuses the
+    # corpus exchange at runtime (ReusedExchange asserted in
+    # test_plans.py). The rest are the hours/day relation windows and
+    # the two probe joins, all bucket- or relation-sized.
+    "events_attribution_last_touch_bucketed_hourly": 10,
     # hot-user-safe twin (round 9): the INITIAL plan shows two (user_id,
     # day) local-window corpus exchanges (main branch + day-edges
     # branch), but the null-safe adjustment join keeps both branches

@@ -298,6 +298,7 @@ def test_attribution_single_window_pass(spark, sf_dir):
         "events_markov_transitions_bucketed",
         "events_session_ids_bucketed_hourly",
         "events_markov_transitions_bucketed_hourly",
+        "events_attribution_last_touch_bucketed_hourly",
     ],
 )
 def test_bucketed_twins_reuse_corpus_exchange_at_runtime(spark, sf_dir, name):

@@ -278,6 +278,10 @@ def test_attribution_day_twin_null_user_prior_day(spark):
         events_attribution_last_touch_bucketed,
     )
 
+    from data_pipeline_with_spark_kafka_spark.queries.events_analytics import (
+        events_attribution_last_touch_bucketed_hourly,
+    )
+
     rows = [
         (1, None, dt.datetime(2024, 1, 3, 10, 0), "view", 1.0, None),
         (2, None, dt.datetime(2024, 1, 5, 10, 0), "purchase", 100.0, None),
@@ -297,12 +301,84 @@ def test_attribution_day_twin_null_user_prior_day(spark):
         b = sorted(
             map(tuple, events_attribution_last_touch_bucketed(spark, root).collect())
         )
-        assert a == b
+        c = sorted(
+            map(
+                tuple,
+                events_attribution_last_touch_bucketed_hourly(spark, root).collect(),
+            )
+        )
+        assert a == b == c
         # and the verdicts are the ones the lifetime semantics demand:
         # both in-window purchases attributed 'view', the 8-day one not
         by_type = {r[0]: r for r in a}
         assert by_type["view"][1] == 2
         assert by_type["unattributed"][1] == 1
+
+
+def test_hourly_attribution_twin_exactness(spark, sf_dir):
+    """The hour-bucketed attribution twin (round 10) is exact against the
+    lifetime carry on organic data, and a crafted corpus pins each tier
+    of the two-level decomposition: same-hour beats prior-hour, a
+    prior-hour touch is found when the purchase's hour has no touch,
+    prior-day recovery crosses the hour tiers, and the exact-7x24h
+    lookback boundary behaves like the day twin's u1/u2 pins."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from data_pipeline_with_spark_kafka_spark.queries.events_analytics import (
+        events_attribution_last_touch,
+        events_attribution_last_touch_bucketed_hourly,
+    )
+
+    a = sorted(map(tuple, events_attribution_last_touch(spark, sf_dir).collect()))
+    b = sorted(
+        map(
+            tuple,
+            events_attribution_last_touch_bucketed_hourly(spark, sf_dir).collect(),
+        )
+    )
+    assert a == b
+
+    rows = [
+        # u1: same-hour view must beat the prior-hour click
+        (1, 1, dt.datetime(2024, 3, 1, 9, 10), "click", 1.0, None),
+        (2, 1, dt.datetime(2024, 3, 1, 10, 5), "view", 1.0, None),
+        (3, 1, dt.datetime(2024, 3, 1, 10, 30), "purchase", 100.0, None),
+        # u2: purchase's hour has NO touch -> prior-hour click wins
+        (4, 2, dt.datetime(2024, 3, 1, 8, 50), "click", 1.0, None),
+        (5, 2, dt.datetime(2024, 3, 1, 11, 30), "purchase", 100.0, None),
+        # u3: no touch that day -> prior-day view wins
+        (6, 3, dt.datetime(2024, 2, 28, 23, 50), "view", 1.0, None),
+        (7, 3, dt.datetime(2024, 3, 1, 0, 10), "purchase", 100.0, None),
+        # u4: only touch exactly 7x24h back -> attributed (>= boundary)
+        (8, 4, dt.datetime(2024, 3, 1, 12, 0), "view", 1.0, None),
+        (9, 4, dt.datetime(2024, 3, 8, 12, 0), "purchase", 100.0, None),
+        # u5: only touch 7x24h + 1s back -> unattributed
+        (10, 5, dt.datetime(2024, 3, 1, 11, 59, 59), "click", 1.0, None),
+        (11, 5, dt.datetime(2024, 3, 8, 12, 0), "purchase", 100.0, None),
+        # u6: a touch AFTER the purchase must not attribute
+        (12, 6, dt.datetime(2024, 3, 1, 14, 0), "purchase", 100.0, None),
+        (13, 6, dt.datetime(2024, 3, 1, 14, 30), "view", 1.0, None),
+    ]
+    with tempfile.TemporaryDirectory() as root:
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts timestamp, event_type string, "
+            "value double, props string",
+        )
+        df.write.parquet(os.path.join(root, "events.parquet"))
+        a = sorted(map(tuple, events_attribution_last_touch(spark, root).collect()))
+        b = sorted(
+            map(
+                tuple,
+                events_attribution_last_touch_bucketed_hourly(spark, root).collect(),
+            )
+        )
+        assert a == b
+        by_type = {r[0]: r[1] for r in a}
+        # u1 view, u2 click, u3 view, u4 view attributed; u5, u6 not
+        assert by_type == {"view": 3, "click": 1, "unattributed": 2}
 
 
 def test_hourly_markov_twin_exactness(spark, sf_dir):

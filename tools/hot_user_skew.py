@@ -131,6 +131,9 @@ def main() -> None:
             "events_markov_transitions",
             "events_markov_transitions_bucketed",
             "events_markov_transitions_bucketed_hourly",
+            "events_attribution_last_touch",
+            "events_attribution_last_touch_bucketed",
+            "events_attribution_last_touch_bucketed_hourly",
         )
         argv = argv[1:]
     if argv and argv[0] == "--hot":
