@@ -27,6 +27,11 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# tools/ on the path HERE, not inside the first streaming try block, so
+# each per-metric try below reports ITS OWN failure rather than a
+# misleading ModuleNotFoundError when an earlier block changes (round-11
+# advice fix).
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
 
 from data_pipeline_with_spark_kafka_spark.queries import all_queries
 from data_pipeline_with_spark_kafka_spark.session import get_spark
@@ -123,7 +128,6 @@ def main() -> None:
     # failure must not cost us the already-printed batch totals.
     if os.environ.get("SPARK_GRAFT_STREAM_BENCH", "1") != "0":
         try:
-            sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
             from stream_bench import measure
 
             stream_metrics = measure(spark, rate=200_000, run_seconds=45)

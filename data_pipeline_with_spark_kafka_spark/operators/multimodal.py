@@ -146,6 +146,14 @@ def encode_png(arr) -> bytes:
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in _PNG_COLOR_TYPE:
+        # same explicit contract as decode_png/attach_image_blob (round-11
+        # advice fix: a bare KeyError named neither the input nor the
+        # supported surface)
+        raise NotImplementedError(
+            f"encode_png supports 1/2/3/4-channel uint8 arrays "
+            f"(grayscale, gray+alpha, RGB, RGBA); got shape {a.shape}"
+        )
     h, w, ch = a.shape
     ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_COLOR_TYPE[ch], 0, 0, 0)
     raw = np.zeros((h, w * ch + 1), dtype=np.uint8)

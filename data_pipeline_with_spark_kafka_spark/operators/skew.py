@@ -105,20 +105,35 @@ def hot_key_day_concentration(
     Two bounded jobs over the (sampled) key/day projection: the hot key
     from one groupBy (max_by), then that key's per-day max/total. Both
     map-side combinable; the probe never touches other columns. Returns
-    0.0 for an empty input."""
+    0.0 for an empty input.
+
+    Round 11 (advice fix): NULL is a real key (Window partitions treat
+    it as one group, and the twins sessionize it), so the hot-key
+    election includes it — the NULL-vs-empty ambiguity of ``max_by``
+    returning NULL is resolved by summing counts in the same aggregate —
+    and ties on the count break deterministically on the key itself
+    (NULL losing: struct ordering sorts NULL first, max picks last),
+    matching ``sequence_skew_profile`` exactly on every corpus."""
     probe = df.select(F.col(key).alias("__k"), F.to_date(F.col(ts_col)).alias("__d"))
     if sample_fraction is not None:
         probe = probe.sample(fraction=sample_fraction, seed=8)
     hot = (
         probe.groupBy("__k")
         .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.max_by("__k", "c").alias("k"))
+        .agg(
+            F.max_by(F.struct("__k"), F.struct("c", "__k")).alias("hot"),
+            F.sum("c").alias("n"),
+        )
         .first()
     )
-    if hot is None or hot["k"] is None:
+    if hot is None or not hot["n"]:
         return 0.0
+    hot_k = hot["hot"]["__k"]
+    # F.lit(None) is a typeless NULL literal; use isNull() when the hot
+    # key itself is NULL so the filter keeps a concrete predicate.
+    hot_pred = F.col("__k").isNull() if hot_k is None else F.col("__k").eqNullSafe(F.lit(hot_k))
     row = (
-        probe.filter(F.col("__k").eqNullSafe(F.lit(hot["k"])))
+        probe.filter(hot_pred)
         .groupBy("__d")
         .agg(F.count(F.lit(1)).alias("c"))
         .agg(F.max("c").alias("m"), F.sum("c").alias("n"))
@@ -143,7 +158,13 @@ def sequence_skew_profile(
     sample three times; at 100 TB the sample scan dominates the probe
     cost). Two bounded shuffles after the scan: a (key, day) count
     (keys x active-days-sized, map-side combinable) and a per-key
-    rollup; the final reduce is a 3-value aggregate."""
+    rollup; the final reduce is a 3-value aggregate.
+
+    Agreement contract (round 11): the hot-key election here and in the
+    standalone probes is the SAME deterministic rule — NULL keys
+    included (they are real Window partition groups), count ties broken
+    on the key value (NULL losing) — so the fused and separate probe
+    paths can never route a query differently."""
     probe = df.select(F.col(key).alias("__k"), F.to_date(F.col(ts_col)).alias("__d"))
     if sample_fraction is not None:
         probe = probe.sample(fraction=sample_fraction, seed=8)
@@ -156,7 +177,7 @@ def sequence_skew_profile(
     row = per_key.agg(
         F.sum("n_k").alias("n"),
         F.max("n_k").alias("m"),
-        F.max_by(F.struct("m_kd", "n_k"), "n_k").alias("hot"),
+        F.max_by(F.struct("m_kd", "n_k"), F.struct("n_k", "__k")).alias("hot"),
     ).first()
     if row is None or not row["n"]:
         return 0.0, 0.0

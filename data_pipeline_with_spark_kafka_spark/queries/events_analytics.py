@@ -620,6 +620,49 @@ def events_markov_transitions_bucketed_hourly(
 
 
 @register(
+    "events_markov_transitions_auto",
+    oracle=MARKOV_ORACLE,
+    tags=("events", "analytics", "window", "skew"),
+)
+def events_markov_transitions_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-ROUTED Markov transitions (round 11, verdict task #3): the
+    sessionization router's three-way rule transfers to Markov unchanged
+    because the measured shape is the same — on the one-day 90%-hot
+    corpus the hour twin WINS even on a single box (3.8 s vs the
+    lifetime window's 13.9 s and the day twin's 31.1 s, BASELINE.md
+    "one-day 90%-hot"), and on a cluster the lifetime/day stragglers
+    stay one task while the hour twin splits. The fused sampled probe
+    (``operators/skew.sequence_skew_profile``, 10% deterministic
+    Bernoulli, one scan of the (user, day) projection) measures the
+    hottest user's share and its busiest-day concentration; routing is
+    lifetime below the ~0.35 crossover, day-bucketed above it,
+    hour-bucketed when the hot key also concentrates >=50% in one
+    calendar day. All three builders share THIS query's oracle
+    (MARKOV_ORACLE), so the route can never change results — the
+    official hash-green row certifies router + probes end-to-end.
+
+    Attribution deliberately has NO auto twin: its hour twin loses on a
+    single box (21.2 s vs lifetime 12.7 s — it pays two probe joins and
+    a 7-leg lookback explode that pure window-algebra twins never pay)
+    and wins only on cluster splittability, so routing it needs a
+    cluster-size-aware threshold, not this crossover — see the ADR note
+    in BASELINE.md ("attribution routing rule")."""
+    from data_pipeline_with_spark_kafka_spark.operators.skew import choose_sequence_plan
+
+    events = load_table(spark, sf_dir, "events")
+    chosen, _share = choose_sequence_plan(
+        events,
+        "user_id",
+        events_markov_transitions,
+        events_markov_transitions_bucketed,
+        hourly=events_markov_transitions_bucketed_hourly,
+        ts_col="ts",
+        sample_fraction=0.1,
+    )
+    return chosen(spark, sf_dir)
+
+
+@register(
     "events_attribution_last_touch_bucketed",
     oracle=ATTRIBUTION_ORACLE,
     tags=("events", "analytics", "window", "skew"),

@@ -187,37 +187,44 @@ _COVERED_IN_OFFICIAL_ARTIFACTS = frozenset({
     # not yet in this set; the other 47 sampled names were backlog):
     "events_session_ids_bucketed", "llm_dedup_embedding_cosine_fast",
     "llm_sim_topk_ivf",
+    # round 10 (green rows in CORRECTNESS_r10.json — the 4 round-10-new
+    # queries; the other 46 sampled names were already-covered backlog):
+    "events_attribution_last_touch_bucketed_hourly",
+    "events_markov_transitions_bucketed_hourly", "events_session_ids_auto",
+    "events_session_ids_bucketed_hourly",
 })
 
 # The full 50-name sample of the MOST RECENT official artifact
-# (CORRECTNESS_r09.json). Within the already-covered backlog these are
+# (CORRECTNESS_r10.json). Within the already-covered backlog these are
 # the most recently re-audited names, so they sort LAST: the next
 # round's 50-query sample spends its budget on new queries plus the
 # least-recently-audited backlog instead of re-auditing the same prefix
 # (round-9 verdict task #4). Refresh this set each round from the new
 # artifact.
 _SAMPLED_IN_LATEST_ARTIFACT = frozenset({
-    "dq_orders_constraints", "drift_psi_labels", "emb_kmeans_train",
-    "emb_label_centroid_norms", "emb_pca_explained_variance",
-    "emb_pca_project", "events_anomaly_dow",
-    "events_attribution_last_touch",
-    "events_attribution_last_touch_bucketed", "events_daily_active_users",
-    "events_funnel_conversion", "events_funnel_ordered_steps",
-    "events_markov_transitions", "events_markov_transitions_bucketed",
-    "events_max_concurrency", "events_retention_cohorts",
-    "events_rolling_7d_active_users", "events_session_ids",
-    "events_session_ids_bucketed", "events_time_to_convert",
-    "events_zscore_outliers", "flagship_events_windowed_enrichment",
-    "func_array_family", "func_cast_family", "func_conditional_family",
-    "func_date_family", "func_explode_tokens", "func_json_family",
-    "func_math_family", "func_string_family", "func_struct_map_family",
-    "graph_triangle_count", "ivm_join_maintenance",
-    "ivm_rollup_maintenance", "llm_dedup_clusters", "llm_dedup_containment",
-    "llm_dedup_embedding_cosine", "llm_dedup_embedding_cosine_fast",
-    "llm_dedup_exact", "llm_dedup_minhash_lsh", "llm_dedup_minhash_lsh_md5",
-    "llm_dedup_ngram_jaccard", "llm_dedup_simhash", "llm_dedup_simhash_md5",
-    "llm_sim_topk_ivf", "llm_text_langid", "llm_text_quality",
-    "llm_text_stats", "privacy_erasure_cascade", "privacy_k_anonymity",
+    "events_attribution_last_touch_bucketed_hourly",
+    "events_markov_transitions_bucketed_hourly", "events_session_ids_auto",
+    "events_session_ids_bucketed_hourly", "llm_bm25_topk",
+    "llm_chunk_documents", "llm_classifier_calibration",
+    "llm_classifier_eval_auc", "llm_contamination_overlap",
+    "llm_curated_corpus", "llm_dedup_corpus_segments",
+    "llm_dedup_embedding_cosine_ivf", "llm_dedup_incremental",
+    "llm_dedup_incremental_near", "llm_dedup_incremental_near_probe",
+    "llm_deterministic_shuffle", "llm_domain_mixture",
+    "llm_emb_random_projection", "llm_fingerprint_winnowing",
+    "llm_hybrid_rrf", "llm_inverted_index", "llm_knn_join_exact",
+    "llm_knn_join_ivf", "llm_length_histogram", "llm_multimodal_metadata",
+    "llm_perplexity_trigram_backoff", "llm_pii_redaction",
+    "llm_quality_classifier", "llm_quality_gopher",
+    "llm_quality_percentile_filter", "llm_quality_weighted_sample",
+    "llm_remove_repeated_spans", "llm_repetition_metrics",
+    "llm_semdedup_prune", "llm_sequence_packing",
+    "llm_shared_span_fraction", "llm_sim_topk_bruteforce",
+    "llm_sim_topk_lsh", "llm_sim_topk_lsh_md5", "llm_text_fingerprint",
+    "llm_text_normalize_nfc", "llm_token_count_regex", "llm_token_entropy",
+    "llm_top_bigrams", "llm_top_pmi_bigrams", "llm_train_quality_classifier",
+    "llm_train_val_test_split", "llm_vocab_stats", "llm_zipf_fit",
+    "text_heavy_hitters",
 })
 
 

@@ -470,6 +470,14 @@ def test_png_codec_round_trip_and_all_filters():
         multimodal.decode_png(deep)
     with pytest.raises(ValueError):
         multimodal.decode_png(b"notapng")
+    # encode side honors the same explicit contract (round-11 advice fix:
+    # a 5-channel array used to die with a bare KeyError)
+    import numpy as np
+
+    with pytest.raises(NotImplementedError, match="1/2/3/4-channel"):
+        multimodal.encode_png(np.zeros((2, 2, 5), dtype=np.uint8))
+    with pytest.raises(NotImplementedError, match="1/2/3/4-channel"):
+        multimodal.encode_png(np.zeros(4, dtype=np.uint8))
 
 
 def test_image_pipeline_png_equals_bmp(spark):

@@ -121,6 +121,9 @@ EXCHANGE_BUDGET = {
     # measured share picks — on organic driver data the uniform corpus
     # routes to the lifetime window (1 exchange).
     "events_session_ids_auto": 1,
+    # skew-routed Markov twin (round 11): same router contract — on the
+    # uniform fixture the probe routes to the lifetime Markov plan (3).
+    "events_markov_transitions_auto": 3,
     # pure per-row md5 filter — zero shuffles by construction.
     "llm_stratified_sample_md5": 0,
     # daily agg (the only corpus shuffle) + dow-stats agg pair + the

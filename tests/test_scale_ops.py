@@ -460,3 +460,170 @@ def test_hourly_session_twin_exactness(spark, sf_dir):
         for user_id, _seq, _n, _s, _e in a:
             n_sessions[user_id] = n_sessions.get(user_id, 0) + 1
         assert n_sessions == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_markov_auto_routes_all_three_twins(spark):
+    """Round 11 (verdict task #3): the sessionization routing rule
+    transfers to Markov — the router picks the lifetime window on
+    uniform data, the day twin on a multi-day bot, and the hour twin on
+    a single-day bot, and every route returns the identical transition
+    matrix (the builders share MARKOV_ORACLE; equality pinned here on
+    the crafted corpora via direct builder runs)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from data_pipeline_with_spark_kafka_spark.queries.events_analytics import (
+        events_markov_transitions,
+        events_markov_transitions_bucketed,
+        events_markov_transitions_bucketed_hourly,
+    )
+
+    base = dt.datetime(2024, 5, 1, 0, 0)
+    types = ["view", "click", "purchase", "signup"]
+    uniform = [(u, base + dt.timedelta(hours=u)) for u in range(60)]
+    multi = [
+        (0, base + dt.timedelta(days=i % 10, minutes=i)) for i in range(90)
+    ] + [(u, base + dt.timedelta(hours=u)) for u in range(1, 11)]
+    single = [(0, base + dt.timedelta(minutes=i)) for i in range(90)] + [
+        (u, base + dt.timedelta(days=1, hours=u % 20)) for u in range(1, 11)
+    ]
+    expected = {
+        "uniform": events_markov_transitions,
+        "multi": events_markov_transitions_bucketed,
+        "single": events_markov_transitions_bucketed_hourly,
+    }
+    corpora = {"uniform": uniform, "multi": multi, "single": single}
+    for name, rows in corpora.items():
+        df = spark.createDataFrame(
+            [
+                (i, u, t, types[i % 4], 1.0, None)
+                for i, (u, t) in enumerate(rows)
+            ],
+            "event_id long, user_id long, ts timestamp, event_type string, "
+            "value double, props string",
+        )
+        chosen, _share = choose_sequence_plan(
+            df,
+            "user_id",
+            events_markov_transitions,
+            events_markov_transitions_bucketed,
+            hourly=events_markov_transitions_bucketed_hourly,
+            ts_col="ts",
+        )
+        assert chosen is expected[name], name
+        # every route is exact: all three builders agree on this corpus
+        with tempfile.TemporaryDirectory() as root:
+            df.write.parquet(os.path.join(root, "events.parquet"))
+            results = [
+                sorted(map(tuple, b(spark, root).collect()))
+                for b in (
+                    events_markov_transitions,
+                    events_markov_transitions_bucketed,
+                    events_markov_transitions_bucketed_hourly,
+                )
+            ]
+            assert results[0] == results[1] == results[2], name
+
+
+def test_skew_probes_agree_on_null_and_tied_keys(spark):
+    """Round 11 (advice fix): the fused profile and the standalone probes
+    elect the SAME hot key when the dominant key is NULL (a real Window
+    partition group — the old standalone probe returned 0.0 there while
+    the fused path measured it) and when two keys tie on count (ties
+    break on the key value, NULL losing), so the router's choice is
+    path-independent on every corpus."""
+    import datetime as dt
+
+    from data_pipeline_with_spark_kafka_spark.operators.skew import (
+        hot_key_day_concentration,
+        sequence_skew_profile,
+    )
+
+    base = dt.datetime(2024, 5, 1, 0, 0)
+    schema = "user_id long, ts timestamp"
+    # NULL-dominant: 90 NULL-user rows, 60 on day 0 / 30 on day 1 -> the
+    # hot key is NULL with day concentration 2/3
+    null_hot = spark.createDataFrame(
+        [(None, base + dt.timedelta(minutes=i)) for i in range(60)]
+        + [(None, base + dt.timedelta(days=1, minutes=i)) for i in range(30)]
+        + [(u, base + dt.timedelta(hours=u)) for u in range(1, 11)],
+        schema,
+    )
+    share, conc = sequence_skew_profile(null_hot, "user_id", "ts")
+    assert abs(share - 0.9) < 1e-9
+    assert abs(conc - 2 / 3) < 1e-9
+    assert abs(hot_key_day_concentration(null_hot, "user_id", "ts") - conc) < 1e-9
+    assert abs(dominant_key_share(null_hot, "user_id") - share) < 1e-9
+    # count tie between key 1 (spread over 2 days, conc 0.5) and key 2
+    # (one day, conc 1.0): both paths must elect key 2 (max key wins)
+    tied = spark.createDataFrame(
+        [(1, base + dt.timedelta(days=i % 2, minutes=i)) for i in range(10)]
+        + [(2, base + dt.timedelta(minutes=i)) for i in range(10)],
+        schema,
+    )
+    _share_t, conc_t = sequence_skew_profile(tied, "user_id", "ts")
+    assert conc_t == 1.0
+    assert hot_key_day_concentration(tied, "user_id", "ts") == 1.0
+    # NULL loses a tie against a non-NULL key in both paths
+    null_tie = spark.createDataFrame(
+        [(None, base + dt.timedelta(days=i % 2, minutes=i)) for i in range(10)]
+        + [(5, base + dt.timedelta(minutes=i)) for i in range(10)],
+        schema,
+    )
+    _share_n, conc_n = sequence_skew_profile(null_tie, "user_id", "ts")
+    assert conc_n == 1.0
+    assert hot_key_day_concentration(null_tie, "user_id", "ts") == 1.0
+
+
+def test_sequence_twin_partition_bounds_single_day_bot(spark, tmp_path):
+    """Round 11 (verdict task #4): the hour twins' 100-TB claim —
+    "worst Window partition = the hot key's busiest hour/bucket" —
+    asserted STRUCTURALLY via per-partition row bounds on the crafted
+    single-day-bot corpus (tools/hot_user_skew.py's generator), the
+    cluster-regime evidence local wall-clock cannot give: the lifetime
+    window's worst partition is the whole hot user, the day twin's is
+    identical on this shape (the bot's one day IS its lifetime — day
+    buckets split nothing), and the hour twin's is capped by the bot's
+    busiest hour (~1/24th). The groupBy keys are exactly the twins'
+    Window.partitionBy keys (user_id; user_id+day; user_id+hour)."""
+    from tools.hot_user_skew import gen_events
+
+    sf = gen_events(str(tmp_path), 100_000, 0.9, single_day=True)
+    events = load_table(spark, sf, "events")
+
+    def max_partition(*keys):
+        return (
+            events.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c"))
+            .first()[0]
+        )
+
+    hot_rows = events.filter(F.col("user_id") == 0).count()
+    max_life = max_partition("user_id")
+    max_day = max_partition("user_id", F.to_date("ts").alias("d"))
+    max_hour = max_partition(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    )
+    assert max_life == hot_rows  # lifetime straggler = the whole bot
+    assert max_day == hot_rows  # single-day bot: day buckets split NOTHING
+    # hour buckets cap the straggler at the bot's busiest hour; uniform
+    # over 24h -> ~hot_rows/24, assert a conservative 12x reduction
+    assert max_hour * 12 <= max_life
+    # and on the multi-day shape the DAY twin already splits the bot
+    sf_multi = gen_events(str(tmp_path), 100_000, 0.9, single_day=False)
+    multi = load_table(spark, sf_multi, "events")
+    m_life = (
+        multi.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c"))
+        .first()[0]
+    )
+    m_day = (
+        multi.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c"))
+        .first()[0]
+    )
+    assert m_day * 15 <= m_life  # 30-day span -> >=15x smaller partitions

@@ -117,13 +117,19 @@ def run_one(spark, name: str, sf_dir: str) -> float:
 
 
 def main() -> None:
+    # flags are order-independent (round-11 advice fix: '--hot 0.9
+    # --single-day' used to leave the flag in the positional sizes)
     argv = sys.argv[1:]
-    hots = (0.0, 0.5, 0.9)
-    single_day = False
+    single_day = "--single-day" in argv
+    argv = [a for a in argv if a != "--single-day"]
+    explicit_hot: tuple[float, ...] | None = None
+    if "--hot" in argv:
+        i = argv.index("--hot")
+        explicit_hot = (float(argv[i + 1]),)
+        del argv[i : i + 2]
     query_names = QUERY_NAMES
-    if argv and argv[0] == "--single-day":
-        single_day = True
-        hots = (0.9,)
+    if single_day:
+        hots = explicit_hot or (0.9,)
         query_names = (
             "events_session_ids",
             "events_session_ids_bucketed",
@@ -135,10 +141,8 @@ def main() -> None:
             "events_attribution_last_touch_bucketed",
             "events_attribution_last_touch_bucketed_hourly",
         )
-        argv = argv[1:]
-    if argv and argv[0] == "--hot":
-        hots = (float(argv[1]),)
-        argv = argv[2:]
+    else:
+        hots = explicit_hot or (0.0, 0.5, 0.9)
     sizes = [int(a) for a in argv] or [5_000_000]
     spark = get_spark(app_name="hot-user-skew")
     spark.sparkContext.setLogLevel("ERROR")
