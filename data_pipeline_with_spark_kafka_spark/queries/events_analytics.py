@@ -516,7 +516,27 @@ def _markov_transitions_bucketed(
     pairs from the local lag, cross-boundary pairs from the previous
     ACTIVE bucket's last event), so ``bucket`` picks the split
     granularity — "day" (default twin) or "hour" (round 10: the
-    fallback for a single-day bot whose busiest day IS the straggler)."""
+    fallback for a single-day bot whose busiest day IS the straggler).
+
+    Round 11 (verdict stretch #7): the bucket-edges aggregate no longer
+    consumes the window output — it aggregates the PRE-window projection
+    with pure min/max struct aggregates (first event = min(struct(ts,
+    event_id, type)), exact vs the positional rn==1 election because
+    event_id makes (ts, event_id) a total order, with struct ordering's
+    nulls-first matching the window's asc_nulls_first; pinned on NULL-ts
+    / NULL-type / NULL-day shapes in test_plans.py). The round-9 shape
+    derived the aggregate from the window output to guarantee ONE scan
+    via AQE exchange reuse — but that made the corpus-sized WindowExec
+    (the per-bucket SORT, carrying the event_type string) execute once
+    per consumer: on the 5M-row one-day 90%-hot corpus the day twin paid
+    24.1 s vs the lifetime window's 13.9 s. The deliberate trade now: a
+    SECOND column-pruned parquet scan feeding a map-side-combined
+    aggregate (its shuffle is (user, bucket)-sized, never a straggler;
+    scans parallelize perfectly at any scale) buys ONE corpus sort
+    instead of two — measured 24.1 -> 12.9 s on that corpus, and the
+    straggler task at 100 TB does half the work. Sessionization keeps
+    the round-9 single-scan shape: its edges aggregate needs the
+    window's running flag sum, so it cannot leave the window output."""
     events = load_table(spark, sf_dir, "events")
     bucket_col = F.to_date("ts") if bucket == "day" else F.date_trunc(bucket, F.col("ts"))
     keyed = events.select(
@@ -527,21 +547,21 @@ def _markov_transitions_bucketed(
         bucket_col.alias("d"),
     )
     w_local = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
-    local = keyed.withColumn("prev_type", F.lag("next_type").over(w_local)).withColumn(
-        "rn", F.row_number().over(w_local)
+    pairs_local = keyed.select(
+        F.lag("next_type").over(w_local).alias("prev_type"), "next_type"
     )
-    pairs_local = local.select("prev_type", "next_type")
-    day_edges = local.groupBy("user_id", "d").agg(
+    day_edges = keyed.groupBy("user_id", "d").agg(
         F.max(F.struct("ts", "event_id", "next_type")).alias("last_ev"),
-        # exactly one row per (user, day) has rn == 1: the day-first
-        # event — its type (possibly NULL, preserved as NULL so the
-        # boundary pair matches the lifetime twin's (prev, NULL) group)
-        F.max(F.when(F.col("rn") == 1, F.col("next_type"))).alias("first_type"),
+        # bucket-first event positionally = min by (ts, event_id); its
+        # type (possibly NULL, preserved as NULL so the boundary pair
+        # matches the lifetime twin's (prev, NULL) group) rides the
+        # struct
+        F.min(F.struct("ts", "event_id", "next_type")).alias("first_ev"),
     )
     w_days = Window.partitionBy("user_id").orderBy("d")
     boundary = day_edges.select(
         F.lag(F.col("last_ev.next_type")).over(w_days).alias("prev_type"),
-        F.col("first_type").alias("next_type"),
+        F.col("first_ev.next_type").alias("next_type"),
     )
     pairs = pairs_local.unionByName(boundary).filter(F.col("prev_type").isNotNull())
     trans = pairs.groupBy("prev_type", "next_type").agg(
@@ -580,24 +600,17 @@ def events_markov_transitions_bucketed(spark: SparkSession, sf_dir: str) -> Data
     (``events_markov_transitions_bucketed_hourly``) — same algebra
     (``_markov_transitions_bucketed``).
 
-    Round 9: both branches (within-day pairs AND day edges) derive from
-    ONE windowed relation (a genuine window-output dependency, so
-    Catalyst cannot prune the Window from the day-edges branch and
-    re-scan), making the two sub-exchange plans canonically identical:
-    AQE's stage cache reuses the (user_id, d) corpus exchange at
-    runtime and events scans and shuffles ONCE (ReusedExchange
-    plan-asserted in test_plans.py); the day-edges aggregate then rides
-    the same partitioning with no extra exchange.
-
     Round 10 (advice fix): the day-first event is identified
-    POSITIONALLY (row_number() == 1 over the same window spec — it
-    collapses into the same Window operator as the lag, keeping the
-    single-scan property) rather than by ``prev_type IS NULL``:
-    lag(next_type) is also NULL for any row FOLLOWING a NULL-typed
-    event, so on corpora with NULL event_type + non-null ts the old
-    predicate could elect a mid-day event's type as first_type and
-    diverge from the lifetime twin. Edge corpus ``null_type`` in
-    tools/edge_sweep.py now exercises exactly that shape."""
+    POSITIONALLY rather than by ``prev_type IS NULL``: lag(next_type)
+    is also NULL for any row FOLLOWING a NULL-typed event, so on
+    corpora with NULL event_type + non-null ts the old predicate could
+    elect a mid-day event's type as first_type and diverge from the
+    lifetime twin. Edge corpus ``null_type`` in tools/edge_sweep.py now
+    exercises exactly that shape (round 11 moved the positional
+    election into the edges aggregate itself — min(struct(ts, event_id,
+    type)), exact because event_id totalizes the order; see
+    ``_markov_transitions_bucketed`` for the one-sort-vs-one-scan
+    trade that replaced the round-9 window-output dependency)."""
     return _markov_transitions_bucketed(spark, sf_dir, "day")
 
 

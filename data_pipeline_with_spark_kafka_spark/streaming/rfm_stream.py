@@ -120,19 +120,44 @@ def run_rfm_ledger(stream: DataFrame, checkpoint: str, ledger: dict) -> None:
     q.awaitTermination()
 
 
-def run_rfm_ledger_parquet(stream: DataFrame, checkpoint: str, target_dir: str) -> None:
+def run_rfm_ledger_parquet(
+    stream: DataFrame,
+    checkpoint: str,
+    target_dir: str,
+    *,
+    n_buckets: int = 64,
+    compact_every: int = 16,
+) -> None:
     """DURABLE ledger fold (round 9): MERGE each batch's absolute
-    per-customer rows into a parquet table keyed by ``o_custkey`` via
-    ``streaming.sinks.keyed_upsert_parquet`` — the deployment-shaped
-    twin of ``run_rfm_ledger`` with no driver-side data path. Absolute
-    rows + keyed merge = replay-idempotent with zero epoch bookkeeping;
-    for a JDBC serving table swap in ``sources.readers.jdbc_keyed_upsert``
-    (same contract, transactional MERGE)."""
-    from data_pipeline_with_spark_kafka_spark.streaming.sinks import keyed_upsert_parquet
+    per-customer rows into a parquet ledger keyed by ``o_custkey`` —
+    the deployment-shaped twin of ``run_rfm_ledger`` with no
+    driver-side data path. Absolute rows + keyed merge =
+    replay-idempotent with zero epoch bookkeeping; for a JDBC serving
+    table swap in ``sources.readers.jdbc_keyed_upsert`` (same contract,
+    transactional MERGE).
+
+    Round 11: the sink is ``sinks.bucketed_keyed_upsert_parquet``
+    (delta append + hash-bucketed threshold compaction) — the plain
+    delete+insert sink rewrote the WHOLE ledger every batch (~40% of
+    the trigger at 50k customers, O(ledger) at any size), so at a
+    100M-customer ledger every trigger would pay a 100M-row rewrite.
+    Now a trigger pays O(batch) (one delta write) plus amortized
+    O(touched-buckets/compact_every) compaction. Read the ledger with
+    ``segments_from_parquet_ledger`` / ``sinks.read_keyed_ledger``."""
+    from data_pipeline_with_spark_kafka_spark.streaming.sinks import (
+        bucketed_keyed_upsert_parquet,
+    )
 
     q = (
         stream.writeStream.outputMode("update")
-        .foreachBatch(keyed_upsert_parquet(target_dir, ["o_custkey"]))
+        .foreachBatch(
+            bucketed_keyed_upsert_parquet(
+                target_dir,
+                ["o_custkey"],
+                n_buckets=n_buckets,
+                compact_every=compact_every,
+            )
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
@@ -153,10 +178,13 @@ def segments_from_ledger(spark, ledger: dict) -> DataFrame:
 
 
 def segments_from_parquet_ledger(spark, target_dir: str) -> DataFrame:
-    """Quartile-code the DURABLE parquet ledger: read the merged
-    per-customer absolute rows and delegate to ``segments_from_base`` —
-    end-to-end distributed, no dict materialization."""
-    base = spark.read.parquet(target_dir).select(
+    """Quartile-code the DURABLE parquet ledger: merge-on-read the
+    bucketed base + pending deltas (``sinks.read_keyed_ledger``) and
+    delegate to ``segments_from_base`` — end-to-end distributed, no
+    dict materialization."""
+    from data_pipeline_with_spark_kafka_spark.streaming.sinks import read_keyed_ledger
+
+    base = read_keyed_ledger(spark, target_dir, ["o_custkey"]).select(
         "o_custkey",
         F.col("last_order_days").alias("last_days"),
         "frequency",

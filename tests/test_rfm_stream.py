@@ -176,13 +176,15 @@ def _run_parquet(spark, src, ckpt, target):
 
 
 def _read_parquet_ledger(spark, target):
+    from data_pipeline_with_spark_kafka_spark.streaming.sinks import read_keyed_ledger
+
     return {
         int(r["o_custkey"]): (
             int(r["last_order_days"]),
             int(r["frequency"]),
             int(r["monetary_cents"]),
         )
-        for r in spark.read.parquet(str(target)).collect()
+        for r in read_keyed_ledger(spark, str(target), ["o_custkey"]).collect()
     }
 
 

@@ -262,7 +262,10 @@ def measure_stateful_rfm(spark, rate: int = 200_000, run_seconds: int = 90) -> d
     to |customers| (lifetime aggregates, no eviction horizon); the
     artifact also reports the final ledger row count."""
     from data_pipeline_with_spark_kafka_spark.streaming.rfm_stream import rfm_base_stream
-    from data_pipeline_with_spark_kafka_spark.streaming.sinks import keyed_upsert_parquet
+    from data_pipeline_with_spark_kafka_spark.streaming.sinks import (
+        bucketed_keyed_upsert_parquet,
+        read_keyed_ledger,
+    )
 
     orders = (
         spark.readStream.format("rate")
@@ -279,7 +282,7 @@ def measure_stateful_rfm(spark, rate: int = 200_000, run_seconds: int = 90) -> d
     query = (
         rfm_base_stream(orders)
         .writeStream.outputMode("update")
-        .foreachBatch(keyed_upsert_parquet(ledger_dir, ["o_custkey"]))
+        .foreachBatch(bucketed_keyed_upsert_parquet(ledger_dir, ["o_custkey"]))
         .option("checkpointLocation", tempfile.mkdtemp(prefix="rfmb-ckpt-"))
         .start()
     )
@@ -287,13 +290,14 @@ def measure_stateful_rfm(spark, rate: int = 200_000, run_seconds: int = 90) -> d
     rows_per_sec, total_rows, state = _batch_metrics(data_batches)
     ledger_rows = 0
     if os.path.isdir(ledger_dir):
-        ledger_rows = spark.read.parquet(ledger_dir).count()
+        ledger_rows = read_keyed_ledger(spark, ledger_dir, ["o_custkey"]).count()
     return {
         "metric": "rfm_stream_rows_per_sec",
         "value": rows_per_sec,
         "unit": "rows/sec",
-        "operator": "rfm_base_stream + keyed_upsert_parquet ledger "
-                    "(trigger durations include the per-batch MERGE)",
+        "operator": "rfm_base_stream + bucketed_keyed_upsert_parquet ledger "
+                    "(trigger durations include the per-batch delta append "
+                    "+ amortized touched-bucket compaction)",
         "offered_rate": rate,
         "run_seconds": run_seconds,
         "n_batches": len(data_batches),
