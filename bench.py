@@ -158,6 +158,7 @@ def main() -> None:
         for mode_name, metric_name in (
             ("measure_stateful_attribution", "attribution_stream_rows_per_sec"),
             ("measure_stateful_rfm", "rfm_stream_rows_per_sec"),
+            ("measure_stateful_session", "session_stream_rows_per_sec"),
         ):
             try:
                 import stream_bench

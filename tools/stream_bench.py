@@ -307,10 +307,59 @@ def measure_stateful_rfm(spark, rate: int = 200_000, run_seconds: int = 90) -> d
     }
 
 
+def measure_stateful_session(spark, rate: int = 200_000, run_seconds: int = 90) -> dict:
+    """Throughput + state profile of the streaming sessionization twin
+    (round 11, verdict stretch #8 — completes the stateful family:
+    trending, attribution, RFM, sessions). Rate-source events over a
+    50k-user domain flow through
+    ``streaming.session_stream.session_ids_stream`` (30-minute gap,
+    10-second watermark) into a memory sink: every user holds ONE open
+    session row, each batch re-emits the sessions it touched, so the
+    measured cost is the per-event state fold + per-touched-session
+    emission — the operator's real steady-state shape."""
+    from data_pipeline_with_spark_kafka_spark.streaming.session_stream import (
+        session_ids_stream,
+    )
+
+    events = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rate)
+        .load()
+        .select(
+            F.col("value").alias("event_id"),
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 50_000).alias("user_id"),
+        )
+    )
+    stream = session_ids_stream(events, gap="30 minutes", watermark="10 seconds")
+    query = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("session_stream_bench_out")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sess-ckpt-"))
+        .start()
+    )
+    data_batches = _drain(query, run_seconds)
+    rows_per_sec, total_rows, state = _batch_metrics(data_batches)
+    return {
+        "metric": "session_stream_rows_per_sec",
+        "value": rows_per_sec,
+        "unit": "rows/sec",
+        "operator": "session_ids_stream (applyInPandasWithState, "
+                    "O(1) open-session state + lifetime seq cursor)",
+        "offered_rate": rate,
+        "run_seconds": run_seconds,
+        "n_batches": len(data_batches),
+        "total_rows": total_rows,
+        **state,
+    }
+
+
 _MODES = {
     "--stateful": measure_stateful,
     "--attribution": measure_stateful_attribution,
     "--rfm": measure_stateful_rfm,
+    "--session": measure_stateful_session,
 }
 
 
