@@ -45,10 +45,11 @@ ITERATIVE_BUILDERS = {
     # fingerprints) to parquet ONCE per sf_dir — the offline index-build
     # half of the deployment shape; subsequent constructions only read it
     "llm_dedup_incremental_near_probe",
-    # round-10 skew router: the dominant-key probe (a bounded 2-value
-    # aggregate over the sampled key column) runs eagerly at construction
+    # round-10/11 skew routers: the fused skew probe (bounded aggregates
+    # over the sampled key/day projection) runs eagerly at construction
     # by design — the measured share picks which twin plan to return.
     "events_session_ids_auto",
+    "events_markov_transitions_auto",
 }
 
 
