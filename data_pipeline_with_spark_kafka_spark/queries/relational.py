@@ -679,3 +679,60 @@ def join_asof_latest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["view_value"],
         tolerance_seconds=86400,
     )
+
+
+@register(
+    "join_bloom_pruned_urgent_revenue",
+    oracle="""
+SELECT date_trunc('month', o.o_orderdate) AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY 1
+""",
+    tags=("join", "runtime-filter"),
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈selective-dim join with an explicit Bloom runtime filter:
+    lineitem is pruned MAP-SIDE (k codegen bit tests against a 32 KB
+    word-array literal, zero added fact shuffles) against the
+    urgent-orders key set before its join Exchange, so only ~20% of
+    fact rows reach the shuffle. The oracle is the PLAIN join — the
+    value hash matching it is the proof the prune has no false
+    negatives (false positives survive the prune and die in the join).
+
+    Uses the operator's LITERAL tier: the filter build is one bounded
+    aggregate job at construction (output fixed at m_bits/64 = 4096
+    longs regardless of dim size), memoized per sf_dir — the same
+    offline-artifact class as the SQ8/PQ codebooks, allowlisted the
+    same way in the lazy-construction contract. See
+    operators/runtime_filter for the measured tier trade and for why
+    this beats both key-set broadcast (unbounded) and Spark's injected
+    bloom (optimizer-visibility-limited) at 100 TB."""
+    from data_pipeline_with_spark_kafka_spark.operators.runtime_filter import (
+        bloom_pruned_join,
+    )
+
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+    )
+    joined = bloom_pruned_join(
+        lineitem,
+        urgent,
+        "l_orderkey",
+        "o_orderkey",
+        literal_cache_key=(sf_dir, "orders", "urgent-bloom"),
+    )
+    return joined.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        round_to(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        ),
+    )

@@ -175,10 +175,15 @@ class TestLabelPropagation:
         got, want = self._run(spark, [(1, 2)])
         assert got == want == {1: 1, 2: 1}
         empty = spark.createDataFrame([], "src long, dst long")
-        before = spark.sparkContext._jsc.getPersistentRDDs().size()
+        jsc = spark.sparkContext._jsc
+        before = set(jsc.getPersistentRDDs().keySet().toArray())
         assert graph.label_propagation(empty).count() == 0
-        # the early-return path must unpersist BOTH cached relations
-        assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+        # The early-return path must unpersist BOTH cached relations: no
+        # NEW persistent RDD may remain. Subset (not equality) because
+        # the async ContextCleaner may GC unrelated caches between the
+        # two snapshots (observed once under co-tenant load).
+        after = set(jsc.getPersistentRDDs().keySet().toArray())
+        assert after <= before
 
     def test_early_stop_converged(self, spark):
         # a triangle converges in <= 2 iterations; asking for 50 must not

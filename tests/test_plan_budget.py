@@ -168,6 +168,11 @@ EXCHANGE_BUDGET = {
     # share the ship_day partitioning with the join at runtime.
     "ivm_rollup_maintenance": 2,
     "join_anti_customers_without_orders": 1,
+    # literal tier: the bloom build runs at construction (memoized), so
+    # the query plan is just the AQE-elected dim broadcast + the final
+    # month agg; the FACT side contributes no exchange before the join —
+    # the prune is a codegen Filter on the scan.
+    "join_bloom_pruned_urgent_revenue": 2,
     "join_asof_latest_view": 1,
     "join_cross_small": 2,
     "join_full_outer_keys": 2,
