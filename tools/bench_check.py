@@ -1,6 +1,9 @@
-"""Bench regression guard: run bench.py and fail if the corpus total at
-sf0.1 exceeds 2x the recorded BASELINE.md total (42.8 s, round 1) — the
-driver contract's "BENCH within 2x of BASELINE at the same scale factor".
+"""Bench regression guard: run bench.py and fail if the corpus at sf0.1
+exceeds 2x the recorded BASELINE.md PER-QUERY cost (42.8 s / 86 queries
+= 0.498 s, round 1) — the driver contract's "BENCH within 2x of
+BASELINE at the same scale factor", normalized per query because the
+corpus has grown ~2.5x since the baseline was recorded (a raw-total
+threshold silently went stale around the 200-query mark).
 
 Usage: python tools/bench_check.py  (exit 1 on regression)
 """
@@ -12,7 +15,7 @@ import os
 import subprocess
 import sys
 
-BASELINE_TOTAL_SEC = 42.8  # BASELINE.md, round-1 corpus at sf0.1 on local[32]
+BASELINE_PER_QUERY_SEC = 42.8 / 86  # BASELINE.md round-1 corpus, sf0.1, local[32]
 THRESHOLD = 2.0
 
 
@@ -40,13 +43,21 @@ def main() -> int:
         print("bench.py failed:\n" + out.stdout[-2000:] + out.stderr[-2000:])
         return 1
     total, sf = result["value"], result["sf"]
-    limit = BASELINE_TOTAL_SEC * THRESHOLD
+    n = len(result["queries"])
+    per_query = total / max(1, n)
+    limit = BASELINE_PER_QUERY_SEC * THRESHOLD
     slowest = sorted(result["queries"].items(), key=lambda kv: -kv[1])[:10]
-    print(f"total={total}s sf={sf} limit={limit}s ({len(result['queries'])} queries)")
+    print(
+        f"total={total}s sf={sf} n={n} per_query={per_query:.3f}s "
+        f"limit={limit:.3f}s/query"
+    )
     for name, sec in slowest:
         print(f"  {sec:6.2f}s  {name}")
-    if sf == 0.1 and total > limit:
-        print(f"REGRESSION: {total}s > {limit}s (2x baseline {BASELINE_TOTAL_SEC}s)")
+    if sf == 0.1 and per_query > limit:
+        print(
+            f"REGRESSION: {per_query:.3f}s/query > {limit:.3f}s/query "
+            f"(2x baseline {BASELINE_PER_QUERY_SEC:.3f}s/query)"
+        )
         return 1
     print("OK")
     return 0
