@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
 from data_pipeline_with_spark_kafka_spark.queries.registry import register
-from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table, load_table_fanned
 
 EMB_CENTROID_ORACLE = """
 WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
@@ -58,7 +58,7 @@ FROM pervec p JOIN centroid c USING (label)
 def emb_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding-space health metrics: count, centroid L2
     norm, mean vector L2 norm, and dispersion E||v||^2 - ||c||^2."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_fanned(spark, sf_dir, "embeddings")
     sq = F.aggregate(
         "embedding",
         F.lit(0.0),
@@ -213,7 +213,7 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (os.path.abspath(sf_dir), stamp, 8, 5, 42)
     rows = _KMEANS_TRAIN_CACHE.get(key) if stamp is not None else None
     if rows is None:
-        emb = load_table(spark, sf_dir, "embeddings")
+        emb = load_table_fanned(spark, sf_dir, "embeddings")
         rows = kmeans_verified(emb, "vec_id", "embedding", k=8, iterations=5, seed=42)
         if stamp is not None:
             _KMEANS_TRAIN_CACHE[key] = rows

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
 from data_pipeline_with_spark_kafka_spark.operators import pca
 from data_pipeline_with_spark_kafka_spark.queries.registry import register
-from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table, load_table_fanned
 
 _FIXTURE = "pca_components_m8"
 _FIXTURES_DIR = "/root/repo/fixtures"
@@ -51,7 +51,7 @@ FROM e CROSS JOIN comps c
 def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Project every embedding onto the top-8 principal components —
     long format (id, comp_id, score), zero shuffles (literal weights)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_fanned(spark, sf_dir, "embeddings")
     return pca.project_components(emb, "vec_id", "embedding", _components(emb, sf_dir))
 
 
@@ -93,7 +93,7 @@ def emb_pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combined); total variance is one zero-shuffle per-vector
     pass + a 64-row per-dimension aggregate; the two scalars broadcast.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_fanned(spark, sf_dir, "embeddings")
     comps = _components(emb, sf_dir)
 
     raw = F.array(

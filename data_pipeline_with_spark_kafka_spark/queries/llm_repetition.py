@@ -17,7 +17,7 @@ from data_pipeline_with_spark_kafka_spark.operators.repetition import (
     repetition_metrics,
 )
 from data_pipeline_with_spark_kafka_spark.queries.registry import register
-from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table, load_table_fanned
 
 W = SEGMENT_WIDTH
 
@@ -81,7 +81,7 @@ LEFT JOIN five_stats f USING (doc_id)
 @register("llm_repetition_metrics", oracle=REPETITION_ORACLE, tags=("llm", "text", "quality"))
 def llm_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition filters (Rae et al. 2021, A1) over segments/n-grams."""
-    return repetition_metrics(load_table(spark, sf_dir, "documents"))
+    return repetition_metrics(load_table_fanned(spark, sf_dir, "documents"))
 
 
 SEGMENT_DEDUP_ORACLE = f"""
@@ -113,7 +113,7 @@ FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 def llm_dedup_corpus_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line-level (here: segment-level) corpus dedup — keep each
     segment text only at its global first occurrence, rebuild docs."""
-    return dedup_corpus_segments(load_table(spark, sf_dir, "documents"))
+    return dedup_corpus_segments(load_table_fanned(spark, sf_dir, "documents"))
 
 
 REMOVE_SPANS_ORACLE = """
@@ -160,5 +160,5 @@ def llm_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         remove_repeated_spans,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_fanned(spark, sf_dir, "documents")
     return remove_repeated_spans(docs, "doc_id", "text", k=10)

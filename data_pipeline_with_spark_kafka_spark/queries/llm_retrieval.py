@@ -15,7 +15,7 @@ from pyspark.sql.window import Window
 
 from data_pipeline_with_spark_kafka_spark.operators import retrieval
 from data_pipeline_with_spark_kafka_spark.queries.registry import register
-from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table, load_table_fanned
 
 # The probe workload: a handful of literal queries over the corpus
 # vocabulary. Tiny by construction — the workload side of BM25 is always
@@ -84,7 +84,7 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     12-term relation semi-joined in before any per-term statistics, so
     scoring never touches terms the workload doesn't ask about. Per-query
     top-k compiles to WindowGroupLimit partial top-k."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_fanned(spark, sf_dir, "documents")
     qterms = spark.createDataFrame(
         [(qid, term) for qid, text in PROBE_QUERIES for term in text.split()],
         "query_id int, term string",
@@ -127,7 +127,7 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms (df desc, term asc) so the output stays catalog-sized at any
     corpus scale. The full (doc, term, tf) relation is the 100-TB
     artifact; this is the collectable summary view."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_fanned(spark, sf_dir, "documents")
     idx = retrieval.inverted_index(docs, "doc_id", "text", postings_head=16)
     # TakeOrderedAndProject, NOT a row_number window over the whole
     # vocabulary: an unpartitioned Window here sorts every term on one
@@ -204,8 +204,8 @@ def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
     from data_pipeline_with_spark_kafka_spark.operators import similarity as sim
 
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table_fanned(spark, sf_dir, "documents")
+    emb = load_table_fanned(spark, sf_dir, "embeddings")
     qterms = spark.createDataFrame(
         [(qid, term) for qid, text in PROBE_QUERIES for term in text.split()],
         "query_id int, term string",

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
 from data_pipeline_with_spark_kafka_spark.operators.text import shingles, tokens
 from data_pipeline_with_spark_kafka_spark.queries.registry import register
-from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table, load_table_fanned
 
 # Add-k smoothing constant for the bigram model.
 _K = 0.5
@@ -65,7 +65,7 @@ def llm_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (not corpus-sized) and the joins shuffle on the token key — the same
     bounded shape as the dedup tiers. Docs with < 2 tokens have no bigrams
     and drop out (mirrored by the oracle)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_fanned(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
 
     uni = (
@@ -131,7 +131,7 @@ def llm_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln((N+1)/(df+1)) + 1). Ranking happens on the ROUNDED score with a
     token tie-break so both engines rank identically; the per-doc top-k is
     a WindowGroupLimit (per-partition heap), not a global sort."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_fanned(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
 
     tf = (
@@ -227,7 +227,7 @@ def llm_weighted_quality_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         return float((chars * weight).sum() / total) if total else None
 
     wmean = pandas_udf(_wmean, "double")
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_fanned(spark, sf_dir, "documents")
     scored = docs.select(
         "lang",
         F.col("n_chars").cast("double").alias("n_chars"),
@@ -352,7 +352,7 @@ def llm_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_bpe_vocab_oracle) and each stage's argmax pair IS merge i."""
     from data_pipeline_with_spark_kafka_spark.operators.bpe import train_bpe
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_fanned(spark, sf_dir, "documents")
     merges = train_bpe(docs, "text", num_merges=10)
     return spark.createDataFrame(
         [(i, a, b, a + b, n) for i, (a, b, n) in enumerate(merges)],
@@ -374,7 +374,7 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     additionally pytest-pinned (tests/test_bpe.py)."""
     from data_pipeline_with_spark_kafka_spark.operators.bpe import bpe_encode, train_bpe_cached
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_fanned(spark, sf_dir, "documents")
     merges = train_bpe_cached(docs, "text", cache_key=sf_dir, num_merges=20)
     return bpe_encode(docs, "doc_id", "text", merges).select(
         "doc_id", "n_words", "n_bpe_tokens"

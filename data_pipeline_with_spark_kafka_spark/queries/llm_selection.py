@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_with_spark_kafka_spark.operators import importance, mmr, quantization
 from data_pipeline_with_spark_kafka_spark.queries.registry import register
-from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table, load_table_fanned
 
 DSIR_ORACLE = """
 WITH toks AS (
@@ -58,7 +58,7 @@ def llm_dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigrams+bigrams (target = lang='en'), keep the top 50. Stats pass is
     a 256-group aggregate; scoring is a zero-shuffle expression fold
     against the bucket-weight literal (`operators/importance.py`)."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = load_table_fanned(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return importance.dsir_topk(
         docs,
         "doc_id",
@@ -109,7 +109,7 @@ def llm_sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan shape (`operators/quantization.py`). DuckDB mirrors the codec's
     floor arithmetic exactly, so both the ADC scores and the reranked
     cosines hash-match."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_fanned(spark, sf_dir, "embeddings")
     return quantization.sq8_topk(
         emb,
         "vec_id",
@@ -183,7 +183,7 @@ def llm_sim_topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     full composed pipeline is hash-verified."""
     from data_pipeline_with_spark_kafka_spark.queries.llm_fast_paths import _quantizer_rows
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_fanned(spark, sf_dir, "embeddings")
     rows = _quantizer_rows(emb, sf_dir, fixture="ivf_centroids_k8", k=8, iterations=2)
     return quantization.ivf_sq8_topk(
         emb,
@@ -236,7 +236,7 @@ def llm_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus side is one broadcast-join + filter scan."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_fanned(spark, sf_dir, "documents")
     cnt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy()
     shares = cnt.select(
@@ -304,7 +304,7 @@ def llm_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
     from data_pipeline_with_spark_kafka_spark.operators import similarity as sim
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_fanned(spark, sf_dir, "embeddings")
     anchors = (
         emb.filter(F.col("vec_id") < 8)
         .limit(8)
@@ -343,7 +343,7 @@ def llm_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query applyInPandas kernel; the DuckDB oracle replays it as an
     unrolled 8-step CTE chain (`operators/mmr.py`), so even this iterative
     selection is fully hash-verified."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_fanned(spark, sf_dir, "embeddings")
     return mmr.mmr_select(
         emb,
         "vec_id",
@@ -391,7 +391,7 @@ def llm_sim_topk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ladder (exact → SQ8 → 1-bit), data-independent so there is no
     training pass at all. Fully oracled: DuckDB mirrors the MSB-first
     word fold, xor/bit_count Hamming, and both rank cuts."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_fanned(spark, sf_dir, "embeddings")
     return quantization.binary_sign_topk(
         emb,
         "vec_id",
@@ -429,7 +429,7 @@ def llm_emb_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 codec audit: corpus-wide mean/max absolute reconstruction error
     in one map-only pass (max is bounded by half a quantization step —
     property-tested in tests/test_quantization.py)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_fanned(spark, sf_dir, "embeddings")
     return quantization.sq8_reconstruction_error(
         emb, "embedding", dim=64, cache_key=f"sq8:{sf_dir}"
     )
@@ -479,7 +479,7 @@ def llm_retrieval_label_precision(spark: SparkSession, sf_dir: str) -> DataFrame
     from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
     from data_pipeline_with_spark_kafka_spark.operators import similarity as sim
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_fanned(spark, sf_dir, "embeddings")
     knn = sim.knn_join_exact(
         emb, "vec_id", "embedding", emb.filter(F.col("vec_id") < 16), k=10, query_limit=16
     )
@@ -571,7 +571,7 @@ def llm_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             "missing fixtures/pq_codebooks_m8_k16.parquet — run tools/gen_pq_fixture.py"
         )
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_fanned(spark, sf_dir, "embeddings")
     return quantization.pq_topk(
         emb,
         "vec_id",
@@ -656,7 +656,7 @@ def llm_sim_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             "missing fixtures/pq_codebooks_m8_k16.parquet — run tools/gen_pq_fixture.py"
         )
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_fanned(spark, sf_dir, "embeddings")
     rows = _quantizer_rows(emb, sf_dir, fixture="ivf_centroids_k8", k=8, iterations=2)
     return quantization.ivf_pq_topk(
         emb,
@@ -730,7 +730,7 @@ def llm_retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_with_spark_kafka_spark.operators import similarity as sim
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_fanned(spark, sf_dir, "embeddings")
     knn = sim.knn_join_exact(
         emb, "vec_id", "embedding", emb.filter(F.col("vec_id") < 16), k=10, query_limit=16
     )

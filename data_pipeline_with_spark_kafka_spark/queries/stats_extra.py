@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
 from data_pipeline_with_spark_kafka_spark.queries.registry import register
-from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table, load_table_fanned
 
 WINDOW_DISTRIBUTION_ORACLE = """
 SELECT c_custkey,
@@ -892,7 +892,7 @@ def stats_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_with_spark_kafka_spark.operators.text import quality_score, tokens
     from data_pipeline_with_spark_kafka_spark.queries.text_extra import llm_quality_gopher
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = load_table_fanned(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     cheap = docs.select(
         "doc_id", (quality_score(F.col("text"), tokens(F.col("text"))) >= 0.5).alias("b")
     )
