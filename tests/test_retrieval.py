@@ -144,7 +144,16 @@ def test_inverted_index_summary_plan_no_global_window(spark, sf_dir):
     df = all_queries()["llm_inverted_index"].builder(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
-    assert "row_number" not in plan, plan
+    # r12: the postings-head election IS a row_number window now, but a
+    # TERM-partitioned one compiled to a partial WindowGroupLimit (each
+    # map task keeps <= postings_head docs per term before the exchange)
+    # — the forbidden shape remains a window over the whole vocabulary
+    # on one task, i.e. an empty partition spec.
+    assert "WindowGroupLimit" in plan, plan
+    for line in plan.splitlines():
+        # a global window prints an EMPTY partition-spec list: "], [], ["
+        if "Window" in line and "], [], [" in line:
+            raise AssertionError(f"global window: {line}")
     rows = df.collect()
     # sf0.001's whole vocabulary is ~31 terms — the cap is <= 50
     assert 0 < len(rows) <= 50
