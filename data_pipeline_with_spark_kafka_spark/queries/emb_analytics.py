@@ -58,7 +58,7 @@ FROM pervec p JOIN centroid c USING (label)
 def emb_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding-space health metrics: count, centroid L2
     norm, mean vector L2 norm, and dispersion E||v||^2 - ||c||^2."""
-    emb = load_table_fanned(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     sq = F.aggregate(
         "embedding",
         F.lit(0.0),

@@ -93,7 +93,7 @@ def emb_pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combined); total variance is one zero-shuffle per-vector
     pass + a 64-row per-dimension aggregate; the two scalars broadcast.
     """
-    emb = load_table_fanned(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     comps = _components(emb, sf_dir)
 
     raw = F.array(

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_with_spark_kafka_spark.queries.registry import register
-from data_pipeline_with_spark_kafka_spark.sources.tables import load_table, load_table_fanned
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
 from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
 
 
@@ -293,7 +293,7 @@ FROM embeddings
 def func_array_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """size/element_at + higher-order transform/aggregate/filter over
     array<float> — the JVM-side (codegen) path for embedding math."""
-    emb = load_table_fanned(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     as_double = F.transform("embedding", lambda x: x.cast("double"))
     return emb.select(
         "vec_id",
@@ -325,7 +325,7 @@ LIMIT 20
 )
 def func_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode(split(...)) + group-count + deterministic top-20 terms."""
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
@@ -356,7 +356,7 @@ def func_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     '{"lang":null,...}'), and the oracle uses CONCAT_WS (skip-null +
     skip-separator, Spark's concat_ws semantics) rather than CONCAT
     (DuckDB treats NULL as '' and keeps the ':')."""
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.to_json(

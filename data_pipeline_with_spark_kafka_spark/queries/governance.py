@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
 from data_pipeline_with_spark_kafka_spark.queries.registry import register
-from data_pipeline_with_spark_kafka_spark.sources.tables import load_table, load_table_fanned
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
 
 K_ANON = 20
 
@@ -79,7 +79,7 @@ def drift_psi_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference) and odd-id (current) halves of the embeddings corpus.
     Two label-sized aggregates joined on label; the total PSI is the
     sum of psi_term downstream."""
-    emb = load_table_fanned(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
 
     def share(pred, name):
         counts = emb.filter(pred).groupBy("label").agg(F.count(F.lit(1)).alias("n"))

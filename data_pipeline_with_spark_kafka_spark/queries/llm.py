@@ -47,7 +47,7 @@ GROUP BY md5(text)
 )
 def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5 content group, deterministic min-id keeper."""
-    return dedup.exact_dedup(load_table_fanned(spark, sf_dir, "documents"), "doc_id", "text")
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 NGRAM_ORACLE = """
@@ -77,7 +77,7 @@ WHERE ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.8
 def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard near-dup pairs (J >= 0.8) via
     inverted-index self-join — the ground truth for the LSH tier."""
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
 
 
@@ -110,7 +110,7 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     quoted inside a much longer one has low Jaccard (union dominated by
     the container) but containment ~1. One-sided prefix filter on the
     contained side (rarest-first), exact verification; ordered pairs."""
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     return dedup.containment_pairs(docs, "doc_id", "text", k=3, threshold=0.9)
 
 
@@ -159,7 +159,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle walks the same graph with a recursive CTE — an
     independent algorithm (BFS label closure vs iterative propagation)
     agreeing on every component."""
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
     comps = dedup.connected_components(pairs, docs, "doc_id")
     return comps.select(
@@ -340,7 +340,7 @@ FROM documents
 @register("llm_text_stats", oracle=TEXT_STATS_ORACLE, tags=("llm", "text"))
 def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc token/char/shape/stopword statistics (pure codegen)."""
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     return docs.select(
         "doc_id",
@@ -371,7 +371,7 @@ FROM t
 @register("llm_text_quality", oracle=QUALITY_ORACLE, tags=("llm", "text"))
 def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic [0,1] quality score (length/stopword/shape mix)."""
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     return docs.select("doc_id", quality_score(F.col("text"), toks).alias("quality"))
 
@@ -419,7 +419,7 @@ FROM documents
 )
 def llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc md5 content fingerprint (engine-portable)."""
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     fp = content_fingerprint(F.col("text"))
     return docs.select(
         "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("fp_prefix")
@@ -448,7 +448,7 @@ LIMIT 10
 @register("llm_sim_topk_bruteforce", oracle=SIM_TOPK_ORACLE, tags=("llm", "similarity"))
 def llm_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 vs the vec_id=0 query embedding."""
-    emb = load_table_fanned(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     return similarity.brute_force_topk(
         emb, "vec_id", "embedding", emb.filter(F.col("vec_id") == 0), k=10
     )
@@ -539,7 +539,7 @@ def llm_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side literals in the Spark plan, so the DuckDB oracle embeds
     the identical literals (committed-fixture pattern) and mirrors the
     projection/bucket/probe/rerank end to end."""
-    emb = load_table_fanned(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(
         emb, "vec_id", "embedding", emb.filter(F.col("vec_id") == 0), k=10, n_planes=6
     )
@@ -584,7 +584,7 @@ def llm_sim_topk_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket fold (plane 0 = MSB), the radius-1 probe, and the exact
     cosine rerank. Completes the cross-engine proof set for every
     hash-based pipeline (MinHash, SimHash, hyperplane LSH)."""
-    emb = load_table_fanned(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(
         emb,
         "vec_id",
@@ -613,7 +613,7 @@ FROM documents
 @register("llm_multimodal_metadata", oracle=MULTIMODAL_ORACLE, tags=("llm", "multimodal"))
 def llm_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column + relational metadata extraction (no decode)."""
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     return multimodal.blob_metadata(
         multimodal.attach_blob(docs, "doc_id", "text"), "doc_id"
     )
@@ -628,7 +628,7 @@ def llm_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFram
     boundary: complex-typed output columns crash the driver's pandas-based
     canonicalizer (``unhashable type: 'list'``, CORRECTNESS_r01) and
     hash-mismatch across engines in general — project invariant."""
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     decoded = multimodal.fake_decode_features(
         multimodal.attach_blob(docs, "doc_id", "text"), "doc_id"
     )
@@ -648,7 +648,7 @@ def llm_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame
     pinned exactly against direct numpy in tests/test_llm_ops.py. The thumb
     is base64-serialized at the boundary (binary columns are complex-typed
     for the driver canon — same invariant as struct/array outputs)."""
-    docs = load_table_fanned(spark, sf_dir, "documents").select("doc_id").limit(200)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(200)
     with_img = multimodal.attach_image_blob(docs, "doc_id", width=16, height=16)
     feats = multimodal.image_features(with_img, "doc_id", thumb_w=4, thumb_h=4)
     return feats.select(
@@ -667,7 +667,7 @@ def llm_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame
     """REAL audio decode pipeline: deterministic mono PCM-16 WAV per doc ->
     RIFF-chunk walk + int16 decode -> RMS/peak features. Rows-only;
     decode math pinned against direct numpy in tests/test_llm_ops.py."""
-    docs = load_table_fanned(spark, sf_dir, "documents").select("doc_id").limit(200)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(200)
     with_wav = multimodal.attach_audio_blob(docs, "doc_id", n_samples=256, sample_rate=8000)
     return multimodal.audio_features(with_wav, "doc_id").select(
         "doc_id",

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
 from data_pipeline_with_spark_kafka_spark.queries.registry import register
-from data_pipeline_with_spark_kafka_spark.sources.tables import load_table, load_table_fanned
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
 
 VOCAB_K = 500
 BIAS = 0.1
@@ -60,7 +60,7 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score every document with a linear bag-of-tokens model: mean
     vocabulary weight -> sigmoid -> keep/drop. Vocabulary = corpus
     top-500 tokens (limit-bounded, broadcast); one per-doc shuffle."""
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     vocab = (
         tok.groupBy("token")

@@ -197,7 +197,7 @@ def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     into 512-token bins across 16 shards — the placement map a pretraining
     loader needs. Per-shard running offsets parallelize across shards; no
     single-partition sort."""
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     return curation.pack_sequences(
         docs,
         "doc_id",
@@ -240,7 +240,7 @@ def llm_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     content hash, so the decision survives re-runs and re-partitioning).
     The uniform is bucket/2^32 — exact in binary, so the comparison is
     bit-stable on both engines."""
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     quality = quality_score(F.col("text"), tokens(F.col("text")))
     draw = (
         F.conv(F.substring(F.md5(F.concat(F.lit("qsample5:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
@@ -281,7 +281,7 @@ def llm_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same doc survives (or not) on every engine and every re-run. The
     filter compares the UNROUNDED fraction: an IEEE double quotient of two
     exact integer counts is correctly rounded, hence engine-identical."""
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     cnt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     min_n = cnt.agg(F.min("n").alias("min_n"))
     frac = cnt.crossJoin(F.broadcast(min_n)).select(
@@ -367,7 +367,7 @@ def llm_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate with two exact count-distincts (Catalyst expands them into a
     single multi-pass aggregate — at 100 TB swap for approx_count_distinct,
     covered rows-only by agg_approx_count_distinct)."""
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     ex = docs.select("source", "doc_id", F.explode(tokens(F.col("text"))).alias("w"))
     return ex.groupBy("source").agg(
         F.countDistinct("doc_id").alias("n_docs"),
@@ -417,5 +417,5 @@ def llm_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor -> PII redaction -> deterministic 80/10/10 split. Two shuffles
     end-to-end (the dedup group-by + its semi-join); every other step is a
     per-row expression riding the same scan."""
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     return curation.curate_corpus(docs, min_quality=0.5)

@@ -37,7 +37,7 @@ WHERE ROUND(list_dot_product(a.v, b.v)
 )
 def llm_dedup_embedding_cosine_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numpy-matmul-per-block embedding near-dup (applyInPandas fast path)."""
-    emb = load_table_fanned(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     # Footer-metadata guard decision (no Spark job); see llm.py twin.
     guard = table_row_count(sf_dir, "embeddings") > 4096
     return dedup.embedding_near_dup_pairs_vectorized(
@@ -298,7 +298,7 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # NULL text cannot be fingerprinted -> excluded from dedup (mirrors
     # the oracle's docs CTE; no-op on real corpora).
-    docs = load_table_fanned(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     half_row = docs.agg(F.floor(F.max("doc_id") / 2).cast("long").alias("half"))
     # The split point is a 1-row scalar: broadcast cross join (plan-lint
     # allowed — bounded by construction).
@@ -372,7 +372,7 @@ def llm_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # NULL text cannot be fingerprinted -> excluded from dedup (mirrors
     # the oracle's docs CTE; no-op on real corpora).
-    docs = load_table_fanned(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     half_row = docs.agg(F.floor(F.max("doc_id") / 2).cast("long").alias("half"))
     with_half = docs.crossJoin(F.broadcast(half_row))
     batch = with_half.filter(F.col("doc_id") >= F.col("half")).drop("half")
@@ -407,7 +407,7 @@ def llm_dedup_incremental_near_probe(spark: SparkSession, sf_dir: str) -> DataFr
 
     # NULL text cannot be fingerprinted -> excluded from dedup (mirrors
     # the oracle's docs CTE; no-op on real corpora).
-    docs = load_table_fanned(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     half_row = docs.agg(F.floor(F.max("doc_id") / 2).cast("long").alias("half"))
     with_half = docs.crossJoin(F.broadcast(half_row))
     batch = with_half.filter(F.col("doc_id") >= F.col("half")).drop("half")
@@ -489,7 +489,7 @@ def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tokenize → posexplode window starts → slice), no shuffle at all."""
     from data_pipeline_with_spark_kafka_spark.operators.chunking import chunk_documents
 
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     return chunk_documents(docs, "doc_id", "text", size=32, stride=16)
 
 
@@ -508,7 +508,7 @@ def llm_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-length histogram (16-token buckets, top-coded at
     bucket 7) — the corpus-shape profile mixture planning reads. One
     map-side-combinable aggregate; no joins, no explode."""
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.split(F.col("text"), " "))
     bucket = F.least(F.floor(n_tok / 16), F.lit(7)).cast("int")
     return docs.groupBy("lang", bucket.alias("bucket")).agg(

@@ -26,7 +26,7 @@ from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
 from data_pipeline_with_spark_kafka_spark.operators import similarity
 from data_pipeline_with_spark_kafka_spark.operators.text import shingles, tokens
 from data_pipeline_with_spark_kafka_spark.queries.registry import register
-from data_pipeline_with_spark_kafka_spark.sources.tables import load_table, load_table_fanned
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
 
 # --------------------------------------------------------------------------
 # Trigram LM with stupid backoff (Brants et al. 2007), held-out scoring
@@ -113,7 +113,7 @@ def llm_perplexity_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFram
     tractable on 2007-Google-scale corpora and keeps every stage here a
     plain shuffle-on-key. Docs with < 3 tokens have no trigrams and drop
     out (mirrored by the oracle)."""
-    return trigram_backoff_scores(load_table_fanned(spark, sf_dir, "documents"))
+    return trigram_backoff_scores(load_table(spark, sf_dir, "documents"))
 
 
 def trigram_backoff_scores(docs: DataFrame) -> DataFrame:
@@ -275,7 +275,7 @@ def llm_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb_pca_project) is the data-dependent alternative; JL is what you
     use when you can't afford the covariance pass."""
     planes = similarity.make_planes_md5(_JL_DIM, _JL_K, prefix="rp")
-    emb = load_table_fanned(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     # Bind each projected component to an attribute BEFORE consuming them
     # (the winnowing lambda-inlining lesson): downstream refs must not

@@ -81,7 +81,7 @@ LEFT JOIN five_stats f USING (doc_id)
 @register("llm_repetition_metrics", oracle=REPETITION_ORACLE, tags=("llm", "text", "quality"))
 def llm_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition filters (Rae et al. 2021, A1) over segments/n-grams."""
-    return repetition_metrics(load_table_fanned(spark, sf_dir, "documents"))
+    return repetition_metrics(load_table(spark, sf_dir, "documents"))
 
 
 SEGMENT_DEDUP_ORACLE = f"""

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
 from data_pipeline_with_spark_kafka_spark.queries.registry import register
-from data_pipeline_with_spark_kafka_spark.sources.tables import load_table, load_table_fanned
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
 
 SPLIT_ORACLE = """
 WITH h AS (
@@ -37,7 +37,7 @@ FROM h
 def llm_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 split by md5 bucket of the document id —
     reproducible across engines and re-materializations (no RNG state)."""
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     bucket = (
         F.conv(F.substring(F.md5(F.concat(F.lit("split42:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
         .cast("bigint")
@@ -75,7 +75,7 @@ def llm_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle checks it bit-for-bit — but the heavy sort is P parallel
     range sorts plus one broadcast join.
     """
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.lit("shuffle7:"), F.col("doc_id").cast("string")))
     ranged = (
         docs.select("doc_id", key.alias("_k"))
@@ -151,7 +151,7 @@ def llm_stratified_sample_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unlike rand(seed), which changes with partitioning) the kept set is
     a pure function of doc_id: stable across repartitions, retries and
     engine versions, which is what an auditable corpus release needs."""
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     u = (
         F.conv(
             F.substring(
@@ -196,7 +196,7 @@ def llm_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one expression pass + TakeOrderedAndProject — each
     partition keeps a local top-k heap, the driver merges k-sized
     buffers. No global sort, no single-task window."""
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     u = (
         F.conv(
             F.substring(
@@ -336,7 +336,7 @@ def llm_stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     quotas = {"en": 100, "de": 80, "fr": 50, "es": 50, "zh": 50}
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy(
         F.md5(F.concat(F.lit("quota:"), F.col("doc_id").cast("string"))), "doc_id"
     )

@@ -131,7 +131,7 @@ def llm_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln((N+1)/(df+1)) + 1). Ranking happens on the ROUNDED score with a
     token tie-break so both engines rank identically; the per-doc top-k is
     a WindowGroupLimit (per-partition heap), not a global sort."""
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
 
     tf = (
@@ -227,7 +227,7 @@ def llm_weighted_quality_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         return float((chars * weight).sum() / total) if total else None
 
     wmean = pandas_udf(_wmean, "double")
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
         "lang",
         F.col("n_chars").cast("double").alias("n_chars"),
@@ -352,7 +352,7 @@ def llm_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_bpe_vocab_oracle) and each stage's argmax pair IS merge i."""
     from data_pipeline_with_spark_kafka_spark.operators.bpe import train_bpe
 
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     merges = train_bpe(docs, "text", num_merges=10)
     return spark.createDataFrame(
         [(i, a, b, a + b, n) for i, (a, b, n) in enumerate(merges)],

@@ -236,7 +236,7 @@ def llm_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus side is one broadcast-join + filter scan."""
     from pyspark.sql import Window
 
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     cnt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy()
     shares = cnt.select(
@@ -343,7 +343,7 @@ def llm_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query applyInPandas kernel; the DuckDB oracle replays it as an
     unrolled 8-step CTE chain (`operators/mmr.py`), so even this iterative
     selection is fully hash-verified."""
-    emb = load_table_fanned(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     return mmr.mmr_select(
         emb,
         "vec_id",
@@ -391,7 +391,7 @@ def llm_sim_topk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ladder (exact → SQ8 → 1-bit), data-independent so there is no
     training pass at all. Fully oracled: DuckDB mirrors the MSB-first
     word fold, xor/bit_count Hamming, and both rank cuts."""
-    emb = load_table_fanned(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     return quantization.binary_sign_topk(
         emb,
         "vec_id",

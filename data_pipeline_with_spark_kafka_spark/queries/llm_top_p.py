@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_with_spark_kafka_spark.queries.registry import register
-from data_pipeline_with_spark_kafka_spark.sources.tables import load_table, load_table_fanned
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
 
 TOP_P = 0.9
 
@@ -41,7 +41,7 @@ def llm_top_p_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep each source's largest documents until 90% of the source's
     character mass is covered (smallest covering prefix: a document is
     kept iff the mass BEFORE it is still under the budget)."""
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     by_source = Window.partitionBy("source")
     running = by_source.orderBy(F.desc("n_chars"), "doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

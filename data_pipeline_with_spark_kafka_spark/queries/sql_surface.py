@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_with_spark_kafka_spark.queries.registry import register
-from data_pipeline_with_spark_kafka_spark.sources.tables import load_table, load_table_fanned
+from data_pipeline_with_spark_kafka_spark.sources.tables import load_table
 
 # Near-identical SQL on both engines; the one divergence is the grouping
 # indicator function name (Spark: multi-arg GROUPING_ID; DuckDB: multi-arg
@@ -106,7 +106,7 @@ def sql_lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordinal explode (LATERAL VIEW posexplode / UNNEST WITH ORDINALITY):
     token position survives the flatten — the shape every sequence-labeling
     or n-gram-position pipeline needs. Pure per-row generator, no shuffle."""
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     )

@@ -25,7 +25,7 @@ FROM documents
 @register("llm_token_count_regex", oracle=TOKEN_COUNT_ORACLE, tags=("llm", "text"))
 def llm_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish-regex token counting (both JVM-side)."""
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.size(F.split("text", " ")).alias("n_ws_tokens"),
@@ -249,7 +249,7 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate with the same strict > phi*n cut."""
     from data_pipeline_with_spark_kafka_spark.operators.sketches import heavy_hitters
 
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
     return heavy_hitters(toks, "token", phi=_HH_PHI).withColumnRenamed("item", "token")
 
@@ -275,7 +275,7 @@ def llm_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bigram string so the LIMIT is deterministic on both engines."""
     from data_pipeline_with_spark_kafka_spark.operators.text import shingles, tokens
 
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(shingles(tokens(F.col("text")), 2, distinct=False)).alias("bigram"))
         .groupBy("bigram")
@@ -356,7 +356,7 @@ def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
     from pyspark.sql.window import Window
 
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     tf = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
         .groupBy("term")
@@ -493,6 +493,6 @@ def llm_text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         nfc_audit_columns,
     )
 
-    docs = load_table_fanned(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     cols = nfc_audit_columns("text")
     return docs.select("doc_id", *cols[1:])

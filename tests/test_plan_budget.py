@@ -48,10 +48,10 @@ EXCHANGE_BUDGET = {
     "dq_orders_constraints": 4,
     # two label aggs + their single-partition total windows (label-sized
     # relations, 10 rows) + the label join.
-    "drift_psi_labels": 7,  # r12: + small-scan fan-out exchange(s)
+    "drift_psi_labels": 5,
     # (label,dim) agg -> label agg -> label join with the zero-shuffle
     # per-vector norm branch (AQE broadcasts the 10-row centroid side).
-    "emb_label_centroid_norms": 6,  # r12: + small-scan fan-out exchange(s)
+    "emb_label_centroid_norms": 5,
     "events_daily_active_users": 2,
     "events_funnel_conversion": 2,
     # chained per-user aggregates (signup -> click-after -> purchase-
@@ -125,7 +125,7 @@ EXCHANGE_BUDGET = {
     # uniform fixture the probe routes to the lifetime Markov plan (3).
     "events_markov_transitions_auto": 3,
     # pure per-row md5 filter — zero shuffles by construction.
-    "llm_stratified_sample_md5": 1,  # r12: + small-scan fan-out exchange(s)
+    "llm_stratified_sample_md5": 0,
     # daily agg (the only corpus shuffle) + dow-stats agg pair + the
     # broadcast back to the calendar-sized relation.
     "events_anomaly_dow": 4,
@@ -139,7 +139,7 @@ EXCHANGE_BUDGET = {
     "agg_kmv_quantiles": 0,
     # one per-lang rank window, WindowGroupLimit-bounded by the literal
     # max quota before the variable per-lang trim.
-    "llm_stratified_quota_sample": 2,  # r12: + small-scan fan-out exchange(s)
+    "llm_stratified_quota_sample": 1,
     # signup agg + the user-keyed purchase join + latency agg + the 1-row
     # percentile aggregate.
     "events_time_to_convert": 4,
@@ -149,15 +149,15 @@ EXCHANGE_BUDGET = {
     "events_rolling_7d_active_users": 5,
     "events_zscore_outliers": 2,
     "flagship_events_windowed_enrichment": 2,
-    "func_array_family": 1,  # r12: + small-scan fan-out exchange(s)
+    "func_array_family": 0,
     "func_cast_family": 0,
     "func_conditional_family": 0,
     "func_date_family": 0,
-    "func_explode_tokens": 2,  # r12: + small-scan fan-out exchange(s)
+    "func_explode_tokens": 1,
     "func_json_family": 0,
     "func_math_family": 0,
     "func_string_family": 0,
-    "func_struct_map_family": 1,  # r12: + small-scan fan-out exchange(s)
+    "func_struct_map_family": 0,
     # the persisted edge relation feeds five consumers (three triangle
     # arms, degrees, count); the static plan string repeats that subtree
     # per consumer, so this is far above the shuffles that run. Round-8
@@ -194,49 +194,49 @@ EXCHANGE_BUDGET = {
     # the BM25 branch's exchanges + the dense WindowGroupLimit + the
     # full-outer fusion join and final per-query window — everything after
     # the two top-k cuts moves <= 2*k*queries rows (round 6).
-    "llm_hybrid_rrf": 22,  # r12: + small-scan fan-out exchange(s)
+    "llm_hybrid_rrf": 20,  # r12: fan-out + BM25 workload-term pushdown
     "llm_bpe_encode": 5,  # r12: + small-scan fan-out exchange(s)
     "llm_bpe_vocab": 0,
-    "llm_chunk_documents": 1,  # r12: + small-scan fan-out exchange(s)
+    "llm_chunk_documents": 0,
     "llm_contamination_overlap": 7,  # r12: + small-scan fan-out exchange(s)
-    "llm_curated_corpus": 4,  # r12: + small-scan fan-out exchange(s)
+    "llm_curated_corpus": 2,
     # the CC loop materializes per-round via localCheckpoint during
     # construction, so the FINAL plan is leaf scans + the keeper join
     # (394 before the lineage cut collapsed the repeated subtrees).
     "llm_dedup_clusters": 4,
     "llm_dedup_corpus_segments": 7,  # r12: + small-scan fan-out exchange(s)
     "llm_dedup_embedding_cosine": 3,  # r12: + small-scan fan-out exchange(s)
-    "llm_dedup_embedding_cosine_fast": 2,  # r12: + small-scan fan-out exchange(s)
+    "llm_dedup_embedding_cosine_fast": 1,
     # groupBy(cell,task) shuffle + distinct; cell assignment itself is a
     # zero-Exchange literal-centroid map (tests/test_ivf_neardup.py).
     "llm_dedup_embedding_cosine_ivf": 3,  # r12: + small-scan fan-out exchange(s)
-    "llm_dedup_exact": 2,  # r12: + small-scan fan-out exchange(s)
+    "llm_dedup_exact": 1,
     # broadcast(8-row query set) + its GlobalLimit single-partition
     # exchange + one query_id window shuffle (WindowGroupLimit partial
     # top-k runs before it); IVF twin swaps the fan-out for a cell join.
     "llm_knn_join_exact": 5,  # r12: + small-scan fan-out exchange(s)
     "llm_knn_join_ivf": 5,  # r12: + small-scan fan-out exchange(s)
-    "llm_dedup_incremental": 38,  # r12: + small-scan fan-out exchange(s)
+    "llm_dedup_incremental": 26,
     # Composes the exact tier (26) with the band-index near probe; the
     # static plan string repeats persisted subtrees (sigs, exact_novel),
     # so this is far above the ~8 distinct shuffles that actually run.
-    "llm_dedup_incremental_near": 128,  # r12: + small-scan fan-out exchange(s)
+    "llm_dedup_incremental_near": 88,
     # the persisted-index deployment shape: corpus-side signature/index
     # construction is gone from the plan (reads parquet instead), leaving
     # batch signaturing + bloom + probe joins.
-    "llm_dedup_incremental_near_probe": 75,  # r12: + small-scan fan-out exchange(s)
+    "llm_dedup_incremental_near_probe": 57,
     "llm_dedup_minhash_lsh": 8,  # r12: + small-scan fan-out exchange(s)
     # round-6 distinct-shingle-space rewrite: + the distinct aggregate
     # pair, the hash join-back, and the per-doc signature aggregate —
     # three extra narrow-row shuffles buying ~10x fewer md5+conv evals
     # (3.8 -> 2.1 s at sf0.1, identical verified pairs).
     "llm_dedup_minhash_lsh_md5": 15,  # r12: + small-scan fan-out exchange(s)
-    "llm_dedup_ngram_jaccard": 15,  # r12: + small-scan fan-out exchange(s)
+    "llm_dedup_ngram_jaccard": 9,
     "llm_dedup_simhash": 1,  # r12: + small-scan fan-out exchange(s)
     # block self-join over the persisted fingerprint relation (round 6).
     "llm_dedup_simhash_md5": 3,  # r12: + small-scan fan-out exchange(s)
-    "llm_deterministic_shuffle": 8,  # r12: + small-scan fan-out exchange(s)
-    "llm_domain_mixture": 8,  # r12: + small-scan fan-out exchange(s)
+    "llm_deterministic_shuffle": 6,
+    "llm_domain_mixture": 5,
     # scoring is a zero-shuffle expression fold against the 256-bucket
     # weight literal; global top-50 is TakeOrderedAndProject (round 6).
     # (The one-off stats pass collected at build time is its own tiny job.)
@@ -247,34 +247,34 @@ EXCHANGE_BUDGET = {
     "llm_fingerprint_winnowing": 1,  # r12: + small-scan fan-out exchange(s)
     # postings build + term summary agg + the top-50 rank cap's single
     # partition.
-    "llm_inverted_index": 4,
-    "llm_length_histogram": 2,  # r12: + small-scan fan-out exchange(s)
-    "llm_multimodal_audio_features": 2,  # r12: + small-scan fan-out exchange(s)
-    "llm_multimodal_decode_features": 1,  # r12: + small-scan fan-out exchange(s)
-    "llm_multimodal_image_features": 2,  # r12: + small-scan fan-out exchange(s)
-    "llm_multimodal_metadata": 1,  # r12: + small-scan fan-out exchange(s)
+    "llm_inverted_index": 7,  # r12: bounded postings-head (WindowGroupLimit branch + ReusedExchange reprint)
+    "llm_length_histogram": 1,
+    "llm_multimodal_audio_features": 1,
+    "llm_multimodal_decode_features": 0,
+    "llm_multimodal_image_features": 1,
+    "llm_multimodal_metadata": 0,
     "llm_perplexity_bigram": 12,  # r12: + small-scan fan-out exchange(s)
     "llm_pii_redaction": 1,  # r12: + small-scan fan-out exchange(s)
     # vocab top-k agg + its single-partition limit + explicit broadcast
     # + the per-doc agg; the token stream itself never shuffles.
-    "llm_quality_classifier": 5,  # r12: + small-scan fan-out exchange(s)
+    "llm_quality_classifier": 4,
     "llm_quality_gopher": 1,  # r12: + small-scan fan-out exchange(s)
     "llm_quality_percentile_filter": 4,  # r12: + small-scan fan-out exchange(s)
-    "llm_quality_weighted_sample": 1,  # r12: + small-scan fan-out exchange(s)
+    "llm_quality_weighted_sample": 0,
     "llm_remove_repeated_spans": 7,  # r12: + small-scan fan-out exchange(s)
-    "llm_repetition_metrics": 13,  # r12: + small-scan fan-out exchange(s)
+    "llm_repetition_metrics": 9,
     "llm_seeded_sample": 0,
-    "llm_sequence_packing": 2,  # r12: + small-scan fan-out exchange(s)
+    "llm_sequence_packing": 1,
     "llm_shared_span_fraction": 7,  # r12: + small-scan fan-out exchange(s)
-    "llm_sim_topk_bruteforce": 4,  # r12: + small-scan fan-out exchange(s)
+    "llm_sim_topk_bruteforce": 2,
     "llm_sim_topk_ivf": 8,  # r12: + small-scan fan-out exchange(s)
-    "llm_sim_topk_lsh": 4,  # r12: + small-scan fan-out exchange(s)
+    "llm_sim_topk_lsh": 2,
     # same 1-row broadcast + TakeOrdered shape as the seeded tier (round 6).
-    "llm_sim_topk_lsh_md5": 4,  # r12: + small-scan fan-out exchange(s)
+    "llm_sim_topk_lsh_md5": 2,
     # ADC TakeOrdered pool cut + the 50-row exact rerank sort (round 6).
     "llm_sim_topk_sq8": 4,  # r12: + small-scan fan-out exchange(s)
     # Hamming TakeOrdered pool cut + the 100-row rerank sort (round 6).
-    "llm_sim_topk_binary": 4,  # r12: + small-scan fan-out exchange(s)
+    "llm_sim_topk_binary": 2,
     # knn WindowGroupLimit shuffle + the anchor/neighbor label joins and
     # the 16-group metric aggregate over k*anchors rows (round 6).
     "llm_retrieval_label_precision": 9,  # r12: + small-scan fan-out exchange(s)
@@ -282,7 +282,7 @@ EXCHANGE_BUDGET = {
     # when-chain (deriving it from perq doubled the whole kNN pipeline).
     "llm_retrieval_ndcg_mrr": 9,  # r12: + small-scan fan-out exchange(s)
     # map-only pandas-UDF projection, zero shuffle.
-    "llm_text_normalize_nfc": 1,  # r12: + small-scan fan-out exchange(s)
+    "llm_text_normalize_nfc": 0,
     # gopher metrics agg + cheap-flag join + one 1-row confusion agg.
     "stats_cohen_kappa": 4,  # r12: + small-scan fan-out exchange(s)
     # term-count agg + TakeOrdered(200) cut + the 200-row rank window and
@@ -297,10 +297,10 @@ EXCHANGE_BUDGET = {
     # trigram/bigram/unigram count aggs over the train half, the distinct
     # type relation + five count-space joins (gram-vocabulary sized), one
     # stream->type-score join, per-doc agg (round 6).
-    "llm_perplexity_trigram_backoff": 24,  # r12: + small-scan fan-out exchange(s)
+    "llm_perplexity_trigram_backoff": 16,
     # plan-time literal sign matrix: the whole projection is a per-row
     # expression tree — ZERO exchanges (round 6).
-    "llm_emb_random_projection": 1,  # r12: + small-scan fan-out exchange(s)
+    "llm_emb_random_projection": 0,
     # the GD loop runs at build (memoized artifact); the emitted weight
     # relation is a local createDataFrame + one orderBy (round 6).
     "llm_train_quality_classifier": 1,
@@ -311,7 +311,7 @@ EXCHANGE_BUDGET = {
     # classifier prob agg + gopher label exprs + score join, the 4dp
     # score-group agg, the bounded-group rank window, two 1-row final
     # aggs (round 6).
-    "llm_classifier_eval_auc": 18,  # r12: + small-scan fan-out exchange(s)
+    "llm_classifier_eval_auc": 14,  # r12: + small-scan fan-out exchange(s)
     # codebook-literal reconstruction is map-only; ADC pool cut + exact
     # rerank — the flat-SQ8 shape (round 6).
     "llm_sim_topk_pq": 4,  # r12: + small-scan fan-out exchange(s)
@@ -320,7 +320,7 @@ EXCHANGE_BUDGET = {
     "llm_sim_topk_ivf_pq": 4,  # r12: + small-scan fan-out exchange(s)
     # classifier prob agg + gopher label exprs + score join, the 10-bin
     # group agg + 1-row total broadcast (round 6).
-    "llm_classifier_calibration": 14,  # r12: + small-scan fan-out exchange(s)
+    "llm_classifier_calibration": 11,  # r12: + small-scan fan-out exchange(s)
     # three delta-join terms; AQE broadcasts the small delta sides, so
     # only the base-side scans exchange (round 6).
     "ivm_join_maintenance": 3,
@@ -332,32 +332,32 @@ EXCHANGE_BUDGET = {
     "llm_cluster_aware_split": 0,
     # relevance-pool TakeOrdered cut + the single-group exchange feeding
     # the bounded applyInPandas greedy kernel (round 6).
-    "llm_mmr_diversified_topk": 4,  # r12: + small-scan fan-out exchange(s)
+    "llm_mmr_diversified_topk": 2,
     # domain-count agg + two single-partition windows over the 5-row
     # domain relation (label-sized, like drift_psi_labels); the corpus
     # side is one broadcast-join filter scan (round 6).
-    "llm_mixture_temperature": 5,  # r12: + small-scan fan-out exchange(s)
+    "llm_mixture_temperature": 3,
     # 8-row anchor limit + the 8-group WindowGroupLimit shuffle; the
     # corpus side fans out against the broadcast anchors only (round 6).
     "llm_hard_negative_mining": 5,  # r12: + small-scan fan-out exchange(s)
     "llm_stratified_sample": 0,
-    "llm_text_fingerprint": 1,  # r12: + small-scan fan-out exchange(s)
+    "llm_text_fingerprint": 0,
     "llm_text_langid": 1,  # r12: + small-scan fan-out exchange(s)
-    "llm_text_quality": 1,  # r12: + small-scan fan-out exchange(s)
-    "llm_text_stats": 1,  # r12: + small-scan fan-out exchange(s)
-    "llm_tfidf_keywords": 10,  # r12: + small-scan fan-out exchange(s)
+    "llm_text_quality": 0,
+    "llm_text_stats": 0,
+    "llm_tfidf_keywords": 7,
     # postings shuffle + the per-doc entropy aggregate.
     "llm_token_entropy": 4,
-    "llm_token_count_regex": 1,  # r12: + small-scan fan-out exchange(s)
-    "llm_top_bigrams": 2,  # r12: + small-scan fan-out exchange(s)
+    "llm_token_count_regex": 0,
+    "llm_top_bigrams": 1,
     # both windows share the one `source` hash partitioning.
-    "llm_top_p_selection": 2,  # r12: + small-scan fan-out exchange(s)
-    "llm_train_val_test_split": 1,  # r12: + small-scan fan-out exchange(s)
-    "llm_vocab_stats": 3,  # r12: + small-scan fan-out exchange(s)
+    "llm_top_p_selection": 1,
+    "llm_train_val_test_split": 0,
+    "llm_vocab_stats": 2,
     # TakeOrderedAndProject: per-partition heaps + driver merge, no sort
     # exchange; 1 covers the limit's single-partition collect exchange.
     "llm_weighted_reservoir": 1,
-    "llm_weighted_quality_mean": 2,  # r12: + small-scan fan-out exchange(s)
+    "llm_weighted_quality_mean": 1,
     # one partial/final agg exchange on ext + the output sort; the scan
     # is file STATUS only (path+length, content pruned) — round 8.
     "media_ingest_audit": 2,
@@ -385,7 +385,7 @@ EXCHANGE_BUDGET = {
     "sql_grouping_sets": 1,
     "sql_lateral_topk_per_key": 3,
     "sql_recursive_month_spine": 2,
-    "sql_lateral_posexplode": 1,  # r12: + small-scan fan-out exchange(s)
+    "sql_lateral_posexplode": 0,
     "sql_right_join": 1,
     "sql_unpivot_metrics": 0,
     # per-arm trial agg + the 1-row widen; z math runs on 2 rows.
@@ -428,10 +428,10 @@ EXCHANGE_BUDGET = {
     # sketch groupBy (printed twice: the persisted summary's InMemoryRelation
     # subtree appears under both the total and candidate branches), the two
     # broadcast exchanges, and the candidate-only recount groupBy (round 6).
-    "text_heavy_hitters": 9,  # r12: + small-scan fan-out exchange(s)
+    "text_heavy_hitters": 6,
     # prefix index (freq join + window) + one-sided candidate join +
     # the two verification joins on doc ids (round 6).
-    "llm_dedup_containment": 11,  # r12: + small-scan fan-out exchange(s)
+    "llm_dedup_containment": 6,
     # single-cell assignment is zero-shuffle (literal centroids); the
     # pair kernel's groupBy + the keep anti-join's two sides (round 6).
     "llm_semdedup_prune": 5,  # r12: + small-scan fan-out exchange(s)
@@ -439,7 +439,7 @@ EXCHANGE_BUDGET = {
     "emb_pca_project": 1,  # r12: + small-scan fan-out exchange(s)
     # 8-group score aggregate, the 64-row dims aggregate pair, and the two
     # broadcast scalar relations (round 6).
-    "emb_pca_explained_variance": 9,  # r12: + small-scan fan-out exchange(s)
+    "emb_pca_explained_variance": 6,
     "window_distribution_funcs": 1,
     "window_lag_lead_orders": 1,
     "window_nth_value": 1,
