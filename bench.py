@@ -66,6 +66,7 @@ def main() -> None:
         return elapsed
 
     OUTLIER_SEC = 5.0
+    load_start = os.getloadavg()[0]
     outliers: list[str] = []
     timings: dict[str, float] = {}
     for name in sorted(queries):
@@ -79,12 +80,26 @@ def main() -> None:
         timings[name] = round(min(timings[name], run_once(name)), 3)
 
     total = round(sum(timings.values()), 3)
+    # Window quality stamp (round-12, verdict #8): this host is co-tenant
+    # with documented 2x run-to-run swings on identical code; record the
+    # 1-minute load average around the run and how many queries needed the
+    # outlier retry, so a reader can tell a clean window (load ~ our own
+    # job) from a contended one WITHOUT re-deriving it from git history.
+    # Our own Spark job accounts for roughly 4-10 load units on this
+    # corpus; sustained load far above that is a co-tenant.
+    load_end = os.getloadavg()[0]
+    window = {
+        "load_avg_1m_start": round(load_start, 2),
+        "load_avg_1m_end": round(load_end, 2),
+        "n_outlier_retries": len(outliers),
+    }
     full_payload = {
         "metric": "query_corpus_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "window": window,
     }
     headline = {
         "metric": "query_corpus_wall_clock",

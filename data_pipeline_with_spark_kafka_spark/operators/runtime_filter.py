@@ -83,6 +83,8 @@ this operator is part of the [EXT] scale surface.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 DEFAULT_M_BITS = 1 << 18  # 32 KB of filter; FPR ~1.5% at 30k keys, k=5
@@ -173,6 +175,32 @@ def bloom_prune(
 
 
 _WORDS_CACHE: dict[tuple, object] = {}  # words lists and built literal Columns
+# Cache-key contract (round-12 advice fix): entries are NEVER invalidated,
+# so a key must pin the dim's CONTENT, not just its path — a stale filter
+# has false negatives, which silently drop joinable rows. Callers whose
+# source files can change within a process lifetime fold
+# ``parquet_fingerprint(path)`` into the key; keys without a fingerprint
+# assert the source is immutable for the process (true of /root/testdata
+# fixtures, not of a live warehouse).
+
+
+def parquet_fingerprint(path: str) -> tuple:
+    """Cheap content fingerprint of a parquet file/dir for cache keys:
+    (file count, total bytes, max mtime_ns). Driver-side stat calls —
+    the same metadata IO Spark's own file index performs at planning."""
+    import glob
+
+    paths = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    stats = [os.stat(p) for p in paths if os.path.exists(p)]
+    return (
+        len(stats),
+        sum(s.st_size for s in stats),
+        max((s.st_mtime_ns for s in stats), default=0),
+    )
 
 
 def bloom_words(

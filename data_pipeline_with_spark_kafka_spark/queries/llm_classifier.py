@@ -201,9 +201,13 @@ def llm_classifier_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = llm_quality_gopher(spark, sf_dir).select(
         "doc_id", F.col("passes").cast("int").alias("y")
     )
+    # Persist (dedup.py cache contract): the scored relation feeds BOTH the
+    # rank-sum branch (grp) and the confusion aggregate below — without it
+    # the entire probs+labels pipeline (vocab build, scoring join, Gopher
+    # metrics) computes twice per run. Doc-sized, 3 narrow columns.
     sc = probs.join(labels, "doc_id").select(
         round_to(F.col("p"), 4).alias("s"), "y", "p"
-    )
+    ).persist()
     grp = sc.groupBy("s").agg(
         F.count(F.lit(1)).alias("n_g"), F.sum("y").alias("npos_g")
     )
@@ -353,7 +357,9 @@ def llm_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin"),
         "p",
         "y",
-    )
+    ).persist()
+    # Persist: consumed by the 10-bin aggregate AND the 1-row total — one
+    # scoring pass instead of two (same contract as the AUC twin above).
     tot = sc.agg(F.count(F.lit(1)).alias("n"))
     mean_conf = round_to(F.avg("p"), 6)
     frac_pos = round_to(F.avg(F.col("y").cast("double")), 6)

@@ -87,13 +87,20 @@ def llm_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     bic = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
 
+    # Type-space scoring (r12 — the trigram twin's trade applied here):
+    # lp depends only on the bigram TYPE, so score each distinct (w1, w2)
+    # once against the two count relations — all vocabulary-sized joins —
+    # and the corpus-sized occurrence stream pays exactly ONE equi-join
+    # (type -> lp) before the per-doc aggregate. The old shape joined the
+    # occurrence stream itself against bic and then uni: two corpus-sized
+    # shuffle joins instead of one.
     lp = F.log2((F.col("c12") + F.lit(_K)) / (F.col("c1") + F.lit(_K) * F.col("v")))
-    scored = (
-        bi.join(bic, ["w1", "w2"])
-        .join(uni.withColumnRenamed("w", "w1"), "w1")
+    typ = (
+        bic.join(uni.withColumnRenamed("w", "w1"), "w1")
         .crossJoin(F.broadcast(vocab))
-        .select("doc_id", lp.alias("lp"))
+        .select("w1", "w2", lp.alias("lp"))
     )
+    scored = bi.join(typ, ["w1", "w2"]).select("doc_id", "lp")
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         round_to(F.pow(F.lit(2.0), -F.avg("lp")), 4).alias("perplexity"),

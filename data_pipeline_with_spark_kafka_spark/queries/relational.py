@@ -713,6 +713,7 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom (optimizer-visibility-limited) at 100 TB."""
     from data_pipeline_with_spark_kafka_spark.operators.runtime_filter import (
         bloom_pruned_join,
+        parquet_fingerprint,
     )
 
     lineitem = load_table(spark, sf_dir, "lineitem").select(
@@ -728,7 +729,15 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         urgent,
         "l_orderkey",
         "o_orderkey",
-        literal_cache_key=(sf_dir, "orders", "urgent-bloom"),
+        # fingerprint in the key (round-12 advice fix): the memo is
+        # process-lifetime, so pin the dim's CONTENT — a stale filter
+        # would silently drop joinable rows (false negatives).
+        literal_cache_key=(
+            sf_dir,
+            "orders",
+            "urgent-bloom",
+            parquet_fingerprint(f"{sf_dir}/orders.parquet"),
+        ),
     )
     return joined.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month")).agg(
         F.count(F.lit(1)).alias("n_items"),

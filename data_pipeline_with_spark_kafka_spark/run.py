@@ -117,7 +117,11 @@ def cmd_produce(spark: SparkSession, args: argparse.Namespace) -> None:
 
 
 def cmd_consume(spark: SparkSession, args: argparse.Namespace) -> None:
-    dim = csv_source(spark, args.dim, DIM_SCHEMA)
+    # cache(): the static dim is re-read and re-broadcast EVERY micro-batch
+    # without it (the reference caches it for exactly this —
+    # spark_consumer_kafka.py:42; closes the M1 parity gap). Trivial for a
+    # CSV dim, load-bearing for a JDBC dim at scale.
+    dim = csv_source(spark, args.dim, DIM_SCHEMA).cache()
     if args.kafka_servers:
         source = kafka_source(args.kafka_servers, args.topic)
         trigger = {"processingTime": args.trigger or "1 minute"}

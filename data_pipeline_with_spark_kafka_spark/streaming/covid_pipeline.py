@@ -188,7 +188,10 @@ def run_reference_pipeline(
 
     pipeline = build_stream_pipeline(
         kafka_source(bootstrap_servers, topic),
-        dim_df,
+        # cache(): broadcast rebuilds per micro-batch; without the cache the
+        # dim source is also re-READ per batch (reference parity:
+        # spark_consumer_kafka.py:42).
+        dim_df.cache(),
         SinkSpec(
             kind="foreach-batch",
             foreach_batch=keyed_upsert_parquet(target_dir, ["window_start", "location"]),

@@ -33,7 +33,13 @@ Semantics note (documented, not hidden): sessions are at-arrival-time.
 An event arriving LATE — after the watermark already closed the session
 it belonged to — starts a new session instead of merging; the batch
 query, which sees full history, is the reconciliation pass (the same
-lambda split the attribution/Markov/curation streams use).
+lambda split the attribution/Markov/curation streams use). IN-watermark
+disorder, by contrast, is handled exactly (round-12 advice fix): an
+accepted out-of-order event extends the open session backward
+(``start_ns = min(start_ns, ts)``), so session_start matches the batch
+twin; the one remaining at-arrival artifact inside the watermark is an
+event more than ``gap`` BEFORE the open session's start, which batch
+would split into its own session retroactively but arrival order merges.
 
 No counterpart in the 319-LoC reference (its streaming agg is a plain
 windowed sum — ``spark_consumer_kafka.py:113-127``); [EXT] surface.
@@ -94,6 +100,16 @@ def _make_update(gap_ms: int):
                 start_ns = end_ns = ts_ns
                 n = 1
             else:
+                # In-watermark disorder (round-12 advice fix): an accepted
+                # out-of-order event can precede the open session's start
+                # (its ts-end delta is negative, which passes the gap
+                # test) — extend the session BACKWARD too, so the emitted
+                # session_start matches the batch twin for any disorder
+                # the watermark admits. Residual divergence is now only
+                # the documented post-watermark case plus an event more
+                # than `gap` BEFORE the open start (batch would split
+                # retroactively; at-arrival state cannot).
+                start_ns = min(start_ns, ts_ns)
                 end_ns = max(end_ns, ts_ns)
                 n += 1
             changed[seq] = (start_ns, end_ns, n)

@@ -94,13 +94,18 @@ def bucketed_keyed_upsert_parquet(
 
     Crash/replay safety is ordering, not locking: the version token is
     ``max(existing delta tokens, base _MAXV marker) + 1``, the marker
-    is written INSIDE the new base tree before the bucket swap, and
-    folded deltas are deleted only AFTER the marker swap — so tokens
-    never decrease across crashes, a replayed epoch lands as a newer
-    delta with the same absolute rows (the reader converges), and a
-    half-compacted ledger reads identically (folded rows tie on
-    ``__v`` with their not-yet-deleted delta copies). Latest-write-wins
-    matches the plain sink's delete+insert semantics."""
+    is written after the bucket swaps, and folded deltas are deleted
+    only AFTER the marker swap — so tokens never decrease across
+    crashes, a replayed epoch lands as a newer delta with the same
+    absolute rows (the reader converges), and a half-compacted ledger
+    reads identically (folded rows tie on ``__v`` with their
+    not-yet-deleted delta copies). Each bucket swap is itself
+    recoverable (round-12 advice fix): the old bucket is renamed to a
+    tombstone before the new one renames in, so a crash between the two
+    renames preserves the old rows — ``_recover_buckets`` restores them
+    at the next compaction and ``read_keyed_ledger`` unions live-less
+    tombstones in the meantime. Latest-write-wins matches the plain
+    sink's delete+insert semantics."""
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.sql import functions as F
@@ -136,6 +141,35 @@ def bucketed_keyed_upsert_parquet(
     return upsert
 
 
+def _tomb_dir(target_dir: str) -> str:
+    """Tombstone directory for the recoverable bucket swap — a SIBLING of
+    base/, never inside it: a dir named ``__b=N--x`` under base/ would be
+    picked up by Spark's partition discovery (names containing ``=`` are
+    treated as partition dirs even with a leading underscore)."""
+    return os.path.join(target_dir, "tomb")
+
+
+def _recover_buckets(target_dir: str) -> None:
+    """Heal a ledger whose compaction died mid-swap: for every tombstone,
+    restore it if its live bucket is missing (crash between the two
+    renames), else drop it as stale (crash after the new bucket landed).
+    Each step is a single atomic rename/delete, so recovery itself is
+    crash-safe and idempotent; post-condition: tomb dir is empty."""
+    tomb_dir = _tomb_dir(target_dir)
+    if not os.path.isdir(tomb_dir):
+        return
+    base_dir = os.path.join(target_dir, "base")
+    for name in sorted(os.listdir(tomb_dir)):
+        if "--" not in name:
+            continue
+        live = os.path.join(base_dir, name.split("--", 1)[0])
+        tomb = os.path.join(tomb_dir, name)
+        if os.path.isdir(live):
+            shutil.rmtree(tomb, ignore_errors=True)
+        else:
+            os.rename(tomb, live)
+
+
 def _base_maxv(base_dir: str) -> int:
     """Max version token folded into the base, from the ``_MAXV-<n>``
     marker file (underscore prefix: invisible to Spark's file index).
@@ -160,6 +194,10 @@ def _compact_keyed_ledger(
 
     base_dir = os.path.join(target_dir, "base")
     delta_root = os.path.join(target_dir, "delta")
+    # Heal any half-swapped bucket from a previous crash BEFORE reading
+    # the base — also guarantees at most one tombstone per bucket exists
+    # when the swap below creates new ones.
+    _recover_buckets(target_dir)
     delta_paths = [os.path.join(delta_root, d) for d in deltas]
     bucket = F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
     incoming = spark.read.parquet(*delta_paths).withColumn("__b", bucket)
@@ -184,14 +222,28 @@ def _compact_keyed_ledger(
     tmp = f"{base_dir}.tmp-{uuid.uuid4().hex[:8]}"
     folded.write.partitionBy("__b").mode("overwrite").parquet(tmp)
     os.makedirs(base_dir, exist_ok=True)
+    # Recoverable per-bucket swap (round-12 advice fix): the old
+    # rmtree(dst)-then-rename(src,dst) pair lost every base row of the
+    # bucket whose key was not in the pending deltas if the process died
+    # between the two calls. Now the old bucket is RENAMED to a tombstone
+    # first (atomic), the new one renamed in (atomic), and only then is
+    # the tombstone deleted — a crash at any point leaves either the old
+    # bucket live, or the old bucket in the tombstone with the live dir
+    # missing (restored by _recover_buckets before the next compaction,
+    # and unioned in by read_keyed_ledger meanwhile). _recover_buckets
+    # ran above, so at most one tombstone per bucket can exist here.
+    tomb_dir = _tomb_dir(target_dir)
+    os.makedirs(tomb_dir, exist_ok=True)
     for b in touched:
         src = os.path.join(tmp, f"__b={b}")
         dst = os.path.join(base_dir, f"__b={b}")
         if not os.path.isdir(src):
             continue
+        tomb = os.path.join(tomb_dir, f"__b={b}--{uuid.uuid4().hex[:8]}")
         if os.path.isdir(dst):
-            shutil.rmtree(dst)
+            os.rename(dst, tomb)
         os.rename(src, dst)
+        shutil.rmtree(tomb, ignore_errors=True)
     new_maxv = max(int(d.split("-", 1)[1]) for d in deltas)
     marker = os.path.join(base_dir, f"_MAXV-{new_maxv:012d}")
     open(marker, "w").close()
@@ -218,6 +270,20 @@ def read_keyed_ledger(spark, target_dir: str, key_cols: list[str]):
         d.startswith("__b=") for d in os.listdir(base_dir)
     ):
         parts.append(spark.read.parquet(base_dir).drop("__b"))
+    # Crash fallback (round-12 advice fix): a compaction that died between
+    # its two swap renames leaves a bucket's base rows in the tombstone
+    # dir with the live dir missing. Union those tombstones in (read-only
+    # — no filesystem mutation on the read path; the next compaction's
+    # _recover_buckets restores them). A tombstone whose live bucket
+    # exists is stale (crash after the new bucket landed) and is skipped:
+    # the live dir is newer.
+    tomb_dir = _tomb_dir(target_dir)
+    if os.path.isdir(tomb_dir):
+        for name in sorted(os.listdir(tomb_dir)):
+            if "--" not in name:
+                continue
+            if not os.path.isdir(os.path.join(base_dir, name.split("--", 1)[0])):
+                parts.append(spark.read.parquet(os.path.join(tomb_dir, name)))
     delta_paths = [
         os.path.join(delta_root, d)
         for d in (sorted(os.listdir(delta_root)) if os.path.isdir(delta_root) else [])

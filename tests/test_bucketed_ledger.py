@@ -134,3 +134,69 @@ def test_ledger_empty_batch_noop(spark, tmp_path):
     sink(_df(spark, []), 1)
     assert _snapshot(spark, target) == snap
     assert len(_deltas(target)) == 1  # no delta written for the empty batch
+
+
+def test_ledger_swap_crash_between_renames_loses_nothing(spark, tmp_path):
+    """Round-12 advice fix: a compaction that dies BETWEEN the tombstone
+    rename and the new-bucket rename must not lose base rows whose keys
+    are not in the pending deltas. Simulate the crash state by moving a
+    live bucket to the tombstone dir: the reader must union it in, and
+    the next compaction must restore it."""
+    import shutil
+    import uuid
+
+    from data_pipeline_with_spark_kafka_spark.streaming.sinks import (
+        _recover_buckets,
+        _tomb_dir,
+    )
+
+    target = tmp_path / "ledger"
+    sink = bucketed_keyed_upsert_parquet(str(target), ["k"], n_buckets=4, compact_every=1)
+    # compact_every=1 -> base-only ledger with several buckets
+    sink(_df(spark, [(k, f"v{k}", 1) for k in range(12)]), 0)
+    before = _snapshot(spark, target)
+    assert len(before) == 12 and not _deltas(target)
+
+    # Simulate the crash: one bucket tombstoned, live dir missing.
+    bucket = _buckets(target)[0]
+    tomb = os.path.join(_tomb_dir(str(target)), f"{bucket}--{uuid.uuid4().hex[:8]}")
+    os.makedirs(_tomb_dir(str(target)), exist_ok=True)
+    os.rename(os.path.join(str(target), "base", bucket), tomb)
+
+    # Reader falls back to the tombstone: zero rows lost, no mutation.
+    assert _snapshot(spark, target) == before
+    assert os.path.isdir(tomb)
+
+    # Next compaction heals the base first, then folds the new delta.
+    sink(_df(spark, [(0, "v0b", 2)]), 1)
+    assert not os.listdir(_tomb_dir(str(target)))
+    healed = dict(before)
+    healed[0] = ("v0b", 2)
+    assert _snapshot(spark, target) == healed
+
+
+def test_ledger_swap_stale_tombstone_is_dropped(spark, tmp_path):
+    """Crash AFTER the new bucket renamed in: the tombstone is stale (the
+    live dir is newer). The reader must prefer the live dir and recovery
+    must delete the tombstone, not resurrect old rows."""
+    import shutil
+    import uuid
+
+    from data_pipeline_with_spark_kafka_spark.streaming.sinks import (
+        _recover_buckets,
+        _tomb_dir,
+    )
+
+    target = tmp_path / "ledger"
+    sink = bucketed_keyed_upsert_parquet(str(target), ["k"], n_buckets=2, compact_every=1)
+    sink(_df(spark, [(1, "old", 1)]), 0)
+    bucket = _buckets(target)[0]
+    # stale tombstone = a COPY of the current bucket content under an old name
+    tomb = os.path.join(_tomb_dir(str(target)), f"{bucket}--{uuid.uuid4().hex[:8]}")
+    os.makedirs(_tomb_dir(str(target)), exist_ok=True)
+    shutil.copytree(os.path.join(str(target), "base", bucket), tomb)
+    sink(_df(spark, [(1, "new", 2)]), 1)  # live bucket now newer
+    assert _snapshot(spark, target)[1] == ("new", 2)
+    _recover_buckets(str(target))
+    assert not os.listdir(_tomb_dir(str(target)))
+    assert _snapshot(spark, target)[1] == ("new", 2)

@@ -65,6 +65,9 @@ def test_cli_e2e_matches_batch_golden(spark, tmp_path, csv_inputs):
     target = tmp_path / "out"
     ckpt = tmp_path / "ckpt"
 
+    # Baseline for the M1 cache assertion below.
+    spark.catalog.clearCache()
+
     main(
         [
             "e2e",
@@ -80,6 +83,14 @@ def test_cli_e2e_matches_batch_golden(spark, tmp_path, csv_inputs):
     )
 
     streamed = spark.read.parquet(str(target))
+
+    # M1 parity (round 12): cmd_consume must CACHE the static dim — the
+    # reference caches it (spark_consumer_kafka.py:42) because without it
+    # the dim is re-read and re-broadcast every micro-batch. The cache is
+    # observable as a populated RDD storage info after the run.
+    assert spark.sparkContext._jsc.sc().getRDDStorageInfo(), (
+        "consume dim is not cached (M1)"
+    )
 
     # golden: same validate+payload path, run as one batch
     dim = csv_source(spark, dim_csv, DIM_SCHEMA)

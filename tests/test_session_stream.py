@@ -215,3 +215,25 @@ def test_session_stream_replay_idempotent(spark, tmp_path):
     t2 = _run(spark, src, tmp_path / "rp_ck2")
     assert t1 == t2
     assert {k: v[0] for k, v in t1.items()} == {(1, 1): 1, (1, 2): 1, (2, 1): 2}
+
+
+def test_session_stream_in_watermark_disorder_extends_start_backward(spark, tmp_path):
+    """Round-12 advice fix: an out-of-order event still inside the
+    watermark that merges into the open session must lower
+    session_start (and count), matching the batch twin — not silently
+    keep the at-arrival boundary."""
+    src = tmp_path / "sd_in"
+    ckpt = tmp_path / "sd_ck"
+    src.mkdir()
+    # Batch 0: user 1 session opens at 10:10.
+    (src / "f1.json").write_text(_line(101, "2024-06-01 10:10:00", 1))
+    # Batch 1: an EARLIER event (10:05) arrives late but within the huge
+    # watermark -> merges, and the session must now start at 10:05.
+    (src / "f2.json").write_text(_line(102, "2024-06-01 10:05:00", 1))
+    _mtimes(src, ["f1.json", "f2.json"])
+    table = _run(spark, src, ckpt, watermark="2 hours")
+    assert len(table) == 1
+    n_events, session_start, session_end = table[(1, 1)]
+    assert n_events == 2
+    assert session_start.strftime("%H:%M") == "10:05"
+    assert session_end.strftime("%H:%M") == "10:10"

@@ -17,6 +17,12 @@ import sys
 
 BASELINE_PER_QUERY_SEC = 42.8 / 86  # BASELINE.md round-1 corpus, sf0.1, local[32]
 THRESHOLD = 2.0
+# Per-query cap (round-12 advice fix): the per-query AVERAGE alone lets a
+# single query regress 50x and be averaged away across 200+ queries. No
+# individual query may exceed the slowest round-1 query (3.25 s,
+# llm_dedup_minhash_lsh per BASELINE.md) by more than the same 2x factor.
+SLOWEST_R1_QUERY_SEC = 3.25
+PER_QUERY_CAP = SLOWEST_R1_QUERY_SEC * THRESHOLD
 
 
 def main() -> int:
@@ -58,6 +64,16 @@ def main() -> int:
             f"REGRESSION: {per_query:.3f}s/query > {limit:.3f}s/query "
             f"(2x baseline {BASELINE_PER_QUERY_SEC:.3f}s/query)"
         )
+        return 1
+    over_cap = [
+        (name, sec) for name, sec in result["queries"].items() if sec > PER_QUERY_CAP
+    ]
+    if sf == 0.1 and over_cap:
+        for name, sec in sorted(over_cap, key=lambda kv: -kv[1]):
+            print(
+                f"REGRESSION: {name} at {sec:.2f}s exceeds the per-query cap "
+                f"{PER_QUERY_CAP:.2f}s (2x the slowest round-1 query)"
+            )
         return 1
     print("OK")
     return 0
