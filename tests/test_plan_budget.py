@@ -311,7 +311,7 @@ EXCHANGE_BUDGET = {
     # classifier prob agg + gopher label exprs + score join, the 4dp
     # score-group agg, the bounded-group rank window, two 1-row final
     # aggs (round 6).
-    "llm_classifier_eval_auc": 14,  # r12: + small-scan fan-out exchange(s)
+    "llm_classifier_eval_auc": 14,  # r12: fan-out + persisted scored relation
     # codebook-literal reconstruction is map-only; ADC pool cut + exact
     # rerank — the flat-SQ8 shape (round 6).
     "llm_sim_topk_pq": 4,  # r12: + small-scan fan-out exchange(s)
@@ -320,7 +320,7 @@ EXCHANGE_BUDGET = {
     "llm_sim_topk_ivf_pq": 4,  # r12: + small-scan fan-out exchange(s)
     # classifier prob agg + gopher label exprs + score join, the 10-bin
     # group agg + 1-row total broadcast (round 6).
-    "llm_classifier_calibration": 11,  # r12: + small-scan fan-out exchange(s)
+    "llm_classifier_calibration": 13,  # r12: fan-out + persisted scored relation (InMemoryRelation reprint)
     # three delta-join terms; AQE broadcasts the small delta sides, so
     # only the base-side scans exchange (round 6).
     "ivm_join_maintenance": 3,
