@@ -186,6 +186,31 @@ def main() -> None:
                 metric_lines.append(
                     json.dumps({"metric": metric_name, "value": 0.0, "error": str(exc)[:200]})
                 )
+    # Per-query profile in CHUNKED lines (round-13, verdict #10): the
+    # single 221-entry "queries" dict is ~4.5 KB and the driver keeps only
+    # the last 2000 chars of stdout, so both r11 and r12 lost the whole
+    # per-query PERF/scaling comparison to mid-dict truncation. Emitting
+    # the profile as <= 25-entry chunk lines directly before the headline
+    # means the tail always retains the final chunk(s) INTACT; entries are
+    # sorted ascending by time so the chunks that survive truncation carry
+    # the slowest (most informative) queries. Additions-only: the timing
+    # methodology, the full line, the sidecar and the headline are
+    # unchanged.
+    _prof = sorted(timings.items(), key=lambda kv: (kv[1], kv[0]))
+    _CHUNK = 25
+    _chunks = [_prof[i : i + _CHUNK] for i in range(0, len(_prof), _CHUNK)]
+    for _ci, _ch in enumerate(_chunks):
+        metric_lines.append(
+            json.dumps(
+                {
+                    "metric": "query_profile_chunk",
+                    "chunk": _ci + 1,
+                    "n_chunks": len(_chunks),
+                    "queries": dict(_ch),
+                    "sf": sf,
+                }
+            )
+        )
     metric_lines.append(json.dumps(headline))
 
     # The per-query dict (~4k chars at 196 queries) cannot fit the

@@ -117,6 +117,7 @@ def bm25_topk(
     k: int = 5,
     k1: float = 1.2,
     b: float = 0.75,
+    workload_terms: list[str] | None = None,
 ) -> DataFrame:
     """Top-``k`` documents per query under BM25 (Robertson/Okapi, the
     Lucene ``ln(1 + (N - df + 0.5) / (df + 0.5))`` idf variant — always
@@ -125,8 +126,18 @@ def bm25_topk(
     ``query_terms`` is a (query_id, term) relation — typically a literal
     handful of probe queries. Document frequency is computed over the
     full corpus but only for the terms the workload references (the
-    semi-join prunes postings first; restriction commutes with the
-    per-term count).
+    restriction prunes the token stream first; restriction commutes with
+    the per-term count).
+
+    ``workload_terms``: when the workload's terms are known driver-side
+    literals (the common probe-set case), pass them here and the
+    restriction compiles to a plain ``isin`` Filter on the exploded
+    token stream — a map-side codegen predicate with NO join, NO
+    broadcast and NO dependence on the planner having statistics for
+    ``query_terms``. MUST be exactly the distinct terms of
+    ``query_terms`` (asserted in tests); semantics are identical to the
+    semi-join form, which remains the fallback for non-literal
+    workloads.
     """
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -134,25 +145,44 @@ def bm25_topk(
     )
 
     qterms = query_terms.select("query_id", "term")
-    # Workload restriction BELOW the postings aggregation (r12): the
-    # exploded token stream inner-joins the tiny distinct workload-term
-    # relation BEFORE any groupBy, so non-workload tokens are dropped
-    # map-side (broadcast join against a literal relation — no shuffle)
-    # and the postings aggregate shuffles only workload-term rows. The
-    # old shape aggregated the FULL corpus into (doc, term) postings
-    # first — a corpus-sized shuffle of which the workload then kept a
-    # few terms. Restriction commutes with the per-(doc, term) count, so
-    # tf/df/scoring are unchanged (oracle-verified). Measured at sf0.1:
-    # 2.0 -> 0.7 s; at 100 TB this is the difference between shuffling
-    # every distinct (doc, term) and shuffling the probe terms' postings.
+    # Workload restriction BELOW the postings aggregation (r12): drop
+    # non-workload tokens from the exploded stream BEFORE any groupBy, so
+    # the postings aggregate shuffles only workload-term rows — at 100 TB
+    # this is the difference between shuffling every distinct (doc, term)
+    # of the corpus and shuffling the probe terms' postings. Restriction
+    # commutes with the per-(doc, term) count, so tf/df/scoring are
+    # unchanged (oracle-verified).
+    #
+    # r13 (verdict #3): the restriction is a LITERAL ``isin`` filter when
+    # the caller supplies the terms. The r12 semi-join form depended on
+    # the planner/AQE electing the stats-less query-terms relation as the
+    # broadcast side; at sf0.1 Catalyst instead BROADCAST THE EXPLODED
+    # CORPUS (plans/r12/llm_bm25_topk_after.txt nodes 1-12) — harmless at
+    # toy scale, an executor OOM at 100 TB, and the SMJ fallback would
+    # shuffle raw token occurrences on a skew-prone term key. A Filter
+    # cannot degrade that way on any planner path.
     toks = docs.select(
         F.col(id_col).alias("doc"),
         F.size(tokens(F.col(text_col))).alias("dl"),
         F.explode(tokens(F.col(text_col))).alias("term"),
     )
-    hit = toks.join(qterms.select("term").distinct(), "term").groupBy(
-        "doc", "dl", "term"
-    ).agg(F.count(F.lit(1)).alias("tf"))
+    if workload_terms is not None:
+        restricted = toks.filter(
+            F.col("term").isin(sorted({str(t) for t in workload_terms}))
+        )
+    else:
+        restricted = toks.join(qterms.select("term").distinct(), "term")
+    # Persist (dedup.py cache contract — materializing caller owns the
+    # blocks): the restricted postings feed BOTH dfreq and the scoring
+    # join below, and column pruning makes the two subtrees differ
+    # enough that ReusedExchange never fires — without the persist the
+    # whole tokenize/explode/filter/aggregate pipeline runs TWICE (r12's
+    # plan shows the duplicated subtree, verdict #3). The relation is
+    # bounded by the workload terms' postings (never the full corpus
+    # vocabulary) and spills to disk under the default storage level.
+    hit = restricted.groupBy("doc", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).persist()
     # Document frequency via aggregate + re-join, NOT a count window over
     # the term partition: a window would pin a hub term's entire postings
     # onto one task (df can be ~N at 100 TB), while the aggregate

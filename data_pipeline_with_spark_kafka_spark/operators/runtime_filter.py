@@ -187,19 +187,34 @@ _WORDS_CACHE: dict[tuple, object] = {}  # words lists and built literal Columns
 def parquet_fingerprint(path: str) -> tuple:
     """Cheap content fingerprint of a parquet file/dir for cache keys:
     (file count, total bytes, max mtime_ns). Driver-side stat calls —
-    the same metadata IO Spark's own file index performs at planning."""
-    import glob
+    the same metadata IO Spark's own file index performs at planning.
 
-    paths = (
-        sorted(glob.glob(os.path.join(path, "*.parquet")))
-        if os.path.isdir(path)
-        else [path]
-    )
+    Directories are walked RECURSIVELY (round-13 advice fix): a
+    partitioned dim has no top-level ``*.parquet``, and the old flat
+    glob fingerprinted every state of such a dim as (0, 0, 0) — silently
+    defeating the content pinning this exists for (a stale Bloom filter
+    has false NEGATIVES, which drop joinable rows). A path that yields
+    no parquet files at all fails loudly instead of fingerprinting
+    empty."""
+    if os.path.isdir(path):
+        paths = sorted(
+            os.path.join(root, f)
+            for root, _dirs, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    else:
+        paths = [path]
     stats = [os.stat(p) for p in paths if os.path.exists(p)]
+    if not stats:
+        raise FileNotFoundError(
+            f"parquet_fingerprint: no parquet files under {path!r} "
+            "(mis-pointed path would otherwise fingerprint as empty)"
+        )
     return (
         len(stats),
         sum(s.st_size for s in stats),
-        max((s.st_mtime_ns for s in stats), default=0),
+        max(s.st_mtime_ns for s in stats),
     )
 
 

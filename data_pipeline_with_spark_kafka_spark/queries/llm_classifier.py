@@ -205,6 +205,11 @@ def llm_classifier_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank-sum branch (grp) and the confusion aggregate below — without it
     # the entire probs+labels pipeline (vocab build, scoring join, Gopher
     # metrics) computes twice per run. Doc-sized, 3 narrow columns.
+    # Lifecycle (round-13 advice): the returned plan is lazy, so THIS
+    # function cannot unpersist — ownership of the blocks passes to
+    # whoever materializes the result (bench.py / driver_sim call
+    # spark.catalog.clearCache() per query; long-lived embedders must do
+    # the same or unpersist via the plan's cached ancestors).
     sc = probs.join(labels, "doc_id").select(
         round_to(F.col("p"), 4).alias("s"), "y", "p"
     ).persist()
@@ -359,7 +364,9 @@ def llm_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
     ).persist()
     # Persist: consumed by the 10-bin aggregate AND the 1-row total — one
-    # scoring pass instead of two (same contract as the AUC twin above).
+    # scoring pass instead of two (same contract as the AUC twin above,
+    # including the round-13 lifecycle note: the materializing caller
+    # owns the blocks and must clearCache/unpersist, as bench.py does).
     tot = sc.agg(F.count(F.lit(1)).alias("n"))
     mean_conf = round_to(F.avg("p"), 6)
     frac_pos = round_to(F.avg(F.col("y").cast("double")), 6)

@@ -77,19 +77,34 @@ FROM ranked WHERE rank <= 5
 )
 
 
+_WORKLOAD_TERMS = sorted({term for _qid, text in PROBE_QUERIES for term in text.split()})
+
+
+def _qterms_df(spark: SparkSession) -> DataFrame:
+    """The probe workload as a SIZED LocalRelation (r13, verdict #3):
+    ``VALUES`` gives the planner exact statistics, so the final
+    query-id attachment join broadcasts the 12-row side at PLAN time —
+    ``createDataFrame`` over a list builds a stats-less
+    ``Scan ExistingRDD`` that r12's plan could only size via AQE (and
+    Catalyst broadcast the corpus side instead)."""
+    return spark.sql(
+        f"SELECT query_id, term FROM VALUES {_QT_VALUES} AS t(query_id, term)"
+    ).select(F.col("query_id").cast("int").alias("query_id"), "term")
+
+
 @register("llm_bm25_topk", oracle=BM25_ORACLE, tags=("llm", "retrieval"))
 def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-5 documents per probe query (k1=1.2, b=0.75, Lucene
     positive idf). One postings shuffle; the probe workload is a literal
-    12-term relation semi-joined in before any per-term statistics, so
+    12-term ``isin`` FILTER on the token stream before any per-term
+    statistics (map-side codegen — no join, no stats dependence), so
     scoring never touches terms the workload doesn't ask about. Per-query
     top-k compiles to WindowGroupLimit partial top-k."""
     docs = load_table_fanned(spark, sf_dir, "documents")
-    qterms = spark.createDataFrame(
-        [(qid, term) for qid, text in PROBE_QUERIES for term in text.split()],
-        "query_id int, term string",
+    return retrieval.bm25_topk(
+        docs, _qterms_df(spark), "doc_id", "text", k=5,
+        workload_terms=_WORKLOAD_TERMS,
     )
-    return retrieval.bm25_topk(docs, qterms, "doc_id", "text", k=5)
 
 
 INVERTED_INDEX_ORACLE = """
@@ -206,13 +221,10 @@ def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table_fanned(spark, sf_dir, "documents")
     emb = load_table_fanned(spark, sf_dir, "embeddings")
-    qterms = spark.createDataFrame(
-        [(qid, term) for qid, text in PROBE_QUERIES for term in text.split()],
-        "query_id int, term string",
-    )
-    bmtop = retrieval.bm25_topk(docs, qterms, "doc_id", "text", k=5).select(
-        "query_id", "doc_id", F.col("rank").alias("rb")
-    )
+    bmtop = retrieval.bm25_topk(
+        docs, _qterms_df(spark), "doc_id", "text", k=5,
+        workload_terms=_WORKLOAD_TERMS,
+    ).select("query_id", "doc_id", F.col("rank").alias("rb"))
 
     anchors = (
         emb.filter(F.col("vec_id") < 4)

@@ -76,12 +76,28 @@ FANOUT_MAX_BYTES = int(os.environ.get("SPARK_GRAFT_FANOUT_MAX_BYTES", 128 << 20)
 
 
 def _table_bytes(sf_dir: str, name: str) -> int:
-    """On-disk size of a fixture table (file or directory of parts)."""
-    import glob
+    """On-disk size of a fixture table (file or directory of parts).
 
+    Directories are walked RECURSIVELY (round-13 advice fix): a
+    partitioned/nested parquet layout has no top-level ``*.parquet``
+    files, and the old flat glob summed it to 0 bytes — which would have
+    told ``load_table_fanned`` to round-robin-shuffle an arbitrarily
+    large table, the exact opposite of its 'plans unchanged at real
+    scale' contract. An empty walk result is treated like the OSError
+    branch: unknown -> assume big, never fan out."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if os.path.isdir(path):
-        return sum(os.path.getsize(p) for p in glob.glob(os.path.join(path, "*.parquet")))
+        total = 0
+        seen = False
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    seen = True
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        return FANOUT_MAX_BYTES
+        return total if seen else FANOUT_MAX_BYTES
     try:
         return os.path.getsize(path)
     except OSError:

@@ -159,15 +159,27 @@ def _recover_buckets(target_dir: str) -> None:
     if not os.path.isdir(tomb_dir):
         return
     base_dir = os.path.join(target_dir, "base")
+    # Group tombstones per bucket: should a bucket ever accumulate more
+    # than one (a stale tombstone surviving its ignore_errors rmtree plus
+    # a later crash on the same bucket), restore the NEWEST — the suffix
+    # is the monotone delta-version token of the compaction that created
+    # it (round-13 advice fix; the old uuid suffix made the restore order
+    # arbitrary, so a stale copy could win over the real one).
+    by_bucket: dict[str, list[str]] = {}
     for name in sorted(os.listdir(tomb_dir)):
         if "--" not in name:
             continue
-        live = os.path.join(base_dir, name.split("--", 1)[0])
-        tomb = os.path.join(tomb_dir, name)
-        if os.path.isdir(live):
-            shutil.rmtree(tomb, ignore_errors=True)
-        else:
-            os.rename(tomb, live)
+        by_bucket.setdefault(name.split("--", 1)[0], []).append(name)
+    for bucket, names in by_bucket.items():
+        live = os.path.join(base_dir, bucket)
+        names.sort(key=lambda n: n.split("--", 1)[1], reverse=True)  # newest first
+        restore = None if os.path.isdir(live) else names[0]
+        for name in names:
+            tomb = os.path.join(tomb_dir, name)
+            if name == restore:
+                os.rename(tomb, live)
+            else:
+                shutil.rmtree(tomb, ignore_errors=True)
 
 
 def _base_maxv(base_dir: str) -> int:
@@ -234,17 +246,23 @@ def _compact_keyed_ledger(
     # ran above, so at most one tombstone per bucket can exist here.
     tomb_dir = _tomb_dir(target_dir)
     os.makedirs(tomb_dir, exist_ok=True)
+    # Tombstone suffix = the monotone delta-version token this compaction
+    # folds up to (round-13 advice fix): if a stale tombstone ever
+    # survives its rmtree and the same bucket is tombstoned again by a
+    # later compaction, _recover_buckets can deterministically restore
+    # the NEWEST copy (version tokens only grow); a uuid suffix gave
+    # recovery an arbitrary order.
+    new_maxv = max(int(d.split("-", 1)[1]) for d in deltas)
     for b in touched:
         src = os.path.join(tmp, f"__b={b}")
         dst = os.path.join(base_dir, f"__b={b}")
         if not os.path.isdir(src):
             continue
-        tomb = os.path.join(tomb_dir, f"__b={b}--{uuid.uuid4().hex[:8]}")
+        tomb = os.path.join(tomb_dir, f"__b={b}--{new_maxv:012d}")
         if os.path.isdir(dst):
             os.rename(dst, tomb)
         os.rename(src, dst)
         shutil.rmtree(tomb, ignore_errors=True)
-    new_maxv = max(int(d.split("-", 1)[1]) for d in deltas)
     marker = os.path.join(base_dir, f"_MAXV-{new_maxv:012d}")
     open(marker, "w").close()
     for f_ in os.listdir(base_dir):

@@ -200,3 +200,35 @@ def test_ledger_swap_stale_tombstone_is_dropped(spark, tmp_path):
     _recover_buckets(str(target))
     assert not os.listdir(_tomb_dir(str(target)))
     assert _snapshot(spark, target)[1] == ("new", 2)
+
+
+def test_ledger_recovery_restores_newest_of_two_tombstones(spark, tmp_path):
+    """Round-13 advice fix: tombstone suffixes are the compaction's
+    monotone delta-version token, so if one bucket ever holds TWO
+    tombstones (a stale one that survived its rmtree plus a later crash
+    on the same bucket), recovery restores the NEWEST and drops the
+    stale one — never the uuid-lottery of the old naming."""
+    import shutil
+
+    from data_pipeline_with_spark_kafka_spark.streaming.sinks import (
+        _recover_buckets,
+        _tomb_dir,
+    )
+
+    target = tmp_path / "ledger"
+    sink = bucketed_keyed_upsert_parquet(str(target), ["k"], n_buckets=2, compact_every=1)
+    sink(_df(spark, [(1, "old", 1)]), 0)
+    bucket = _buckets(target)[0]
+    live = os.path.join(str(target), "base", bucket)
+    os.makedirs(_tomb_dir(str(target)), exist_ok=True)
+    # stale tombstone (older token) with the OLD content
+    stale = os.path.join(_tomb_dir(str(target)), f"{bucket}--{0:012d}")
+    shutil.copytree(live, stale)
+    # newer write, then simulate a crash that tombstoned the bucket with
+    # a HIGHER token and died before the new dir landed
+    sink(_df(spark, [(1, "new", 2)]), 1)
+    newer = os.path.join(_tomb_dir(str(target)), f"{bucket}--{2:012d}")
+    os.rename(live, newer)
+    _recover_buckets(str(target))
+    assert not os.listdir(_tomb_dir(str(target)))
+    assert _snapshot(spark, target)[1] == ("new", 2)

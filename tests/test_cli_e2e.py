@@ -86,11 +86,14 @@ def test_cli_e2e_matches_batch_golden(spark, tmp_path, csv_inputs):
 
     # M1 parity (round 12): cmd_consume must CACHE the static dim — the
     # reference caches it (spark_consumer_kafka.py:42) because without it
-    # the dim is re-read and re-broadcast every micro-batch. The cache is
-    # observable as a populated RDD storage info after the run.
-    assert spark.sparkContext._jsc.sc().getRDDStorageInfo(), (
-        "consume dim is not cached (M1)"
-    )
+    # the dim is re-read and re-broadcast every micro-batch. Pin THE DIM
+    # specifically (round-13 advice fix): Spark's CacheManager matches by
+    # analyzed-plan equality, so rebuilding the identical dim plan and
+    # reading its storageLevel asserts cmd_consume's dim is the thing
+    # cached — any-RDD-cached would pass vacuously if something else in
+    # the shared session cached during the run.
+    dim_probe = csv_source(spark, dim_csv, DIM_SCHEMA)
+    assert dim_probe.storageLevel.useMemory, "consume dim is not cached (M1)"
 
     # golden: same validate+payload path, run as one batch
     dim = csv_source(spark, dim_csv, DIM_SCHEMA)

@@ -163,12 +163,66 @@ def test_inverted_index_summary_plan_no_global_window(spark, sf_dir):
 
 
 def test_bm25_plan_shape(spark, corpus_df, qterms_df):
-    """The postings shuffle is built once (ReusedExchange), top-k is a
-    partial WindowGroupLimit, and nothing goes cartesian except the
+    """The restricted postings are built once (persisted — dfreq and the
+    scoring join read the cache, r13), top-k is a partial
+    WindowGroupLimit, and nothing goes cartesian except the
     structurally-1-row stats relation."""
     result = retrieval.bm25_topk(corpus_df, qterms_df, "doc_id", "text", k=5)
     result.collect()
     plan = result._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in plan
+    assert "InMemoryTableScan" in plan
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()
+
+
+def test_bm25_workload_terms_filter_matches_join_path(spark, corpus_df, qterms_df):
+    """r13 (verdict #3): the literal ``workload_terms`` restriction must
+    (a) return exactly the semi-join path's rows, and (b) compile to a
+    map-side Filter — no join against (and no scan of) the query-terms
+    relation below the postings aggregate, so no planner path can ever
+    broadcast the corpus side or shuffle raw token occurrences."""
+    terms = sorted({t for _q, text in QUERIES for t in text.split()})
+    via_filter = retrieval.bm25_topk(
+        corpus_df, qterms_df, "doc_id", "text", k=5, workload_terms=terms
+    )
+    via_join = retrieval.bm25_topk(corpus_df, qterms_df, "doc_id", "text", k=5)
+    assert sorted(map(tuple, via_filter.collect())) == sorted(
+        map(tuple, via_join.collect())
+    )
+    plan = via_filter._jdf.queryExecution().executedPlan().toString()
+    # ONE tokenize/explode subtree: the restriction is a literal INSET
+    # Filter on the exploded stream (not a join whose stats-less side
+    # could flip the build direction), and the restricted postings are
+    # persisted so dfreq + scoring read the cache instead of replaying
+    # the pipeline (r12 duplicated the whole subtree). The executedPlan
+    # string reprints the cached plan under every InMemoryTableScan, so
+    # count DISTINCT Generate node IDs in formatted explain, not raw
+    # substring occurrences.
+    import re
+
+    formatted = via_filter.sparkSession._jvm.PythonSQLUtils.explainString(
+        via_filter._jdf.queryExecution(), "formatted"
+    )
+    assert " INSET " in plan or " IN (" in plan, plan
+    assert len(set(re.findall(r"Generate \((\d+)\)", formatted))) <= 1, formatted
+    assert "InMemoryTableScan" in plan, plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    via_filter.sparkSession.catalog.clearCache()
+
+
+def test_query_layer_workload_terms_match_probe_relation(spark):
+    """Contract guard: the literal term list the query layer passes as
+    ``workload_terms`` IS the distinct term set of the probe relation —
+    if PROBE_QUERIES changes, both derive from it and stay in step."""
+    from data_pipeline_with_spark_kafka_spark.queries.llm_retrieval import (
+        PROBE_QUERIES,
+        _WORKLOAD_TERMS,
+        _qterms_df,
+    )
+
+    want = sorted({t for _q, text in PROBE_QUERIES for t in text.split()})
+    assert _WORKLOAD_TERMS == want
+    got = sorted({r["term"] for r in _qterms_df(spark).collect()})
+    assert got == want
