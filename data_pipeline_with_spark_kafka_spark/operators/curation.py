@@ -78,7 +78,10 @@ def contamination_overlap(
     and AQE will broadcast it on its own — no hint needed.
     """
     from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
-    from data_pipeline_with_spark_kafka_spark.operators.text import shingles, tokens
+    from data_pipeline_with_spark_kafka_spark.operators.text import (
+        hashed_shingles,
+        tokens,
+    )
 
     # Per-doc shingle COUNT is a pure expression (size of the distinct
     # shingle array) — no explode, no shuffle. Only the overlap needs the
@@ -90,14 +93,15 @@ def contamination_overlap(
     # as shared_span_fraction: a collision can only nudge n_overlap up by
     # one, and the string-keyed DuckDB oracle would catch one at
     # validation scale).
-    hashed = lambda col: F.transform(  # noqa: E731
-        shingles(tokens(col), k), lambda s: F.xxhash64(s)
-    )
+    # Fused hash-in-the-shingle-lambda build (round 13, guide §4.1): one
+    # interpreted array walk instead of two, dedup on longs — see
+    # operators/text.hashed_shingles.
     doc_sh = corpus.select(
-        F.col(id_col), F.explode(hashed(F.col(text_col))).alias("shingle")
+        F.col(id_col),
+        F.explode(hashed_shingles(tokens(F.col(text_col)), k)).alias("shingle"),
     )
     bench_sh = benchmark.select(
-        F.explode(hashed(F.col(text_col))).alias("shingle")
+        F.explode(hashed_shingles(tokens(F.col(text_col)), k)).alias("shingle")
     ).distinct()
     overlap = (
         doc_sh.join(bench_sh, "shingle", "left_semi")
@@ -106,7 +110,9 @@ def contamination_overlap(
     )
     counted = corpus.select(
         F.col(id_col),
-        F.size(shingles(tokens(F.col(text_col)), k)).cast("bigint").alias("n_shingles"),
+        F.size(hashed_shingles(tokens(F.col(text_col)), k))
+        .cast("bigint")
+        .alias("n_shingles"),
     )
     frac = F.coalesce(
         round_to(F.col("n_overlap") / F.col("n_shingles"), 4), F.lit(0.0)
@@ -139,7 +145,10 @@ def shared_span_fraction(
     count counts documents), one join back, one per-doc aggregate.
     """
     from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
-    from data_pipeline_with_spark_kafka_spark.operators.text import shingles, tokens
+    from data_pipeline_with_spark_kafka_spark.operators.text import (
+        hashed_shingles,
+        tokens,
+    )
 
     # n_spans per doc is a pure expression (no shuffle); the exploded
     # relation only feeds (a) the per-span doc count and (b) a LEFT-SEMI
@@ -163,9 +172,7 @@ def shared_span_fraction(
         docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
         .select(
             F.col(id_col),
-            F.explode(
-                F.transform(shingles(F.col("_t"), k), lambda s: F.xxhash64(s))
-            ).alias("shingle"),
+            F.explode(hashed_shingles(F.col("_t"), k)).alias("shingle"),
         )
         .persist()
     )
@@ -182,7 +189,7 @@ def shared_span_fraction(
     )
     counted = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t")).select(
         F.col(id_col),
-        F.size(shingles(F.col("_t"), k)).cast("bigint").alias("n_spans"),
+        F.size(hashed_shingles(F.col("_t"), k)).cast("bigint").alias("n_spans"),
     )
     frac = F.coalesce(round_to(F.col("n_shared") / F.col("n_spans"), 4), F.lit(0.0))
     return counted.join(n_shared, id_col, "left").select(

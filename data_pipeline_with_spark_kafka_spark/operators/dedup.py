@@ -36,7 +36,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_pipeline_with_spark_kafka_spark.operators.text import shingles, tokens
+from data_pipeline_with_spark_kafka_spark.operators.text import (
+    hashed_shingles,
+    shingles,
+    tokens,
+)
 from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
 
 # 32 hashes in 16 bands of 2: the S-curve at J>=0.8 gives
@@ -106,9 +110,16 @@ def ngram_jaccard_pairs(
     this operator is broadcast by hint; AQE may still elect broadcasts at
     small scale.
     """
+    # Fused hashed-shingle build (round 13, guide §4.1): one interpreted
+    # lambda pass instead of two, distinct on 8-byte longs instead of
+    # strings, and NO array sort — nothing downstream reads the order
+    # (freq counts, the rarity window orders by (df_count, shingle), and
+    # array_intersect is order-blind). The old
+    # array_sort(transform(shingles(...), xxhash64)) form cost ~0.3 s
+    # more per corpus scan at sf0.1.
     base = df.select(
         F.col(id_col).alias("doc"),
-        F.array_sort(F.transform(shingles(tokens(F.col(text_col)), k), lambda s: F.xxhash64(s))).alias("sh"),
+        hashed_shingles(tokens(F.col(text_col)), k).alias("sh"),
     ).filter(F.size("sh") > 0).persist()
 
     sh = base.select("doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
@@ -125,12 +136,27 @@ def ngram_jaccard_pairs(
         sh.join(freq, "shingle")
         .withColumn("rn", F.row_number().over(rarity))
         .filter(F.col("rn") <= prefix_len)
-        .select("doc", "shingle")
+        .select("doc", "n_sh", "shingle")
     )
 
+    # PPJoin length filter fused into candidate generation (round 13,
+    # guide §2.3 — shuffle fewer bytes into the verification joins):
+    # J(a,b) >= t forces t*|a| <= |b| <= |a|/t (J <= min/max), so pairs
+    # of incompatible sizes never leave the join. EXACT — a necessary
+    # condition of the threshold, verified unchanged-results on the
+    # fixture corpus (118,649 -> 43,440 candidate pairs at sf0.1; the
+    # final 256-pair result is identical). The threshold is slacked by
+    # 5e-5 because the final filter compares ROUND(j, 4) >= t.
+    tp = threshold - 0.00005
     a, b = prefix.alias("a"), prefix.alias("b")
     candidates = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (F.col("b.n_sh") >= tp * F.col("a.n_sh"))
+            & (F.col("a.n_sh") >= tp * F.col("b.n_sh")),
+        )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
@@ -183,11 +209,11 @@ def containment_pairs(
 
     Returns (doc_contained, doc_container, containment).
     """
+    # Fused hashed-shingle build, no sort (round 13 — same rationale as
+    # ngram_jaccard_pairs: nothing downstream is order-sensitive).
     base = df.select(
         F.col(id_col).alias("doc"),
-        F.array_sort(
-            F.transform(shingles(tokens(F.col(text_col)), k), lambda s: F.xxhash64(s))
-        ).alias("sh"),
+        hashed_shingles(tokens(F.col(text_col)), k).alias("sh"),
     ).filter(F.size("sh") > 0).persist()
 
     sh = base.select("doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
@@ -244,10 +270,11 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *, k: int = 3)
     Shingle strings are hashed to longs ONCE; the NUM_HASHES per-seed
     re-hashes then operate on 8-byte values (NUM_HASHES x cheaper than
     re-hashing strings)."""
-    sh_hashed = F.transform(shingles(tokens(F.col(text_col)), k), lambda s: F.xxhash64(s))
+    # Fused hashed-shingle build (round 13): one lambda pass, distinct on
+    # longs — see operators/text.hashed_shingles.
     base = df.select(
         F.col(id_col).alias("doc"),
-        sh_hashed.alias("sh"),
+        hashed_shingles(tokens(F.col(text_col)), k).alias("sh"),
     ).filter(F.size("sh") > 0)
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(NUM_HASHES - 1)),

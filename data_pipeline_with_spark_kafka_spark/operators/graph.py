@@ -368,25 +368,25 @@ def co_occurrence_pairs(
 
     Scale shape (round-8 rewrite): ONE shuffle — ``collect_set`` per
     group dedupes (group, item) in the same aggregate, then the a<b
-    pairs are generated EXPRESSION-side from the sorted array (nested
-    ``transform`` + ``slice`` + ``flatten`` + ``explode``), replacing
+    pairs are generated EXPRESSION-side from the sorted array, replacing
     the previous distinct + group-keyed self-join + pair projection
     (three shuffles of the pairs relation). The per-group array is
     bounded by the group's line count (single digits in order data),
     never by the catalog — a pathological mega-group should be capped
-    upstream before calling this."""
+    upstream before calling this.
+
+    Pair expansion is TWO ``Generate`` operators (round 13, guide §4.1):
+    ``posexplode(items)`` elects each left endpoint, then ``explode``
+    of the tail ``slice`` yields its partners — both codegen'd, no
+    per-element struct building. The round-8 nested
+    ``transform(transform(...struct...))`` lambdas evaluated INTERPRETED
+    per pair and materialized the full per-group pair-struct array
+    before exploding; measured 1.27 -> 1.06 s median (min 1.23 -> 0.92)
+    for the supported-edges aggregate at sf0.1, identical pairs."""
     per_group = df.groupBy(group_col).agg(
         F.sort_array(F.collect_set(item_col)).alias("items")
     )
-    pair = F.explode(
-        F.flatten(
-            F.expr(
-                "transform(items, (x, i) -> "
-                "transform(slice(items, i + 2, size(items)), "
-                "y -> struct(x AS pa, y AS pb)))"
-            )
-        )
-    ).alias("pair")
-    return per_group.select(pair).select(
-        F.col("pair.pa").alias("pa"), F.col("pair.pb").alias("pb")
+    left = per_group.select("items", F.posexplode("items").alias("i", "pa"))
+    return left.select(
+        "pa", F.explode(F.expr("slice(items, i + 2, size(items))")).alias("pb")
     )
