@@ -211,7 +211,10 @@ def ivf_topk(
     """IVF approximate top-k cosine: probe the n_probe cells nearest to the
     query, exact-rerank only their members."""
     from data_pipeline_with_spark_kafka_spark.functions.rounding import round_to
-    from data_pipeline_with_spark_kafka_spark.operators.similarity import cosine
+    from data_pipeline_with_spark_kafka_spark.operators.similarity import (
+        cosine_pre,
+        l2_norm,
+    )
 
     assigned = _assign(df, id_col, vec_col, centroids).select(id_col, "cid")
     members = df.join(assigned, id_col)
@@ -226,12 +229,23 @@ def ivf_topk(
         .orderBy("d", "cid")
         .limit(n_probe)
         .select("cid", "qvec")
+        .withColumn("qn", l2_norm(F.col("qvec")))
     )
 
-    v = as_double(F.col(vec_col))
+    # Norm hoist (similarity.cosine_pre contract): the query norm is a
+    # broadcast-side column instead of a 64-wide interpreted fold per
+    # member row; the member cast + norm bind once per row.
+    fact = members.select(
+        "cid", F.col(id_col), as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_n", l2_norm(F.col("_v")))
     return (
-        members.join(F.broadcast(qcells), "cid")
-        .select(F.col(id_col), round_to(cosine(v, F.col("qvec")), 6).alias("cosine"))
+        fact.join(F.broadcast(qcells), "cid")
+        .select(
+            F.col(id_col),
+            round_to(
+                cosine_pre(F.col("_v"), F.col("_n"), F.col("qvec"), F.col("qn")), 6
+            ).alias("cosine"),
+        )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )

@@ -93,14 +93,25 @@ def mmr_select(
 ) -> DataFrame:
     """Diversified top-k: exact cosine top-``pool`` scan, then the greedy
     MMR kernel per query group (one bounded applyInPandas)."""
-    q = query_df.select(sim.as_double(F.col(vec_col)).alias("qv")).limit(1)
-    v = sim.as_double(F.col(vec_col))
+    # Norm hoist (similarity.cosine_pre contract): the cast runs once per
+    # row (it was evaluated twice — as the pool's v column AND inside
+    # cosine), the query norm once total instead of per row.
+    q = (
+        query_df.select(sim.as_double(F.col(vec_col)).alias("qv"))
+        .limit(1)
+        .withColumn("qn", sim.l2_norm(F.col("qv")))
+    )
+    fact = df.select(
+        F.col(id_col).alias("vec_id"), sim.as_double(F.col(vec_col)).alias("v")
+    ).withColumn("_n", sim.l2_norm(F.col("v")))
     pool_df = (
-        df.crossJoin(F.broadcast(q))
+        fact.crossJoin(F.broadcast(q))
         .select(
-            F.col(id_col).alias("vec_id"),
-            v.alias("v"),
-            round_to(sim.cosine(v, F.col("qv")), 6).alias("rel"),
+            "vec_id",
+            "v",
+            round_to(
+                sim.cosine_pre(F.col("v"), F.col("_n"), F.col("qv"), F.col("qn")), 6
+            ).alias("rel"),
         )
         .orderBy(F.col("rel").desc(), F.col("vec_id"))
         .limit(pool)

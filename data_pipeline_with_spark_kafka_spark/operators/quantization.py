@@ -140,7 +140,14 @@ def sq8_topk(
     ``pool``-row rerank."""
     mins, scales = sq8_train(df, vec_col, dim, cache_key=cache_key)
     v = sim.as_double(F.col(vec_col))
-    q = query_df.select(sim.as_double(F.col(vec_col)).alias("qv")).limit(1)
+    # Query norm hoisted into the broadcast side (similarity.cosine_pre
+    # contract): one fold total instead of one 64-wide interpreted fold
+    # per scanned row. FP-identical.
+    q = (
+        query_df.select(sim.as_double(F.col(vec_col)).alias("qv"))
+        .limit(1)
+        .withColumn("qn", sim.l2_norm(F.col("qv")))
+    )
     adc = (
         df.select(F.col(id_col), v.alias("_v"))
         .withColumn("_rv", sq8_reconstruct(F.col("_v"), mins, scales))
@@ -149,7 +156,12 @@ def sq8_topk(
             F.col(id_col),
             F.col("_v"),
             F.col("qv"),
-            round_to(sim.cosine(F.col("_rv"), F.col("qv")), 6).alias("adc_cosine"),
+            round_to(
+                sim.cosine_pre(
+                    F.col("_rv"), sim.l2_norm(F.col("_rv")), F.col("qv"), F.col("qn")
+                ),
+                6,
+            ).alias("adc_cosine"),
         )
         .orderBy(F.col("adc_cosine").desc(), F.col(id_col))
         .limit(pool)
@@ -214,18 +226,32 @@ def ivf_sq8_topk(
         .orderBy("d", "cid")
         .limit(n_probe)
         .select(F.col("cid").alias("cell"), "qv")
+        .withColumn("qn", sim.l2_norm(F.col("qv")))
     )
 
     v = sim.as_double(F.col(vec_col))
+    # Query norm from the broadcast side (cosine_pre contract) — the
+    # reconstructed vector is bound to an attribute first so its norm and
+    # dot don't re-evaluate the codec tree (the pq_topk lesson below).
     adc = (
         members.join(F.broadcast(qcells), "cell")
         .select(
             F.col(id_col),
             v.alias("_v"),
             F.col("qv"),
-            round_to(sim.cosine(sq8_reconstruct(v, mins, scales), F.col("qv")), 6).alias(
-                "adc_cosine"
-            ),
+            F.col("qn"),
+            sq8_reconstruct(v, mins, scales).alias("_rv"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_v"),
+            F.col("qv"),
+            round_to(
+                sim.cosine_pre(
+                    F.col("_rv"), sim.l2_norm(F.col("_rv")), F.col("qv"), F.col("qn")
+                ),
+                6,
+            ).alias("adc_cosine"),
         )
         .orderBy(F.col("adc_cosine").desc(), F.col(id_col))
         .limit(pool)
@@ -447,7 +473,12 @@ def pq_topk(
     take the pool, the tiny pool reranks exactly. The corpus never
     shuffles; the only broadcast is the structurally-1-row query."""
     v = sim.as_double(F.col(vec_col))
-    q = query_df.select(sim.as_double(F.col(vec_col)).alias("qv")).limit(1)
+    # Query norm hoisted into the broadcast side (cosine_pre contract).
+    q = (
+        query_df.select(sim.as_double(F.col(vec_col)).alias("qv"))
+        .limit(1)
+        .withColumn("qn", sim.l2_norm(F.col("qv")))
+    )
     staged = df.select(F.col(id_col), v.alias("_v")).withColumn(
         "_rv", pq_reconstruct(F.col("_v"), codebooks)
     )
@@ -457,7 +488,12 @@ def pq_topk(
             F.col(id_col),
             F.col("_v"),
             F.col("qv"),
-            round_to(sim.cosine(F.col("_rv"), F.col("qv")), 6).alias("adc_cosine"),
+            round_to(
+                sim.cosine_pre(
+                    F.col("_rv"), sim.l2_norm(F.col("_rv")), F.col("qv"), F.col("qn")
+                ),
+                6,
+            ).alias("adc_cosine"),
         )
         .orderBy(F.col("adc_cosine").desc(), F.col(id_col))
         .limit(pool)
@@ -516,6 +552,7 @@ def ivf_pq_topk(
         .orderBy("d", "cid")
         .limit(n_probe)
         .select(F.col("cid").alias("cell"), "qv")
+        .withColumn("qn", sim.l2_norm(F.col("qv")))
     )
     v = sim.as_double(F.col(vec_col))
     adc = (
@@ -528,13 +565,19 @@ def ivf_pq_topk(
             F.col(id_col),
             v.alias("_v"),
             F.col("qv"),
+            F.col("qn"),
             pq_reconstruct(v, codebooks).alias("_rv"),
         )
         .select(
             F.col(id_col),
             F.col("_v"),
             F.col("qv"),
-            round_to(sim.cosine(F.col("_rv"), F.col("qv")), 6).alias("adc_cosine"),
+            round_to(
+                sim.cosine_pre(
+                    F.col("_rv"), sim.l2_norm(F.col("_rv")), F.col("qv"), F.col("qn")
+                ),
+                6,
+            ).alias("adc_cosine"),
         )
         .orderBy(F.col("adc_cosine").desc(), F.col(id_col))
         .limit(pool)

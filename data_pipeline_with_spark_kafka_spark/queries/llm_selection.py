@@ -313,15 +313,26 @@ def llm_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("anchor_label"),
             sim.as_double(F.col("embedding")).alias("av"),
         )
+        .withColumn("an", sim.l2_norm(F.col("av")))
     )
-    v = sim.as_double(F.col("embedding"))
+    # Norm hoist (similarity.cosine_pre contract): each embedding row
+    # matches ~7 of the 8 anchors, so the inline form re-ran the 64-wide
+    # cast + norm folds 7x per row; bound once here, the per-match work
+    # is the dot fold alone.
+    fact = emb.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        sim.as_double(F.col("embedding")).alias("_v"),
+    ).withColumn("_n", sim.l2_norm(F.col("_v")))
     scored = (
-        emb.join(F.broadcast(anchors), F.col("label") != F.col("anchor_label"))
+        fact.join(F.broadcast(anchors), F.col("negative_label") != F.col("anchor_label"))
         .select(
             "anchor_id",
-            F.col("vec_id").alias("negative_id"),
-            F.col("label").alias("negative_label"),
-            round_to(sim.cosine(v, F.col("av")), 6).alias("cosine"),
+            "negative_id",
+            "negative_label",
+            round_to(
+                sim.cosine_pre(F.col("_v"), F.col("_n"), F.col("av"), F.col("an")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("anchor_id").orderBy(F.col("cosine").desc(), F.col("negative_id"))
